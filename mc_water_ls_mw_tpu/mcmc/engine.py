@@ -1,0 +1,608 @@
+"""The Monte-Carlo engine: batched moves, WL updates, cycle driver.
+
+TPU-native rebuild of mc_moves.F90.  Design (SURVEY.md §7):
+
+* One trial move advances ALL walkers simultaneously; a cycle is a
+  ``lax.scan`` of nwater move steps (the chain is inherently
+  sequential per walker, mc_cycle:224-250 - all parallelism comes from
+  the walker/lattice/gather axes).
+* Move *types* are drawn per step from a shared schedule stream, so
+  every walker executes the same branch each step (the type choice is
+  state-independent, so per-walker detailed balance is preserved; the
+  reference draws types per rank, mc_cycle:226-241 - this
+  synchronised scheduling is the TPU-idiomatic equivalent and the only
+  intended deviation).
+* Wang-Landau weight/histogram updates are batched one-hot adds on
+  per-walker [W, nbins] arrays; walkers play the role of the
+  reference's MPI ranks, merged with the same delta-allreduce
+  semantics (comms_mpi.f90:244-530) by summing over the (sharded)
+  walker axis - XLA turns that into the ICI collective when the state
+  is sharded over a device mesh.
+* Data-dependent per-cycle events (neighbour rebuild, delta-sync,
+  chain resync) run under ``lax.cond`` inside the jitted block; file
+  IO events (monitor/flatness/checkpoint) happen host-side at block
+  boundaries (app layer).
+"""
+
+from __future__ import annotations
+
+
+from functools import partial
+
+
+import jax
+import jax.numpy as jnp
+
+from ..models.sw import SWParams
+from ..ops.geometry import determinant3, from_frac, recip_matrix, to_frac
+from ..ops.energy import full_energy_batched, translation_energies_batched
+from ..ops.neighbours import build_neighbour_list_batched
+from .bins import BinGrid, eta_weight, mu_to_bin
+from .config import RunParams
+from .state import EngineAux, SamplerState
+
+TRANS, VOL, SWITCH, NOOP = 0, 1, 2, 3
+
+
+def _take_w(arr, idx):
+    """arr [W, L, ...] indexed per-walker by idx [W] -> [W, ...]."""
+    return jax.vmap(lambda a, i: a[i])(arr, idx)
+
+
+class Engine:
+    """Jit-compiled sampler over a fixed (params, model, grid).
+
+    All configuration is closed over as compile-time constants, the
+    state pytree is the only runtime argument (so the same compiled
+    program also runs sharded over a device mesh).
+    """
+
+    def __init__(self, prm: RunParams, model: SWParams, grid: BinGrid,
+                 aux: EngineAux):
+        self.prm = prm
+        self.model = model
+        self.grid = grid
+        self.aux = aux
+        self.probs = prm.normalised_probs()
+        self._eta_b = jax.vmap(
+            partial(eta_weight, interp=prm.eta_interp),
+            in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
+        )
+        # jitted entry points
+        self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
+        self.sync_all = jax.jit(self._sync_all)
+        self.resync_chains = jax.jit(self._resync_chains)
+        self.audit_energy = jax.jit(self._audit_energy)
+        self.rebuild_neighbours = jax.jit(self._rebuild_neighbours)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _dtype(self, s: SamplerState):
+        return s.r.dtype
+
+    def _mu_scratch(self, energy, volume):
+        """Order parameter from scratch (mc_moves.F90:856-862)."""
+        prm = self.prm
+        mu = (
+            energy[:, 0] + prm.pressure * volume[:, 0]
+            - energy[:, 1] - prm.pressure * volume[:, 1]
+        )
+        if prm.leshift:
+            mu = mu - self.aux.ref_enthalpy[0] + self.aux.ref_enthalpy[1]
+        return mu * prm.beta - prm.nwater * jnp.log(
+            volume[:, 0] / volume[:, 1]
+        )
+
+    def _eta(self, s: SamplerState, mu):
+        return self._eta_b(
+            self.grid, s.weight, mu, s.my_mu_min, s.my_mu_max,
+            s.start_bin, s.end_bin, s.in_window,
+        )
+
+    # ------------------------------------------------------------------
+    # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
+    # ------------------------------------------------------------------
+
+    def _wl_update(self, s: SamplerState) -> SamplerState:
+        prm, grid = self.prm, self.grid
+        if prm.num_lattices != 2:
+            return s
+        B = grid.nbins
+        dtype = self._dtype(s)
+
+        active = s.cycle >= prm.eq_mc_cycles      # (mc_moves.F90:1615)
+        k = mu_to_bin(grid, s.mu)
+        in_grid = (k >= 0) & (k < B)              # (mc_moves.F90:1619)
+        kc = jnp.clip(k, 0, B - 1)
+        upd = (in_grid & active).astype(dtype)    # [W]
+        oh = jax.nn.one_hot(kc, B, dtype=dtype) * upd[:, None]
+        incr = self.grid.av_binwidth / grid.binwidth[kc]   # [W]
+
+        hist = s.hist + oh * incr[:, None]
+
+        if prm.samplerun:
+            # unbiased histogram with frozen weights
+            # (mc_moves.F90:1625-1632)
+            eta_val = self._eta(s, s.mu)
+            u_incr = incr * jnp.exp(eta_val - self.aux.log_unbiased_norm)
+            uhist = s.uhist + oh * u_incr[:, None]
+            return s._replace(hist=hist, uhist=uhist)
+
+        f = s.f
+        sumh = s.sumhist
+        if prm.wl_swetnam:
+            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653)
+            sumh = s.sumhist + upd
+            binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
+            dev = (
+                hist * grid.binwidth[None, :]
+                / jnp.maximum(sumh, 1.0)[:, None]
+                - binfrac[None, :]
+            )
+            rms = jnp.sqrt(jnp.mean(dev * dev, axis=1))
+            f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
+            f_new = jnp.minimum(f_new, prm.wl_factor)
+            f = jnp.where(active, f_new, f)
+        elif prm.wl_useinvt:
+            # 1/t schedule once active (mc_moves.F90:1655-1658)
+            f_invt = jnp.minimum(
+                f, B / (s.cycle.astype(dtype) * prm.nwater)
+            )
+            f = jnp.where(s.invt_active & active, f_invt, f)
+
+        weight = s.weight + oh * (incr * f)[:, None]
+
+        # shift window minimum to zero (mc_moves.F90:1680-1685),
+        # only when an update actually occurred
+        bin_ids = jnp.arange(B)
+        winmask = (bin_ids[None, :] >= s.start_bin[:, None]) & (
+            bin_ids[None, :] <= s.end_bin[:, None]
+        )
+        minv = jnp.min(
+            jnp.where(winmask, weight, jnp.inf), axis=1
+        )
+        weight = jnp.where(
+            winmask & (upd[:, None] > 0), weight - minv[:, None], weight
+        )
+        return s._replace(hist=hist, weight=weight, f=f, sumhist=sumh)
+
+    # ------------------------------------------------------------------
+    # moves
+    # ------------------------------------------------------------------
+
+    def _translation(self, s: SamplerState, keys) -> SamplerState:
+        """Single-molecule translation in both replicas
+        (mc_water_translation, mc_moves.F90:966-1213)."""
+        prm, model = self.prm, self.model
+        W, L, N = s.r.shape[:3]
+        dtype = self._dtype(s)
+
+        u = jax.vmap(lambda k: jax.random.uniform(k, (7,), dtype=dtype))(
+            keys
+        )
+        imol = jnp.minimum((u[:, 0] * N).astype(jnp.int32), N - 1)
+
+        # random direction x magnitude (mc_moves.F90:1021-1039)
+        d = 2.0 * u[:, 1:4] - 1.0
+        d = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        rmag = (2.0 * u[:, 4] - 1.0) * s.max_trans
+        v = d * rmag[:, None]                              # [W,3] active-frame
+
+        # same fractional displacement in the partner lattice
+        # (mc_moves.F90:1042-1067)
+        recip_ls = _take_w(s.recip, s.ls)                  # [W,3,3]
+        sfrac = jnp.einsum("wa,wab->wb", v, recip_ls) * (0.5 / jnp.pi)
+        tv_all = jnp.einsum("wlab,wb->wla", s.h, sfrac)    # [W,L,3]
+        lat_is_active = (
+            jnp.arange(L)[None, :] == s.ls[:, None]
+        )[..., None]
+        transvec = jnp.where(lat_is_active, v[:, None, :], tv_all)
+
+        p_old = _take_w(
+            jnp.swapaxes(s.r, 1, 2), imol
+        )                                                   # [W,L,3]
+        p_new = p_old + transvec
+
+        e_old, e_new = translation_energies_batched(
+            s.r, s.h, s.nbr, imol, p_new, self.model
+        )                                                   # [W,L]
+        dE = e_new - e_old
+
+        if prm.num_lattices == 2:
+            dmu = (dE[:, 0] - dE[:, 1]) * prm.beta
+            mu_new = s.mu + dmu                             # (1113)
+            eta_old = self._eta(s, s.mu)
+            eta_new = self._eta(s, mu_new)
+            dE_ls = _take_w(dE, s.ls)
+            diffkT = prm.beta * dE_ls + eta_new - eta_old   # (1116)
+        else:
+            mu_new = s.mu
+            dmu = jnp.zeros((W,), dtype=dtype)
+            diffkT = prm.beta * dE[:, 0]
+
+        accept = u[:, 5] < jnp.exp(-diffkT)                 # (1146)
+        accf = accept.astype(dtype)
+
+        onehot_mol = jax.nn.one_hot(imol, N, dtype=dtype)   # [W,N]
+        r = s.r + (
+            accf[:, None, None, None]
+            * onehot_mol[:, None, :, None]
+            * transvec[:, :, None, :]
+        )
+        energy = s.energy + accf[:, None] * dE
+        mu = jnp.where(accept, mu_new, s.mu)
+
+        # acceptance bookkeeping (mc_moves.F90:1156-1159)
+        att = s.att.at[:, TRANS].add(1)
+        acc = s.acc.at[:, TRANS].add(accept.astype(jnp.int32))
+        tpm = s.trans_per_mol + onehot_mol.astype(jnp.int32)
+        admu = jnp.abs(dmu)
+        min_dmu = jnp.where(accept & (admu < s.min_dmu), admu, s.min_dmu)
+        max_dmu = jnp.where(accept & (admu > s.max_dmu), admu, s.max_dmu)
+
+        s = s._replace(
+            r=r, energy=energy, mu=mu, att=att, acc=acc,
+            trans_per_mol=tpm, min_dmu=min_dmu, max_dmu=max_dmu,
+        )
+        return self._wl_update(s)
+
+    def _volume(self, s: SamplerState, keys) -> SamplerState:
+        """Anisotropic cell move, same strain in both replicas
+        (mc_volume, mc_moves.F90:1216-1534)."""
+        prm, model = self.prm, self.model
+        W, L, N = s.r.shape[:3]
+        dtype = self._dtype(s)
+
+        u = jax.vmap(lambda k: jax.random.uniform(k, (4,), dtype=dtype))(
+            keys
+        )
+        idim = jnp.minimum((u[:, 0] * 3).astype(jnp.int32), 2)
+        jdim = jnp.minimum((u[:, 1] * 3).astype(jnp.int32), 2)
+        delta = (2.0 * u[:, 2] - 1.0) * s.dv_max
+
+        # symmetric perturbation of one (i,j) element
+        # (mc_moves.F90:1276-1282)
+        ei = jax.nn.one_hot(idim, 3, dtype=dtype)
+        ej = jax.nn.one_hot(jdim, 3, dtype=dtype)
+        outer = ei[:, :, None] * ej[:, None, :]
+        sym = outer + jnp.swapaxes(outer, 1, 2) - outer * jnp.swapaxes(
+            outer, 1, 2
+        )  # diagonal picks i==j once
+        dh = sym * delta[:, None, None]                    # [W,3,3]
+
+        h_new = s.h + dh[:, None, :, :]
+        # rescale current and reference positions holding fractional
+        # coordinates fixed (mc_moves.F90:1284-1350)
+        frac_r = to_frac(s.recip, s.r)                     # [W,L,N,3]
+        r_new = from_frac(h_new, frac_r)
+        frac_ref = to_frac(s.recip, s.ref_r)
+        ref_new = from_frac(h_new, frac_ref)
+
+        recip_new = jax.vmap(jax.vmap(recip_matrix))(h_new)
+        vol_new = jnp.abs(jax.vmap(jax.vmap(determinant3))(h_new))
+
+        e_new = full_energy_batched(r_new, h_new, s.nbr, model)
+        dE = e_new - s.energy
+
+        vol_ls_old = _take_w(s.volume, s.ls)
+        vol_ls_new = _take_w(vol_new, s.ls)
+        dE_ls = _take_w(dE, s.ls)
+
+        if prm.num_lattices == 2:
+            mu_new = self._mu_scratch(e_new, vol_new)      # (1366-1375)
+            eta_old = self._eta(s, s.mu)
+            eta_new = self._eta(s, mu_new)
+            deta = eta_new - eta_old
+            mu_reject = self._mu_scratch(s.energy, s.volume)  # (1524-1528)
+        else:
+            mu_new = s.mu
+            deta = jnp.zeros((W,), dtype=dtype)
+            mu_reject = s.mu
+
+        # NPT acceptance (mc_moves.F90:1380-1381)
+        diffkT = (
+            prm.beta * dE_ls
+            + deta
+            + prm.beta * prm.pressure * (vol_ls_new - vol_ls_old)
+            - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
+        )
+        accept = u[:, 3] < jnp.exp(-diffkT)
+        acc4 = accept[:, None, None, None]
+
+        if prm.num_lattices == 2:
+            admu = jnp.abs(mu_new - s.mu)
+            min_dmu = jnp.where(
+                accept & (admu < s.min_dmu), admu, s.min_dmu
+            )
+            max_dmu = jnp.where(
+                accept & (admu > s.max_dmu), admu, s.max_dmu
+            )
+            mu = jnp.where(accept, mu_new, mu_reject)
+        else:
+            min_dmu, max_dmu = s.min_dmu, s.max_dmu
+            mu = s.mu
+
+        s = s._replace(
+            r=jnp.where(acc4, r_new, s.r),
+            ref_r=jnp.where(acc4, ref_new, s.ref_r),
+            h=jnp.where(acc4, h_new, s.h),
+            recip=jnp.where(acc4, recip_new, s.recip),
+            volume=jnp.where(accept[:, None], vol_new, s.volume),
+            energy=jnp.where(accept[:, None], e_new, s.energy),
+            mu=mu,
+            att=s.att.at[:, VOL].add(1),
+            acc=s.acc.at[:, VOL].add(accept.astype(jnp.int32)),
+            min_dmu=min_dmu,
+            max_dmu=max_dmu,
+        )
+        return self._wl_update(s)
+
+    def _switch(self, s: SamplerState, zeta, enabled) -> SamplerState:
+        """Lattice switch (mc_lattice_switch, mc_moves.F90:1536-1594).
+
+        ``enabled`` gates dd-mode pre-equilibration suppression
+        (mc_cycle:237-249).
+        """
+        prm = self.prm
+        if prm.num_lattices != 2:
+            return s
+        dtype = self._dtype(s)
+        lsn = 1 - s.ls
+        E_ls = _take_w(s.energy, s.ls)
+        E_lsn = _take_w(s.energy, lsn)
+        diffkT = prm.beta * (E_lsn - E_ls)
+        if prm.mc_ensemble == "npt":
+            V_ls = _take_w(s.volume, s.ls)
+            V_lsn = _take_w(s.volume, lsn)
+            diffkT = (
+                diffkT
+                + prm.beta * prm.pressure * (V_lsn - V_ls)
+                - prm.nwater * jnp.log(V_lsn / V_ls)
+            )
+        if prm.leshift:
+            rh = self.aux.ref_enthalpy
+            diffkT = diffkT - prm.beta * (rh[lsn] - rh[s.ls])
+        # eta(mu) cancels: mu is unchanged by a switch (1558-1559)
+        accept = enabled & (zeta < jnp.exp(-diffkT))
+        ls = jnp.where(accept, lsn, s.ls)
+        mu = jnp.where(
+            accept, self._mu_scratch(s.energy, s.volume), s.mu
+        )
+        return s._replace(
+            ls=ls,
+            mu=mu,
+            att=s.att.at[:, SWITCH].add(enabled.astype(jnp.int32)),
+            acc=s.acc.at[:, SWITCH].add(accept.astype(jnp.int32)),
+        )
+
+    # ------------------------------------------------------------------
+    # delta-sync collectives (comms_mpi.f90:244-530)
+    # ------------------------------------------------------------------
+
+    def _delta_merge(self, arr, snap, window_id, nwin):
+        """Delta-allreduce over walkers sharing a mu-window.
+
+        Each walker contributes only its growth since the last sync
+        (comms_allreduce_eta, comms_mpi.f90:256-270); the sum over the
+        sharded walker axis becomes a cross-chip collective under a
+        mesh.  Returns (merged arr [W,B], new snapshots [nwin,B]).
+        """
+        W = arr.shape[0]
+        delta = arr - snap[window_id]                       # [W,B]
+        tot = jax.ops.segment_sum(delta, window_id, num_segments=nwin)
+        new_snap = snap + tot
+        return new_snap[window_id], new_snap
+
+    def _sync_all(self, s: SamplerState) -> SamplerState:
+        """Synchronise weights + histograms across walkers
+        (mc_cycle:258-278)."""
+        prm = self.prm
+        if prm.num_lattices != 2:
+            return s
+        nwin = s.snap_eta.shape[0]
+        weight, snap_eta = self._delta_merge(
+            s.weight, s.snap_eta, s.window_id, nwin
+        )
+        hist, snap_hist = self._delta_merge(
+            s.hist, s.snap_hist, s.window_id, nwin
+        )
+        s = s._replace(
+            weight=weight, hist=hist, snap_eta=snap_eta,
+            snap_hist=snap_hist,
+        )
+        if prm.samplerun:
+            uhist, snap_uhist = self._delta_merge(
+                s.uhist, s.snap_uhist, s.window_id, nwin
+            )
+            s = s._replace(uhist=uhist, snap_uhist=snap_uhist)
+        return s
+
+    # ------------------------------------------------------------------
+    # chain synchronisation (mc_check_chain_synchronisation,
+    # mc_moves.F90:2217-2416)
+    # ------------------------------------------------------------------
+
+    def _resync_chains(self, s: SamplerState) -> SamplerState:
+        prm, model, aux = self.prm, self.model, self.aux
+        if prm.num_lattices != 2:
+            return s
+        # correct lattice 2's cell displacement to match lattice 1
+        # (mc_moves.F90:2276-2277)
+        hdiff1 = s.h[:, 0] - aux.ref_h[0]
+        h2 = aux.ref_h[1] + hdiff1
+        h = s.h.at[:, 1].set(h2)
+        recip = jax.vmap(jax.vmap(recip_matrix))(h)
+
+        # force every molecule's fractional displacement from its
+        # reference site in lattice 2 to equal lattice 1's
+        # (mc_moves.F90:2289-2333)
+        frac = to_frac(recip, s.r)                         # [W,L,N,3]
+        frac_ref = to_frac(recip, s.ref_r)
+        sdiff1 = frac[:, 0] - frac_ref[:, 0]               # [W,N,3]
+        s2 = frac_ref[:, 1] + sdiff1
+        r2 = from_frac(h[:, 1], s2)                        # [W,N,3]
+        r = s.r.at[:, 1].set(r2)
+
+        vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
+        energy = full_energy_batched(r, h, s.nbr, model)
+        mu = self._mu_scratch(energy, vol)
+        return s._replace(
+            r=r, h=h, recip=recip, volume=vol, energy=energy, mu=mu
+        )
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def _rebuild_neighbours(self, s: SamplerState) -> SamplerState:
+        nbr = build_neighbour_list_batched(
+            s.r, s.h, self.aux.shifts, self.prm.neighbour_capacity,
+            self.model.rskin,
+        )
+        return s._replace(nbr=nbr)
+
+    def _audit_energy(self, s: SamplerState):
+        """Recompute energies from scratch; returns (state, drift).
+
+        The reference's monitor both reports the drift AND heals it by
+        overwriting the stored energies (mc_monitor_stats:1781-1792).
+        """
+        fresh = full_energy_batched(s.r, s.h, s.nbr, self.model)
+        drift = s.energy - fresh
+        return s._replace(energy=fresh), drift
+
+    # ------------------------------------------------------------------
+    # cycle driver
+    # ------------------------------------------------------------------
+
+    def _one_cycle(self, s: SamplerState) -> tuple[SamplerState, dict]:
+        prm = self.prm
+        dtype = self._dtype(s)
+        W, L, N = s.r.shape[:3]
+        cycle = s.cycle + 1
+        s = s._replace(cycle=cycle)
+
+        # dd-mode window tracking (mc_cycle:181-210)
+        if prm.parallel_strategy == "dd" and L == 2:
+            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
+            in_window = jnp.where(
+                cycle < prm.eq_mc_cycles,
+                now_in,
+                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
+                          jnp.ones_like(s.in_window)),
+            )
+            s = s._replace(in_window=in_window)
+
+        # neighbour list rebuild (mc_cycle:218-222)
+        s = jax.lax.cond(
+            cycle % prm.list_update_int == 0,
+            self._rebuild_neighbours,
+            lambda x: x,
+            s,
+        )
+
+        # move-type schedule for this cycle: shared stream
+        ck = jax.random.fold_in(s.shared_key, cycle)
+        xi = jax.random.uniform(ck, (N,), dtype=dtype)
+        transP, volP, swP = self.probs
+        codes = jnp.where(
+            xi < transP, TRANS,
+            jnp.where(xi < volP, VOL, jnp.where(xi < swP, SWITCH, NOOP)),
+        )
+
+        switch_ok_scalar = True
+        if prm.parallel_strategy == "dd":
+            switch_ok = jnp.broadcast_to(
+                cycle >= prm.eq_mc_cycles, (W,)
+            )
+        else:
+            switch_ok = jnp.ones((W,), dtype=bool)
+
+        def step(carry, t):
+            st = carry
+            code = codes[t]
+            keys = jax.vmap(
+                lambda k: jax.random.fold_in(jax.random.fold_in(k, cycle), t)
+            )(st.key)
+            zeta_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 7919)
+            )(keys)
+            zeta = jax.vmap(
+                lambda k: jax.random.uniform(k, (), dtype=dtype)
+            )(zeta_keys)
+
+            branches = [
+                lambda st_: self._translation(st_, keys),
+                lambda st_: self._volume(st_, keys),
+                lambda st_: self._switch(st_, zeta, switch_ok),
+                lambda st_: st_,
+            ]
+            st = jax.lax.switch(code, branches, st)
+            if prm.mc_always_switch and prm.num_lattices == 2:
+                # attempt a switch after every move (mc_cycle:243-249),
+                # gated off for NOOP/switch-type steps like the
+                # reference gates via move probabilities
+                zeta2 = jax.vmap(
+                    lambda k: jax.random.uniform(k, (), dtype=dtype)
+                )(jax.vmap(lambda k: jax.random.fold_in(k, 104729))(keys))
+                st = jax.lax.cond(
+                    (code == TRANS) | (code == VOL),
+                    lambda st_: self._switch(st_, zeta2, switch_ok),
+                    lambda st_: st_,
+                    st,
+                )
+            return st, None
+
+        s, _ = jax.lax.scan(step, s, jnp.arange(N))
+
+        # block-average energy accumulation (mc_cycle:252-255)
+        avg = s.avg_energy + s.energy
+        if prm.mc_ensemble == "npt":
+            avg = avg + prm.pressure * s.volume
+        s = s._replace(avg_energy=avg)
+
+        # delta-sync of WL arrays (mc_cycle:258-278)
+        if prm.num_lattices == 2:
+            s = jax.lax.cond(
+                cycle % prm.mpi_sync_int == 0,
+                self._sync_all,
+                lambda x: x,
+                s,
+            )
+            # enforced chain synchronisation (mc_cycle:297-300)
+            s = jax.lax.cond(
+                cycle % prm.latt_sync_int == 0,
+                self._resync_chains,
+                lambda x: x,
+                s,
+            )
+
+        # therm-style per-cycle sample of the first therm_walkers
+        # walkers (main.f90:200-223; host filters by file_output_int)
+        T = min(prm.therm_walkers, W)
+        sample = {
+            "cycle": cycle,
+            "E_ls": _take_w(s.energy[:T], s.ls[:T]),
+            "mu": s.mu[:T],
+            "vol": s.volume[:T],
+            "ls": s.ls[:T],
+        }
+        return s, sample
+
+    def _run_cycles(self, s: SamplerState, n_cycles: int):
+        def body(carry, _):
+            return self._one_cycle(carry)
+
+        s, samples = jax.lax.scan(body, s, None, length=n_cycles)
+        return s, samples
+
+    # ------------------------------------------------------------------
+    # host-side helpers (not jitted; called at block boundaries)
+    # ------------------------------------------------------------------
+
+    def merged_histogram(self, s: SamplerState):
+        """Fully merged histogram view without advancing snapshots."""
+        s2 = self._sync_all(s)
+        return s2

@@ -1,0 +1,297 @@
+"""Walker-ensemble sampler state and initialisation.
+
+The reference keeps one Markov chain's state in Fortran module globals
+(data_structures.f90, mc_moves.F90 module vars); the TPU rebuild keeps
+a *batch* of W independent chains in one immutable pytree with leading
+walker axis, so the whole ensemble advances under a single jitted
+program and shards across chips along axis 0 (SURVEY.md §7).
+
+Each walker carries BOTH coupled lattice replicas (axis 1), absorbing
+the reference's OpenMP-over-lattices parallelism (mc_moves.F90:1006)
+into an array dimension.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sw import SWParams
+from ..ops.geometry import (
+    cell_shift_range,
+    determinant3,
+    enumerate_shifts,
+    recip_matrix,
+)
+from ..ops.neighbours import NeighbourList, build_neighbour_list_batched
+from ..ops.energy import full_energy_batched
+from .bins import BinGrid
+from .config import RunParams
+
+
+class SamplerState(NamedTuple):
+    """Full sampler state; leading axis = walker everywhere.
+
+    Mirrors of reference state are cited; fields without citations are
+    bookkeeping the reference keeps in module saves.
+    """
+
+    # configuration state (data_structures.f90:34-53)
+    r: jnp.ndarray            # [W,L,N,3] positions ('ljr')
+    ref_r: jnp.ndarray        # [W,L,N,3] reference-lattice positions
+    h: jnp.ndarray            # [W,L,3,3] cell matrices
+    recip: jnp.ndarray        # [W,L,3,3]
+    volume: jnp.ndarray       # [W,L]
+    energy: jnp.ndarray       # [W,L] incremental model energy
+    mu: jnp.ndarray           # [W] lattice-switch order parameter
+    ls: jnp.ndarray           # [W] int32 active lattice (0-based)
+
+    # neighbour lists (molint.F90:79-81)
+    nbr: NeighbourList        # fields [W,L,N,K...]
+
+    # multicanonical state (mc_moves.F90:65-71)
+    weight: jnp.ndarray       # [W,B]
+    hist: jnp.ndarray         # [W,B]
+    uhist: jnp.ndarray        # [W,B]
+    f: jnp.ndarray            # [W] Wang-Landau modification factor
+    sumhist: jnp.ndarray      # [W] (Swetnam accumulator)
+    invt_active: jnp.ndarray  # [W] bool
+    firstcycle: jnp.ndarray   # [W] bool (f never yet halved)
+    histogram_reset: jnp.ndarray  # [W] bool (first-pass reset done)
+
+    # delta-sync snapshots, one per mu-window
+    # (comms_mpi.f90 eta/hist/uhist_last_sync)
+    snap_eta: jnp.ndarray     # [nwin,B]
+    snap_hist: jnp.ndarray    # [nwin,B]
+    snap_uhist: jnp.ndarray   # [nwin,B]
+
+    # dd windows (mc_moves.F90:107-112); in 'mw' mode these span the
+    # whole grid for every walker
+    window_id: jnp.ndarray    # [W] int32
+    my_mu_min: jnp.ndarray    # [W]
+    my_mu_max: jnp.ndarray    # [W]
+    start_bin: jnp.ndarray    # [W] int32 (0-based, inclusive)
+    end_bin: jnp.ndarray      # [W] int32 (0-based, inclusive)
+    in_window: jnp.ndarray    # [W] bool
+
+    # adaptive step sizes (userparams mc_max_trans/mc_dv_max, per walker)
+    max_trans: jnp.ndarray    # [W]
+    dv_max: jnp.ndarray       # [W]
+
+    # counters (mc_moves.F90:44-55)
+    att: jnp.ndarray          # [W,3] attempted trans/vol/switch
+    acc: jnp.ndarray          # [W,3] accepted
+    trans_per_mol: jnp.ndarray  # [W,N]
+    avg_energy: jnp.ndarray   # [W,L]
+    min_dmu: jnp.ndarray      # [W]
+    max_dmu: jnp.ndarray      # [W]
+
+    cycle: jnp.ndarray        # int32 scalar
+    key: jnp.ndarray          # [W,2] uint32 per-walker RNG
+    shared_key: jnp.ndarray   # [2] uint32 (move-type schedule stream)
+
+
+class EngineAux(NamedTuple):
+    """Init-time derived constants closed over by the engine."""
+
+    shifts: jnp.ndarray        # [S,3] int32 static image shifts
+    ref_h: jnp.ndarray         # [L,3,3] initial cells (never updated;
+                               #   chain-sync anchor, model ref_hmatrix)
+    ref_enthalpy: jnp.ndarray  # [L] (main.f90:146-150)
+    log_unbiased_norm: float   # (mc_init:778-806)
+
+
+def assign_windows(prm: RunParams, grid: BinGrid, n_windows: int):
+    """dd-mode mu-window layout (mc_init:659-722), 0-based bins.
+
+    Returns per-window (start_bin, end_bin inclusive, mu_min, mu_max).
+    """
+    B = grid.nbins
+    bw = np.asarray(grid.binwidth)
+    edges = np.concatenate([[prm.mu_min], prm.mu_min + np.cumsum(bw)])
+    bpw = B // n_windows
+    ov = prm.window_overlap
+    wins = []
+    for wid in range(n_windows):
+        if wid == 0:
+            s, e = 0, bpw + ov - 1
+            lo, hi = prm.mu_min, edges[e + 1]
+        elif wid == n_windows - 1:
+            s, e = wid * bpw - ov - 1, B - 1
+            lo, hi = edges[s], prm.mu_max
+        else:
+            s, e = wid * bpw - ov - 1, (wid + 1) * bpw + ov - 1
+            lo, hi = edges[s], edges[e + 1]
+        wins.append((s, e, lo, hi))
+    return wins
+
+
+def compute_log_unbiased_norm(prm: RunParams, grid: BinGrid,
+                              weight0: np.ndarray, n_ranks: int) -> float:
+    """Overflow-resistant log of the expected unbiased-histogram norm
+    (mc_init:778-806).  ``n_ranks`` plays the role of MPI size (here:
+    total walkers)."""
+    hits_per_bin = (
+        (prm.max_mc_cycles - prm.eq_mc_cycles)
+        * float(n_ranks * prm.nwater)
+        / grid.nbins
+    )
+    # guard short runs (max <= eq) against log of a non-positive count
+    hits_per_bin = max(hits_per_bin, 1.0)
+    incr = hits_per_bin * grid.av_binwidth
+    logs = np.log(incr) + np.asarray(weight0, dtype=np.float64)
+    return float(np.logaddexp.reduce(logs))
+
+
+def init_state(
+    prm: RunParams,
+    model: SWParams,
+    r0: np.ndarray,          # [L,N,3] Bohr
+    H0: np.ndarray,          # [L,3,3] Bohr
+    grid: BinGrid,
+    weight0: np.ndarray | None = None,   # warm-start weights [B]
+    n_windows: int = 1,
+) -> tuple[SamplerState, EngineAux]:
+    """Build the initial walker-ensemble state.
+
+    Follows the reference init order: positions -> energy_init
+    (ivects, neighbours, energies) -> ref_enthalpy -> mc_init windows
+    -> initial mu (main.f90:98-175).
+    """
+    dtype = jnp.float64 if prm.dtype == "float64" else jnp.float32
+    W = prm.n_walkers
+    L = prm.num_lattices
+    N = prm.nwater
+    B = grid.nbins
+
+    r0 = jnp.asarray(r0, dtype=dtype)
+    H0 = jnp.asarray(H0, dtype=dtype)
+
+    # static image shifts covering the Verlet radius for all lattices
+    bounds = [cell_shift_range(np.asarray(H0[l]), model.rskin)
+              for l in range(L)]
+    bmax = tuple(max(b[d] for b in bounds) for d in range(3))
+    shifts = jnp.asarray(enumerate_shifts(bmax))
+
+    r = jnp.broadcast_to(r0, (W, L, N, 3)).astype(dtype)
+    h = jnp.broadcast_to(H0, (W, L, 3, 3)).astype(dtype)
+    recip = jax.vmap(jax.vmap(recip_matrix))(h)
+    vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
+
+    nbr = build_neighbour_list_batched(
+        r, h, shifts, prm.neighbour_capacity, model.rskin
+    )
+    energy = full_energy_batched(r, h, nbr, model)
+
+    # reference enthalpies (main.f90:146-150)
+    ref_enth = energy[0]
+    if prm.mc_ensemble == "npt":
+        ref_enth = ref_enth + prm.pressure * vol[0]
+    if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
+        ref_enth = jnp.asarray(prm.input_ref_enthalpy[:L], dtype=dtype)
+
+    # initial order parameter (main.f90:170-175)
+    if L == 2:
+        mu0 = (
+            energy[:, 0] + prm.pressure * vol[:, 0]
+            - energy[:, 1] - prm.pressure * vol[:, 1]
+        )
+        if prm.leshift:
+            mu0 = mu0 - ref_enth[0] + ref_enth[1]
+        mu0 = mu0 * prm.beta - N * jnp.log(vol[:, 0] / vol[:, 1])
+    else:
+        mu0 = jnp.zeros((W,), dtype=dtype)
+
+    # windows
+    if prm.parallel_strategy == "dd" and L == 2 and n_windows > 1:
+        wins = assign_windows(prm, grid, n_windows)
+        wid = np.arange(W) % n_windows
+        sb = np.array([wins[i][0] for i in wid], dtype=np.int32)
+        eb = np.array([wins[i][1] for i in wid], dtype=np.int32)
+        lo = np.array([wins[i][2] for i in wid])
+        hi = np.array([wins[i][3] for i in wid])
+        in_window = np.zeros(W, dtype=bool)
+        # preset active lattice by window sign (mc_init:701-703)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        ls0 = np.where(hi < 0.0, 0, ls0)
+        ls0 = np.where(lo > 0.0, 1, ls0)
+        nwin = n_windows
+    else:
+        wid = np.zeros(W, dtype=np.int32)
+        sb = np.zeros(W, dtype=np.int32)
+        eb = np.full(W, B - 1, dtype=np.int32)
+        lo = np.full(W, prm.mu_min)
+        hi = np.full(W, prm.mu_max)
+        in_window = np.ones(W, dtype=bool)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        nwin = 1
+
+    if weight0 is None:
+        weight0 = np.zeros(B)
+    weight = jnp.broadcast_to(jnp.asarray(weight0, dtype=dtype), (W, B))
+    if prm.parallel_strategy == "dd" and nwin > 1:
+        # keep only each window's portion of warm-start weights
+        # (mc_init:808-814)
+        bin_ids = np.arange(B)
+        winmask = (bin_ids[None, :] >= sb[:, None]) & (
+            bin_ids[None, :] <= eb[:, None]
+        )
+        weight = weight * jnp.asarray(winmask, dtype=dtype)
+
+    log_norm = compute_log_unbiased_norm(prm, grid, weight0, W)
+
+    key = jax.random.PRNGKey(prm.seed)
+    shared_key, wkey = jax.random.split(key)
+    walker_keys = jax.random.split(wkey, W)
+
+    state = SamplerState(
+        r=r,
+        ref_r=r,
+        h=h,
+        recip=recip,
+        volume=vol,
+        energy=energy,
+        mu=mu0.astype(dtype),
+        ls=jnp.asarray(ls0),
+        nbr=nbr,
+        weight=weight,
+        hist=jnp.zeros((W, B), dtype=dtype),
+        uhist=jnp.zeros((W, B), dtype=dtype),
+        f=jnp.full((W,), prm.wl_factor, dtype=dtype),
+        sumhist=jnp.zeros((W,), dtype=dtype),
+        invt_active=jnp.zeros((W,), dtype=bool),
+        firstcycle=jnp.ones((W,), dtype=bool),
+        histogram_reset=jnp.zeros((W,), dtype=bool),
+        snap_eta=jnp.broadcast_to(
+            jnp.asarray(weight0, dtype=dtype), (nwin, B)
+        ),
+        snap_hist=jnp.zeros((nwin, B), dtype=dtype),
+        snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
+        window_id=jnp.asarray(wid),
+        my_mu_min=jnp.asarray(lo, dtype=dtype),
+        my_mu_max=jnp.asarray(hi, dtype=dtype),
+        start_bin=jnp.asarray(sb),
+        end_bin=jnp.asarray(eb),
+        in_window=jnp.asarray(in_window),
+        max_trans=jnp.full((W,), prm.mc_max_trans, dtype=dtype),
+        dv_max=jnp.full((W,), prm.mc_dv_max, dtype=dtype),
+        att=jnp.zeros((W, 3), dtype=jnp.int32),
+        acc=jnp.zeros((W, 3), dtype=jnp.int32),
+        trans_per_mol=jnp.zeros((W, N), dtype=jnp.int32),
+        avg_energy=jnp.zeros((W, L), dtype=dtype),
+        min_dmu=jnp.full((W,), jnp.inf, dtype=dtype),
+        max_dmu=jnp.zeros((W,), dtype=dtype),
+        cycle=jnp.asarray(0, dtype=jnp.int32),
+        key=walker_keys,
+        shared_key=shared_key,
+    )
+    aux = EngineAux(
+        shifts=shifts,
+        ref_h=H0,
+        ref_enthalpy=ref_enth.astype(dtype),
+        log_unbiased_norm=log_norm,
+    )
+    return state, aux

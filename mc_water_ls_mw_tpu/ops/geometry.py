@@ -67,7 +67,7 @@ def to_frac(recip, v):
 
 def from_frac(H, s):
     """Fractional -> cartesian: v = H @ s, batched over leading dims."""
-    return s @ H.T
+    return s @ jnp.swapaxes(H, -1, -2)
 
 
 def hmatrix_to_abc(H):

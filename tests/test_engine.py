@@ -1,0 +1,172 @@
+"""MC engine behaviour tests (SURVEY.md §4 oracles b, c, e).
+
+Covers: incremental-vs-full energy consistency over full sweeps,
+order-parameter self-consistency, delta-sync merge semantics, chain
+resynchronisation, and single-box sampling sanity.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mc_water_ls_mw_tpu.constants import ANG_TO_BOHR, AUP_TO_ATM
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.mcmc.engine import Engine
+from mc_water_ls_mw_tpu.mcmc.state import init_state
+from mc_water_ls_mw_tpu.io.xmol import read_lattices
+
+
+def _two_lattice_setup(examples_dir, **over):
+    r0, H0 = read_lattices(examples_dir / "ice1_sample", 2, 48)
+    base = dict(
+        nwater=48, num_lattices=2, temperature=200.0,
+        pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=1.1 * ANG_TO_BOHR, mc_dv_max=0.924 * ANG_TO_BOHR,
+        nbins=101, mu_min=-400.0, mu_max=400.0,
+        mc_switch_prob=0.0, mc_vol_prob=1.0 / 48,
+        samplerun=True, eq_mc_cycles=1,
+        list_update_int=10, mpi_sync_int=5, latt_sync_int=10_000,
+        max_mc_cycles=200, n_walkers=4, dtype="float64",
+    )
+    base.update(over)
+    prm = RunParams(**base)
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    w0 = np.loadtxt(
+        examples_dir / "ice1_sample" / "eta_weights.dat", skiprows=1
+    )[:, 1]
+    state, aux = init_state(prm, MW, r0, H0, grid, weight0=w0)
+    return prm, grid, state, aux
+
+
+def test_incremental_energy_consistency(examples_dir):
+    """After full sweeps the incrementally tracked energy matches a
+    from-scratch recompute (the reference's DEBUG oracle,
+    mc_moves.F90:1094-1102)."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 15)
+    _, drift = eng.audit_energy(state)
+    assert float(jnp.abs(drift).max()) < 1e-11
+
+
+def test_mu_self_consistency(examples_dir):
+    """Stored mu equals mu recomputed from stored energies+volumes."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 10)
+    mu_scratch = eng._mu_scratch(state.energy, state.volume)
+    np.testing.assert_allclose(
+        np.asarray(state.mu), np.asarray(mu_scratch), atol=1e-9
+    )
+
+
+def test_moves_actually_accept(examples_dir):
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 10)
+    att = np.asarray(state.att.sum(0))
+    acc = np.asarray(state.acc.sum(0))
+    assert att[0] > 0 and att[2] > 0
+    assert 0 < acc[0] < att[0]           # translations partly accepted
+    assert acc[2] > 0                    # some switches accepted
+    # all walkers attempted exactly nwater moves x cycles
+    assert att[0] + att[1] == 4 * 48 * 10
+
+
+def test_walkers_decorrelate(examples_dir):
+    """Independent RNG streams: walkers must diverge."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 5)
+    mus = np.asarray(state.mu)
+    assert len(np.unique(mus)) == len(mus)
+
+
+def test_delta_sync_merge_semantics(examples_dir):
+    """After a sync, every walker holds the global histogram; the
+    merged total equals the sum of per-walker growth (the delta-
+    allreduce contract, comms_mpi.f90:461-494)."""
+    prm, grid, state, aux = _two_lattice_setup(
+        examples_dir, mpi_sync_int=1_000_000
+    )
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 6)       # no sync happened
+    per_walker = np.asarray(state.hist)       # each grew independently
+    assert np.abs(per_walker.std(axis=0)).max() > 0
+    merged = eng.sync_all(state)
+    m = np.asarray(merged.hist)
+    # all walkers identical after merge
+    assert np.abs(m - m[0]).max() == 0
+    np.testing.assert_allclose(m[0], per_walker.sum(axis=0), rtol=1e-12)
+    # snapshots advanced: immediately re-merging changes nothing
+    again = eng.sync_all(merged)
+    np.testing.assert_allclose(
+        np.asarray(again.hist), m, rtol=0, atol=0
+    )
+
+
+def test_chain_resync(examples_dir):
+    """Resync forces lattice-2 displacements to match lattice 1
+    (mc_moves.F90:2276-2333) and refreshes energies/mu."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 10)
+    synced = eng.resync_chains(state)
+    # cell displacement from reference equal in both lattices
+    hd1 = np.asarray(synced.h[:, 0]) - np.asarray(aux.ref_h)[0]
+    hd2 = np.asarray(synced.h[:, 1]) - np.asarray(aux.ref_h)[1]
+    np.testing.assert_allclose(hd1, hd2, atol=1e-12)
+    # fractional displacements from reference sites match
+    from mc_water_ls_mw_tpu.ops.geometry import to_frac
+
+    frac = np.asarray(to_frac(synced.recip, synced.r))
+    frac_ref = np.asarray(to_frac(synced.recip, synced.ref_r))
+    d = frac - frac_ref
+    np.testing.assert_allclose(d[:, 0], d[:, 1], atol=1e-9)
+    # energies are from-scratch after resync
+    _, drift = eng.audit_energy(synced)
+    assert float(jnp.abs(drift).max()) < 1e-12
+
+
+def test_single_box_npt(examples_dir):
+    """single_box example semantics: 1 lattice, no switching
+    (io.f90:208-220)."""
+    r0, H0 = read_lattices(examples_dir / "single_box", 1, 48)
+    prm = RunParams(
+        nwater=48, num_lattices=1, temperature=220.0,
+        pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=1.1 * ANG_TO_BOHR, mc_dv_max=0.924 * ANG_TO_BOHR,
+        allow_switch=False, mc_always_switch=False, mc_switch_prob=0.0,
+        mc_vol_prob=1.0 / 48, samplerun=False, eq_mc_cycles=1,
+        list_update_int=10, n_walkers=4, dtype="float64",
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    state, aux = init_state(prm, MW, r0, H0, grid)
+    eng = Engine(prm, MW, grid, aux)
+    e0 = float(state.energy.mean())
+    state, samples = eng.run_cycles(state, 15)
+    att = np.asarray(state.att.sum(0))
+    assert att[2] == 0                    # no switch attempts
+    assert att[1] > 0                     # volume moves happened
+    _, drift = eng.audit_energy(state)
+    assert float(jnp.abs(drift).max()) < 1e-11
+    # energy stays physical (bound crystal, finite T)
+    e1 = float(state.energy.mean())
+    assert e0 < e1 < 0.0                  # heated up from perfect lattice
+    # volumes moved but stayed near the crystal volume
+    v = np.asarray(state.volume)
+    assert np.all(v > 0.5 * v.mean()) and np.all(v < 2.0 * v.mean())
+
+
+def test_eq_gating_blocks_wl_updates(examples_dir):
+    """No histogram/weight updates before eq_mc_cycles
+    (mc_moves.F90:1615)."""
+    prm, grid, state, aux = _two_lattice_setup(
+        examples_dir, eq_mc_cycles=1000, samplerun=False
+    )
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 5)
+    assert float(state.hist.sum()) == 0.0
