@@ -1,0 +1,289 @@
+"""Run orchestration - the framework's main.f90.
+
+Drives the full calculation: config + structure input, engine
+construction, warm starts, restart detection, the blocked cycle loop
+with interval-driven host events (monitor / flatness / deltaG /
+checkpoint / trajectory), SIGTERM-safe shutdown and the queue-time
+guard (reference call stack: SURVEY.md §3.1-3.2, main.f90:40-254).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import signal
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constants import HART_TO_EV
+from .models.sw import get_model
+from .mcmc.bins import build_bin_grid
+from .mcmc.config import RunParams
+from .mcmc.engine import Engine
+from .mcmc.state import init_state
+from .mcmc import wanglandau as wl
+from .io import checkpoint as ckpt
+from .io import writers
+from .io.namelist import read_input
+from .io.xmol import read_lattices
+from .parallel.mesh import make_mesh, shard_state
+
+
+class Timer:
+    """Queue-time guard (timer.f90:105-127)."""
+
+    def __init__(self, qtime, closetime):
+        self.t0 = time.monotonic()
+        self.qtime = qtime
+        self.closetime = closetime
+
+    def safe(self) -> bool:
+        return (time.monotonic() - self.t0) < (self.qtime - self.closetime)
+
+
+def rng_self_test(logs, n=1_000_000, bins=100, seed=1234):
+    """Startup RNG uniformity self-test (random_test_uniform,
+    random.f90:105-144)."""
+    u = jax.random.uniform(jax.random.PRNGKey(seed), (n,))
+    hist = np.histogram(np.asarray(u), bins=bins, range=(0, 1))[0]
+    logs.my("# Testing random number generator")
+    logs.my(f"#   Minimum bin occupancy {hist.min():8d} "
+            f"(expected ~{n // bins})")
+    logs.my(f"#   Maximum bin occupancy {hist.max():8d}")
+
+
+def _block_size(prm: RunParams) -> int:
+    """Host-event cadence: gcd of all intervals that need host IO."""
+    b = math.gcd(prm.monitor_int, prm.chkpt_dump_int)
+    b = math.gcd(b, prm.flat_chk_int)
+    if prm.num_lattices == 2 and prm.samplerun:
+        b = math.gcd(b, prm.deltaG_int)
+    b = math.gcd(b, prm.traj_output_int)
+    return max(b, 1)
+
+
+class Application:
+    """One full run in the current working directory."""
+
+    def __init__(self, prm: RunParams, workdir=".", use_mesh=True):
+        self.prm = prm
+        self.workdir = os.path.abspath(workdir)
+        os.chdir(self.workdir)
+        self.model = get_model(prm.model_type)
+        self.restart = ckpt.restart_available(".")
+        self.logs = writers.Logs(restart=self.restart)
+        self.use_mesh = use_mesh
+        self._stop = False
+
+    # ------------------------------------------------------------------
+
+    def setup(self):
+        prm = self.prm
+        logs = self.logs
+
+        rng_self_test(logs)
+
+        # initial structure (read_xmol, init.f90:38-125)
+        r0, H0 = read_lattices(".", prm.num_lattices, prm.nwater)
+
+        # bin grid; nbins may be promoted to odd (mc_init:557)
+        grid_dtype = (
+            jnp.float64 if prm.dtype == "float64" else jnp.float32
+        )
+        self.grid = build_bin_grid(
+            prm.nbins, prm.mu_min, prm.mu_max, dtype=grid_dtype
+        )
+
+        # warm-start weights (mc_init:736-776): use eta_weights.dat if
+        # present; adopt the smaller of file-f and input-f; samplerun
+        # freezes f at zero
+        weight0 = None
+        wl_factor = prm.wl_factor
+        if prm.num_lattices == 2 and os.path.exists("eta_weights.dat"):
+            logs.g("# Found existing eta_weights.dat in current directory.")
+            file_f, weight0 = writers.read_eta_weights("eta_weights.dat")
+            if len(weight0) != self.grid.nbins:
+                raise ValueError(
+                    f"eta_weights.dat has {len(weight0)} bins, "
+                    f"grid has {self.grid.nbins}"
+                )
+            if file_f > 1e-10:
+                wl_factor = min(wl_factor, file_f)
+                if prm.samplerun:
+                    wl_factor = 0.0
+        if wl_factor != prm.wl_factor:
+            import dataclasses
+
+            self.prm = prm = dataclasses.replace(prm, wl_factor=wl_factor)
+            logs.my("# Using smaller weight increment read from "
+                    "eta_weights.dat")
+
+        n_windows = 1
+        if prm.parallel_strategy == "dd" and prm.num_lattices == 2:
+            n_windows = max(2, min(prm.n_walkers, 8))
+
+        state, aux = init_state(
+            prm, self.model, r0, H0, self.grid,
+            weight0=weight0, n_windows=n_windows,
+        )
+        self.aux = aux
+        self.engine = Engine(prm, self.model, self.grid, aux)
+
+        # report initial lattice energies (main.f90:125-140) - the
+        # fp64 physics oracle line
+        e = np.asarray(state.energy[0]) * HART_TO_EV
+        hpv = np.asarray(
+            state.energy[0] + prm.pressure * state.volume[0]
+        ) * HART_TO_EV
+        logs.my("# Reference lattices")
+        logs.my(f"# Computed energies   = "
+                + "".join(f"{x:15.6f}" for x in e) + "  eV")
+        logs.my(f"# Computed enthalpies = "
+                + "".join(f"{x:15.6f}" for x in hpv) + "  eV")
+
+        # trajectory headers (io.f90:696-789)
+        writers.write_psf("mW.psf", prm.nwater, prm.num_lattices)
+        writers.write_dcd_header("mW.dcd", prm.nwater * prm.num_lattices)
+
+        # restart (mc_init:825-854)
+        self.start_cycle = 0
+        if self.restart:
+            loaded = ckpt.load_checkpoint(state, ".")
+            if loaded is None:
+                raise RuntimeError(
+                    "checkpoint files present but unreadable"
+                )
+            state, cycle, path = loaded
+            self.start_cycle = cycle
+            logs.my(f"# Restarting from cycle {cycle} ({path})")
+            if prm.num_lattices == 2:
+                state = self.engine.resync_chains(state)
+            state, _ = self.engine.audit_energy(state)
+
+        n_dev = len(jax.devices())
+        if self.use_mesh and n_dev > 1 and prm.n_walkers % n_dev == 0:
+            mesh = make_mesh()
+            state = shard_state(state, mesh, prm.n_walkers)
+            logs.g(f"# Sharding {prm.n_walkers} walkers over "
+                   f"{n_dev} devices")
+        elif n_dev > 1:
+            logs.g(f"# {prm.n_walkers} walkers not divisible by "
+                   f"{n_dev} devices - running unsharded")
+
+        self.state = state
+        self.ckpt_writer = ckpt.CheckpointWriter(".")
+        self.therm = writers.ThermWriter(
+            prm.seedname, range(min(prm.therm_walkers, prm.n_walkers)),
+            prm.nwater, restart=self.restart,
+        )
+        self.timer = Timer(prm.timer_qtime, prm.timer_closetime)
+
+        signal.signal(signal.SIGTERM, self._sigterm)
+        return self
+
+    def _sigterm(self, signum, frame):
+        # cooperative shutdown (cleanexit, main.f90:263-295)
+        self._stop = True
+
+    # ------------------------------------------------------------------
+
+    def _write_therm(self, samples):
+        prm = self.prm
+        cycles = np.asarray(samples["cycle"])
+        mask = cycles % prm.file_output_int == 0
+        e = np.asarray(samples["E_ls"])
+        mu = np.asarray(samples["mu"])
+        vol = np.asarray(samples["vol"])
+        ls = np.asarray(samples["ls"])
+        fixed = prm.samplerun or self.prm.wl_factor < 1e-300
+        for i in np.nonzero(mask)[0]:
+            for w in self.therm.files:
+                self.therm.write(
+                    w, int(cycles[i]), float(e[i, w]), float(mu[i, w]),
+                    vol[i, w], int(ls[i, w]), prm.num_lattices, fixed,
+                )
+
+    def _write_traj(self):
+        s = self.state
+        ls0 = int(s.ls[0])
+        r_act = np.asarray(s.r[0, ls0])
+        r_oth = (
+            np.asarray(s.r[0, 1 - ls0])
+            if self.prm.num_lattices == 2 else None
+        )
+        writers.append_dcd_snapshot(
+            "mW.dcd", r_act, r_oth, np.asarray(s.h[0, ls0])
+        )
+
+    def run(self, max_cycles=None):
+        prm = self.prm
+        eng = self.engine
+        total = max_cycles if max_cycles is not None else prm.max_mc_cycles
+        block = _block_size(prm)
+        done = 0
+        target = self.start_cycle + total
+        while done < total and not self._stop:
+            n = min(block, total - done)
+            # keep block boundaries aligned to the intervals
+            cur = int(self.state.cycle)
+            to_boundary = block - (cur % block)
+            n = min(n, to_boundary)
+            self.state, samples = eng.run_cycles(self.state, n)
+            done += n
+            cycle = int(self.state.cycle)
+            self._write_therm(samples)
+
+            if cycle % prm.traj_output_int == 0:
+                self._write_traj()
+            if cycle % prm.monitor_int == 0:
+                self.state = wl.monitor_stats(
+                    eng, self.state, self.logs, self.aux
+                )
+            if prm.num_lattices == 2 and cycle % prm.flat_chk_int == 0:
+                self.state = wl.check_flatness(eng, self.state, self.logs)
+            if (
+                prm.num_lattices == 2
+                and prm.samplerun
+                and cycle % prm.deltaG_int == 0
+            ):
+                self.state = wl.compute_deltaG(
+                    eng, self.state, self.logs, self.aux
+                )
+            if cycle % prm.chkpt_dump_int == 0:
+                self.ckpt_writer.write(self.state)
+
+            if not self.timer.safe():
+                self.logs.g("!============================================!")
+                self.logs.g("! Approaching end of queue time - stopping   !")
+                self.logs.g("!============================================!")
+                break
+
+            # dd-mode equilibration window check (mc_cycle:187-201)
+            if (
+                prm.parallel_strategy == "dd"
+                and prm.num_lattices == 2
+                and cycle >= prm.eq_mc_cycles
+                and not bool(np.asarray(self.state.in_window).all())
+            ):
+                raise RuntimeError(
+                    "Not all walkers have reached their designated "
+                    f"window after {prm.eq_mc_cycles} MC cycles"
+                )
+
+        # final checkpoint (main.f90:246)
+        self.ckpt_writer.write(self.state)
+        self.therm.close()
+        return self.state
+
+
+def run_input_file(path, overrides=None, max_cycles=None, workdir=None):
+    """Programmatic entry: run an ice.input file to completion."""
+    prm = read_input(path, extra_overrides=overrides)
+    app = Application(
+        prm, workdir=workdir or os.path.dirname(os.path.abspath(path))
+    )
+    app.setup()
+    return app.run(max_cycles=max_cycles)

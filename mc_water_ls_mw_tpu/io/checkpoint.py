@@ -1,0 +1,86 @@
+"""Dual-slot checkpointing of the full sampler state.
+
+Rebuild of the reference's alternating unformatted checkpoint files
+(mc_checkpoint_write/load, mc_moves.F90:324-501): two slots are
+written alternately so one valid checkpoint always survives a crash
+mid-write; the loader probes both and restores the newer readable one.
+Here a slot is a single .npz of the whole state pytree (positions of
+both replicas, references, cells, WL weights/histograms/f, active
+lattice, cycle, step sizes AND the RNG keys - strictly more complete
+than the reference, which cannot restore its RNG stream).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from ..mcmc.state import SamplerState
+from ..ops.neighbours import NeighbourList
+
+_BASENAME = "checkpoint000"
+
+
+def _slot_path(directory, slot):
+    return os.path.join(directory, f"{_BASENAME}.npz.{slot}")
+
+
+def checkpoint_paths(directory="."):
+    return [_slot_path(directory, s) for s in (1, 2)]
+
+
+def restart_available(directory=".") -> bool:
+    """Restart auto-detection (main.f90:65-68)."""
+    return any(os.path.exists(p) for p in checkpoint_paths(directory))
+
+
+class CheckpointWriter:
+    """Alternating-slot writer (mc_checkpoint_write:336-350)."""
+
+    def __init__(self, directory="."):
+        self.directory = directory
+        self.slot = 1
+
+    def write(self, state: SamplerState):
+        leaves, treedef = jax.tree.flatten(state)
+        arrays = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        path = _slot_path(self.directory, self.slot)
+        # atomic within the slot: write then rename
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+        self.slot = 2 if self.slot == 1 else 1
+        return path
+
+
+def load_checkpoint(template: SamplerState, directory="."):
+    """Probe both slots, restore the newer readable one
+    (mc_checkpoint_load:417-448).  Returns (state, cycle) or None."""
+    leaves_t, treedef = jax.tree.flatten(template)
+    candidates = []
+    for path in checkpoint_paths(directory):
+        if not os.path.exists(path):
+            continue
+        try:
+            with np.load(path) as data:
+                leaves = [data[f"leaf{i}"] for i in range(len(leaves_t))]
+            state = jax.tree.unflatten(treedef, [
+                np.asarray(l) for l in leaves
+            ])
+            candidates.append((int(state.cycle), path, state))
+        except Exception:
+            continue
+    if not candidates:
+        return None
+    candidates.sort(key=lambda c: c[0])
+    cycle, path, state = candidates[-1]
+    # re-device the arrays with the template's dtypes/sharding
+    state = jax.tree.map(
+        lambda tpl, arr: jax.numpy.asarray(arr, dtype=tpl.dtype),
+        template, state,
+    )
+    return state, cycle, path

@@ -35,8 +35,12 @@ import jax.numpy as jnp
 
 from ..models.sw import SWParams
 from ..ops.geometry import determinant3, from_frac, recip_matrix, to_frac
-from ..ops.energy import full_energy_batched, translation_energies_batched
-from ..ops.neighbours import build_neighbour_list_batched
+from ..ops.dense import (
+    Moments,
+    full_energy_dense_batched,
+    local_energies_dense_batched,
+    reduced_shift_set,
+)
 from .bins import BinGrid, eta_weight, mu_to_bin
 from .config import RunParams
 from .state import EngineAux, SamplerState
@@ -64,6 +68,12 @@ class Engine:
         self.grid = grid
         self.aux = aux
         self.probs = prm.normalised_probs()
+        # MIC-folded fast path: displacements folded by minimum image
+        # with a reduced residual shift set (1-3 candidates instead of
+        # the full enumeration; ops/dense.py reduced_shift_set)
+        self.fold_shifts = jnp.asarray(
+            reduced_shift_set(aux.ref_h, model)
+        )
         self._eta_b = jax.vmap(
             partial(eta_weight, interp=prm.eta_interp),
             in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
@@ -73,7 +83,6 @@ class Engine:
         self.sync_all = jax.jit(self._sync_all)
         self.resync_chains = jax.jit(self._resync_chains)
         self.audit_energy = jax.jit(self._audit_energy)
-        self.rebuild_neighbours = jax.jit(self._rebuild_neighbours)
 
     # ------------------------------------------------------------------
     # helpers
@@ -105,14 +114,16 @@ class Engine:
     # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
     # ------------------------------------------------------------------
 
-    def _wl_update(self, s: SamplerState) -> SamplerState:
+    def _wl_update(self, s: SamplerState, enabled=True) -> SamplerState:
         prm, grid = self.prm, self.grid
         if prm.num_lattices != 2:
             return s
         B = grid.nbins
         dtype = self._dtype(s)
 
-        active = s.cycle >= prm.eq_mc_cycles      # (mc_moves.F90:1615)
+        # ``enabled`` gates steps whose scheduled move type performs no
+        # WL update (switch-only steps, mc_cycle:228-241)
+        active = enabled & (s.cycle >= prm.eq_mc_cycles)  # (1615)
         k = mu_to_bin(grid, s.mu)
         in_grid = (k >= 0) & (k < B)              # (mc_moves.F90:1619)
         kc = jnp.clip(k, 0, B - 1)
@@ -144,7 +155,7 @@ class Engine:
             rms = jnp.sqrt(jnp.mean(dev * dev, axis=1))
             f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
             f_new = jnp.minimum(f_new, prm.wl_factor)
-            f = jnp.where(active, f_new, f)
+            f = jnp.where(active & True, f_new, f)
         elif prm.wl_useinvt:
             # 1/t schedule once active (mc_moves.F90:1655-1658)
             f_invt = jnp.minimum(
@@ -172,9 +183,16 @@ class Engine:
     # moves
     # ------------------------------------------------------------------
 
-    def _translation(self, s: SamplerState, keys) -> SamplerState:
+    def _translation(self, s: SamplerState, keys,
+                     enabled=True) -> SamplerState:
         """Single-molecule translation in both replicas
-        (mc_water_translation, mc_moves.F90:966-1213)."""
+        (mc_water_translation, mc_moves.F90:966-1213).
+
+        ``enabled`` (scalar or [W]) masks the whole move: the scan
+        body runs it every step and masks out non-translation steps -
+        branch-free stepping is far cheaper on TPU than lax.switch
+        (conditionals in the hot scan cost ~2ms/step in carry traffic).
+        """
         prm, model = self.prm, self.model
         W, L, N = s.r.shape[:3]
         dtype = self._dtype(s)
@@ -205,8 +223,9 @@ class Engine:
         )                                                   # [W,L,3]
         p_new = p_old + transvec
 
-        e_old, e_new = translation_energies_batched(
-            s.r, s.h, s.nbr, imol, p_new, self.model
+        e_old, e_new, eff_mom = local_energies_dense_batched(
+            s.r, s.h, imol, p_new, s.moments, self.fold_shifts,
+            self.model, True,
         )                                                   # [W,L]
         dE = e_new - e_old
 
@@ -222,7 +241,7 @@ class Engine:
             dmu = jnp.zeros((W,), dtype=dtype)
             diffkT = prm.beta * dE[:, 0]
 
-        accept = u[:, 5] < jnp.exp(-diffkT)                 # (1146)
+        accept = enabled & (u[:, 5] < jnp.exp(-diffkT))     # (1146)
         accf = accept.astype(dtype)
 
         onehot_mol = jax.nn.one_hot(imol, N, dtype=dtype)   # [W,N]
@@ -233,18 +252,24 @@ class Engine:
         )
         energy = s.energy + accf[:, None] * dE
         mu = jnp.where(accept, mu_new, s.mu)
+        a3 = accept[:, None, None]
+        moments = jax.tree.map(
+            lambda e, o: jnp.where(a3, e, o), eff_mom, s.moments
+        )
 
         # acceptance bookkeeping (mc_moves.F90:1156-1159)
-        att = s.att.at[:, TRANS].add(1)
+        en_i = jnp.broadcast_to(enabled, accept.shape).astype(jnp.int32)
+        att = s.att.at[:, TRANS].add(en_i)
         acc = s.acc.at[:, TRANS].add(accept.astype(jnp.int32))
-        tpm = s.trans_per_mol + onehot_mol.astype(jnp.int32)
+        tpm = s.trans_per_mol + onehot_mol.astype(jnp.int32) * en_i[:, None]
         admu = jnp.abs(dmu)
         min_dmu = jnp.where(accept & (admu < s.min_dmu), admu, s.min_dmu)
         max_dmu = jnp.where(accept & (admu > s.max_dmu), admu, s.max_dmu)
 
         s = s._replace(
-            r=r, energy=energy, mu=mu, att=att, acc=acc,
-            trans_per_mol=tpm, min_dmu=min_dmu, max_dmu=max_dmu,
+            r=r, energy=energy, mu=mu, moments=moments, att=att,
+            acc=acc, trans_per_mol=tpm, min_dmu=min_dmu,
+            max_dmu=max_dmu,
         )
         return self._wl_update(s)
 
@@ -283,7 +308,9 @@ class Engine:
         recip_new = jax.vmap(jax.vmap(recip_matrix))(h_new)
         vol_new = jnp.abs(jax.vmap(jax.vmap(determinant3))(h_new))
 
-        e_new = full_energy_batched(r_new, h_new, s.nbr, model)
+        e_new, mom_new = full_energy_dense_batched(
+            r_new, h_new, self.fold_shifts, model, True
+        )
         dE = e_new - s.energy
 
         vol_ls_old = _take_w(s.volume, s.ls)
@@ -324,6 +351,10 @@ class Engine:
             min_dmu, max_dmu = s.min_dmu, s.max_dmu
             mu = s.mu
 
+        a3 = accept[:, None, None]
+        moments = jax.tree.map(
+            lambda e, o: jnp.where(a3, e, o), mom_new, s.moments
+        )
         s = s._replace(
             r=jnp.where(acc4, r_new, s.r),
             ref_r=jnp.where(acc4, ref_new, s.ref_r),
@@ -332,6 +363,7 @@ class Engine:
             volume=jnp.where(accept[:, None], vol_new, s.volume),
             energy=jnp.where(accept[:, None], e_new, s.energy),
             mu=mu,
+            moments=moments,
             att=s.att.at[:, VOL].add(1),
             acc=s.acc.at[:, VOL].add(accept.astype(jnp.int32)),
             min_dmu=min_dmu,
@@ -446,32 +478,35 @@ class Engine:
         r = s.r.at[:, 1].set(r2)
 
         vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
-        energy = full_energy_batched(r, h, s.nbr, model)
+        energy, moments = full_energy_dense_batched(
+            r, h, self.fold_shifts, model, True
+        )
         mu = self._mu_scratch(energy, vol)
         return s._replace(
-            r=r, h=h, recip=recip, volume=vol, energy=energy, mu=mu
+            r=r, h=h, recip=recip, volume=vol, energy=energy, mu=mu,
+            moments=moments,
         )
 
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
 
-    def _rebuild_neighbours(self, s: SamplerState) -> SamplerState:
-        nbr = build_neighbour_list_batched(
-            s.r, s.h, self.aux.shifts, self.prm.neighbour_capacity,
-            self.model.rskin,
-        )
-        return s._replace(nbr=nbr)
-
     def _audit_energy(self, s: SamplerState):
-        """Recompute energies from scratch; returns (state, drift).
+        """Recompute energies + moments from scratch; returns
+        (state, drift).
 
         The reference's monitor both reports the drift AND heals it by
-        overwriting the stored energies (mc_monitor_stats:1781-1792).
+        overwriting the stored energies (mc_monitor_stats:1781-1792);
+        here the incremental moment tensors are refreshed too.
         """
-        fresh = full_energy_batched(s.r, s.h, s.nbr, self.model)
+        # audit deliberately uses the general image-enumeration path:
+        # if a volume move ever shrank a box below the MIC validity
+        # bound, the drift report exposes it (SURVEY.md §4 oracle 3)
+        fresh, moments = full_energy_dense_batched(
+            s.r, s.h, self.aux.shifts, self.model, False
+        )
         drift = s.energy - fresh
-        return s._replace(energy=fresh), drift
+        return s._replace(energy=fresh, moments=moments), drift
 
     # ------------------------------------------------------------------
     # cycle driver
@@ -495,13 +530,9 @@ class Engine:
             )
             s = s._replace(in_window=in_window)
 
-        # neighbour list rebuild (mc_cycle:218-222)
-        s = jax.lax.cond(
-            cycle % prm.list_update_int == 0,
-            self._rebuild_neighbours,
-            lambda x: x,
-            s,
-        )
+        # (no Verlet rebuild: the dense moment formulation evaluates
+        # exact current neighbourhoods every move - the reference's
+        # list_update_int cadence, mc_cycle:218-222, is obsolete here)
 
         # move-type schedule for this cycle: shared stream
         ck = jax.random.fold_in(s.shared_key, cycle)
@@ -520,42 +551,70 @@ class Engine:
         else:
             switch_ok = jnp.ones((W,), dtype=bool)
 
+        # Branch-free inner scan: every step executes a MASKED
+        # translation (+ masked switch attempt); lax.switch/cond inside
+        # the hot scan costs ~2 ms/step in conditional carry traffic on
+        # TPU, while a masked no-op translation wastes only the ~0.5%
+        # of steps whose scheduled type is not 'translation'.  The rare
+        # volume moves (prob ~1/nwater per move, io.f90:172) are
+        # hoisted to a once-per-cycle conditional after the scan - a
+        # kernel-reordering deviation from the reference's in-sweep
+        # interleaving (mc_cycle:224-250) that preserves stationarity
+        # (each kernel obeys detailed balance; the mixture schedule is
+        # state-independent).
         def step(carry, t):
             st = carry
             code = codes[t]
             keys = jax.vmap(
                 lambda k: jax.random.fold_in(jax.random.fold_in(k, cycle), t)
             )(st.key)
-            zeta_keys = jax.vmap(
-                lambda k: jax.random.fold_in(k, 7919)
-            )(keys)
-            zeta = jax.vmap(
-                lambda k: jax.random.uniform(k, (), dtype=dtype)
-            )(zeta_keys)
-
-            branches = [
-                lambda st_: self._translation(st_, keys),
-                lambda st_: self._volume(st_, keys),
-                lambda st_: self._switch(st_, zeta, switch_ok),
-                lambda st_: st_,
-            ]
-            st = jax.lax.switch(code, branches, st)
-            if prm.mc_always_switch and prm.num_lattices == 2:
-                # attempt a switch after every move (mc_cycle:243-249),
-                # gated off for NOOP/switch-type steps like the
-                # reference gates via move probabilities
+            st = self._translation(st, keys, enabled=(code == TRANS))
+            if prm.num_lattices == 2 and (
+                prm.mc_always_switch or prm.allow_switch
+            ):
                 zeta2 = jax.vmap(
                     lambda k: jax.random.uniform(k, (), dtype=dtype)
                 )(jax.vmap(lambda k: jax.random.fold_in(k, 104729))(keys))
-                st = jax.lax.cond(
-                    (code == TRANS) | (code == VOL),
-                    lambda st_: self._switch(st_, zeta2, switch_ok),
-                    lambda st_: st_,
-                    st,
-                )
+                # explicit switch-type steps plus the always-switch
+                # attempt after every translation (mc_cycle:243-249);
+                # volume-step switch attempts happen in the volume loop
+                sw_en = code == SWITCH
+                if prm.mc_always_switch:
+                    sw_en = sw_en | (code == TRANS)
+                st = self._switch(st, zeta2, switch_ok & sw_en)
             return st, None
 
-        s, _ = jax.lax.scan(step, s, jnp.arange(N))
+        # unroll: amortise the ~0.2-0.4 ms per-iteration while-loop
+        # overhead of the device over several physical steps
+        s, _ = jax.lax.scan(step, s, jnp.arange(N), unroll=8)
+
+        # volume moves scheduled this cycle, executed back-to-back
+        # (mc_volume, mc_moves.F90:1216-1534)
+        if prm.mc_ensemble == "npt" and prm.allow_vol:
+            nvol = jnp.sum(codes == VOL)
+
+            def vol_body(k, st):
+                keys = jax.vmap(
+                    lambda kk: jax.random.fold_in(
+                        jax.random.fold_in(kk, cycle), 100_003 + k
+                    )
+                )(st.key)
+                st = self._volume(st, keys)
+                if prm.num_lattices == 2 and prm.mc_always_switch:
+                    zeta2 = jax.vmap(
+                        lambda kk: jax.random.uniform(kk, (), dtype=dtype)
+                    )(jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, 104729)
+                    )(keys))
+                    st = self._switch(st, zeta2, switch_ok)
+                return st
+
+            s = jax.lax.cond(
+                nvol > 0,
+                lambda st: jax.lax.fori_loop(0, nvol, vol_body, st),
+                lambda st: st,
+                s,
+            )
 
         # block-average energy accumulation (mc_cycle:252-255)
         avg = s.avg_energy + s.energy

@@ -26,8 +26,7 @@ from ..ops.geometry import (
     enumerate_shifts,
     recip_matrix,
 )
-from ..ops.neighbours import NeighbourList, build_neighbour_list_batched
-from ..ops.energy import full_energy_batched
+from ..ops.dense import Moments
 from .bins import BinGrid
 from .config import RunParams
 
@@ -49,8 +48,9 @@ class SamplerState(NamedTuple):
     mu: jnp.ndarray           # [W] lattice-switch order parameter
     ls: jnp.ndarray           # [W] int32 active lattice (0-based)
 
-    # neighbour lists (molint.F90:79-81)
-    nbr: NeighbourList        # fields [W,L,N,K...]
+    # per-molecule three-body moment tensors - the gather-free
+    # replacement for the reference's Verlet lists (ops/dense.py)
+    moments: Moments          # s1 [W,L,N], mv [W,L,N,3], mt [W,L,N,3,3]
 
     # multicanonical state (mc_moves.F90:65-71)
     weight: jnp.ndarray       # [W,B]
@@ -181,10 +181,16 @@ def init_state(
     recip = jax.vmap(jax.vmap(recip_matrix))(h)
     vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
 
-    nbr = build_neighbour_list_batched(
-        r, h, shifts, prm.neighbour_capacity, model.rskin
+    # all walkers start identical: compute one copy, broadcast
+    from ..ops.dense import full_energy_dense
+
+    e0, mom0 = jax.vmap(full_energy_dense, in_axes=(0, 0, None, None))(
+        r0.reshape(L, N, 3), H0, shifts, model
     )
-    energy = full_energy_batched(r, h, nbr, model)
+    energy = jnp.broadcast_to(e0, (W, L)).astype(dtype)
+    moments = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (W, L, N)).astype(dtype), mom0
+    )
 
     # reference enthalpies (main.f90:146-150)
     ref_enth = energy[0]
@@ -256,7 +262,7 @@ def init_state(
         energy=energy,
         mu=mu0.astype(dtype),
         ls=jnp.asarray(ls0),
-        nbr=nbr,
+        moments=moments,
         weight=weight,
         hist=jnp.zeros((W, B), dtype=dtype),
         uhist=jnp.zeros((W, B), dtype=dtype),

@@ -1,0 +1,350 @@
+"""Host-side Wang-Landau events: monitoring, flatness, delta-G.
+
+These are the reference's interval-driven bookkeeping routines
+(mc_monitor_stats, mc_check_flatness, mc_compute_deltaG_from_hist -
+mc_moves.F90:1691-2621), run at block boundaries on the host: they
+involve file IO and O(nbins) scalar work, while all hot compute stays
+in the jitted engine.  Walkers play the role of MPI ranks; the merges
+the reference does with allreduce happen through the engine's
+delta-sync, and dd-mode window curves are stitched with the overlap
+matching of comms_join_eta/uhist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import BOHR_TO_ANG, HART_TO_EV, HART_TO_KJPM, KB
+from ..parallel.windows import join_eta, join_uhist, per_window_curves
+from ..io import writers
+from .bins import BinGrid
+from .config import RunParams
+from .engine import Engine, SWITCH, TRANS, VOL
+from .state import SamplerState
+
+
+def _nwin(state: SamplerState) -> int:
+    return state.snap_eta.shape[0]
+
+
+def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
+                  write_files=True) -> SamplerState:
+    """Acceptance reporting, step-size adaptation, drift audit, curve
+    dumps (mc_monitor_stats, mc_moves.F90:1691-1934)."""
+    prm, grid = eng.prm, eng.grid
+    cycle = int(state.cycle)
+    att = np.asarray(state.att, dtype=np.float64)
+    acc = np.asarray(state.acc, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratios = acc / att                      # [W,3], NaN where untried
+
+    # step-size adaptation toward the target acceptance ratio
+    # (mc_monitor_stats:1729-1732), per walker
+    if prm.eq_adjust_mc and cycle < prm.eq_mc_cycles:
+        atr = np.nan_to_num(ratios[:, TRANS], nan=1.0)
+        avr = np.nan_to_num(ratios[:, VOL], nan=1.0)
+        max_trans = np.maximum(
+            np.asarray(state.max_trans) * atr / prm.mc_target_ratio, 0.1
+        )
+        dv_max = np.maximum(
+            np.asarray(state.dv_max) * avr / prm.mc_target_ratio, 0.0001
+        )
+        state = state._replace(
+            max_trans=jnp.asarray(max_trans, dtype=state.max_trans.dtype),
+            dv_max=jnp.asarray(dv_max, dtype=state.dv_max.dtype),
+        )
+
+    # ensemble-mean statistics block (per-rank block of the reference)
+    def pct(i):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return 100.0 * np.nansum(acc[:, i]) / max(np.nansum(att[:, i]), 1)
+
+    logs.my("#")
+    logs.my(f"# Monte-Carlo statistics at cycle {cycle:10d}")
+    logs.my("# " + "-" * 60)
+    if prm.allow_trans:
+        logs.my(f"# Accepted {pct(TRANS):8.2f} % of "
+                f"{int(att[:, TRANS].sum()):10d} translation moves")
+        tpm = np.asarray(state.trans_per_mol)
+        logs.my(f"# Translations per molecule: avg "
+                f"{tpm.mean():10.1f} min {tpm.min():6d} max {tpm.max():6d}")
+    if prm.mc_ensemble == "npt":
+        logs.my(f"# Accepted {pct(VOL):8.2f} % of "
+                f"{int(att[:, VOL].sum()):10d} box moves")
+    if prm.allow_switch or prm.mc_always_switch:
+        logs.my(f"# Accepted {pct(SWITCH):8.2f} % of "
+                f"{int(att[:, SWITCH].sum()):10d} lattice switches")
+    if prm.eq_adjust_mc and cycle < prm.eq_mc_cycles:
+        logs.my(f"# Max molecule translation: "
+                f"{np.asarray(state.max_trans).mean() * BOHR_TO_ANG:12.6f} Ang")
+        logs.my(f"# Max cell displacement  : "
+                f"{np.asarray(state.dv_max).mean() * BOHR_TO_ANG:12.6f} Ang")
+
+    # average excitation energy per degree of freedom
+    # (mc_monitor_stats:1766-1772)
+    avg_e = np.asarray(state.avg_energy) / prm.monitor_int
+    ref_h = np.asarray(aux.ref_enthalpy)
+    for l in range(prm.num_lattices):
+        exc = (avg_e[:, l].mean() - ref_h[l]) / (
+            KB * prm.temperature * 3 * prm.nwater
+        )
+        logs.my(f"# lattice {l + 1} = {exc:15.6f} kT per D.O.F.")
+
+    # overlap bins spanned per move (mc_monitor_stats:1776-1777)
+    if prm.num_lattices == 2:
+        B = grid.nbins
+        span = B / (prm.mu_max - prm.mu_min)
+        mn = np.asarray(state.min_dmu)
+        mx = np.asarray(state.max_dmu)
+        mn = mn[np.isfinite(mn)]
+        if mn.size:
+            logs.my(f"# Overlap bins spanned per move: min "
+                    f"{mn.min() * span:12.6f} max {mx.max() * span:12.6f}")
+
+    # energy drift audit + heal (mc_monitor_stats:1781-1792)
+    state, drift = eng.audit_energy(state)
+    drift = np.asarray(drift) * HART_TO_EV
+    e_now = np.asarray(state.energy) * HART_TO_EV
+    for l in range(prm.num_lattices):
+        logs.my(f"#  latt {l + 1}  stored {e_now[:, l].mean() + drift[:, l].mean():12.6f} eV"
+                f"  computed {e_now[:, l].mean():12.6f} eV"
+                f"  max drift {np.abs(drift[:, l]).max():12.3e} eV")
+
+    # reset accumulators (mc_monitor_stats:1797-1810)
+    W = att.shape[0]
+    state = state._replace(
+        att=jnp.zeros_like(state.att),
+        acc=jnp.zeros_like(state.acc),
+        trans_per_mol=jnp.zeros_like(state.trans_per_mol),
+        avg_energy=jnp.zeros_like(state.avg_energy),
+        min_dmu=jnp.full_like(state.min_dmu, jnp.inf),
+        max_dmu=jnp.zeros_like(state.max_dmu),
+    )
+
+    # curve dumps (mc_monitor_stats:1813-1929)
+    if prm.num_lattices == 2 and write_files:
+        state = eng.sync_all(state)
+        mu_bin = np.asarray(grid.mu_bin)
+        f_all = np.asarray(state.f)
+        if prm.parallel_strategy == "mw" or _nwin(state) == 1:
+            wl_f = float(f_all.max())
+            if not prm.samplerun:
+                writers.write_curve("eta_weights.dat", mu_bin,
+                                    np.asarray(state.weight[0]), wl_f)
+            writers.write_curve("histogram.dat", mu_bin,
+                                np.asarray(state.hist[0]), wl_f)
+            writers.write_curve("unbiased_histogram.dat", mu_bin,
+                                np.asarray(state.uhist[0]), wl_f)
+        else:
+            nwin = _nwin(state)
+            wid = np.asarray(state.window_id)
+            sb = np.asarray(state.start_bin)
+            eb = np.asarray(state.end_bin)
+            w_cur = per_window_curves(np.asarray(state.weight), wid, nwin)
+            h_cur = per_window_curves(np.asarray(state.hist), wid, nwin)
+            u_cur = per_window_curves(np.asarray(state.uhist), wid, nwin)
+            for w in range(nwin):
+                first = np.nonzero(wid == w)[0][0]
+                s, e = sb[first], eb[first] + 1
+                fv = float(f_all[wid == w].max())
+                writers.write_curve(f"eta_weights_{w:03d}.dat",
+                                    mu_bin[s:e], w_cur[w][s:e], fv)
+                writers.write_curve(f"histogram_{w:03d}.dat",
+                                    mu_bin[s:e], h_cur[w][s:e], fv)
+                writers.write_curve(f"unbiased_histogram_{w:03d}.dat",
+                                    mu_bin[s:e], u_cur[w][s:e], fv)
+            # stitched global weight curve with the max f over windows
+            # (mc_monitor_stats:1881-1900)
+            joined = join_eta(w_cur, grid.nbins, prm.window_overlap)
+            writers.write_curve("eta_weights.dat", mu_bin, joined,
+                                float(f_all.max()))
+            if prm.samplerun:
+                ju = join_uhist(u_cur, grid.nbins, prm.window_overlap)
+                writers.write_curve("unbiased_histogram.dat", mu_bin,
+                                    ju, 0.0)
+    return state
+
+
+def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
+    """Histogram flatness check + f schedule (mc_check_flatness,
+    mc_moves.F90:1936-2185)."""
+    prm, grid = eng.prm, eng.grid
+    B = grid.nbins
+    cycle = int(state.cycle)
+    if prm.samplerun or float(state.hist.sum()) < 1e-300:
+        return state
+
+    if prm.parallel_strategy == "mw":
+        state = eng.sync_all(state)          # (mc_check_flatness:1965-1967)
+
+    nwin = _nwin(state)
+    wid = np.asarray(state.window_id)
+    hist = np.asarray(state.hist, dtype=np.float64)
+    weight = np.asarray(state.weight, dtype=np.float64)
+    f = np.asarray(state.f, dtype=np.float64)
+    sb = np.asarray(state.start_bin)
+    eb = np.asarray(state.end_bin)
+    firstcycle = np.asarray(state.firstcycle).copy()
+    hreset = np.asarray(state.histogram_reset).copy()
+    invt = np.asarray(state.invt_active).copy()
+
+    bin_ids = np.arange(B)
+    winmask = (bin_ids[None, :] >= sb[:, None]) & (
+        bin_ids[None, :] <= eb[:, None]
+    )  # [W,B]
+
+    reset_hist = np.zeros(len(wid), dtype=bool)
+    halve = np.zeros(len(wid), dtype=bool)
+
+    hw = np.where(winmask, hist, np.nan)
+    mini = np.nanmin(hw, axis=1)
+    av = np.nanmean(hw, axis=1)
+
+    # first-pass histogram reset once every bin has wl_minhist visits
+    # (mc_check_flatness:1969-1980)
+    fp = firstcycle & ~hreset & (np.rint(mini) > prm.wl_minhist)
+    if fp.any():
+        reset_hist |= fp
+        hreset |= fp
+
+    maxi = np.nanmax(hw, axis=1)
+    logs.g(f"# Checking flatness of histogram at cycle {cycle:10d}")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        logs.g(f"# Most  populated bin = {np.nanmean(100 * maxi / av):10.4f} % of mean")
+        logs.g(f"# Least populated bin = {np.nanmean(100 * mini / av):10.4f} % of mean")
+
+    std_wl = ~(invt | prm.wl_swetnam)
+    if std_wl.any():
+        # flatness criteria by schedule (mc_check_flatness:2024-2052)
+        if prm.wl_schedule == 0:
+            flat = np.nanmax(np.abs(hw - av[:, None]) / av[:, None],
+                             axis=1) <= prm.wl_flattol
+        elif prm.wl_schedule == 1:
+            flat = np.rint(mini) >= prm.wl_minhist
+        elif prm.wl_schedule == 2:
+            flat = np.nanmin(hw, axis=1) >= (1 - prm.wl_flattol) * av
+        else:
+            raise ValueError("unknown wl_schedule value")
+        flat &= std_wl & ~fp
+
+        # per window: all walkers of a window agree (they share the
+        # merged histogram); act on the window's walkers together
+        for w in range(nwin):
+            sel = wid == w
+            if not flat[sel].all():
+                continue
+            if prm.parallel_strategy == "mw" or nwin == 1:
+                # shift weights down by the central-bin value
+                # (mc_check_flatness:2062-2066)
+                weight[sel] -= weight[sel][:, B // 2][:, None]
+                fv = float(f[sel].max())
+                writers.append_wlf("wlf.dat", cycle, fv, 0.5 * fv)
+                tag = f"{fv:.12f}"
+                writers.write_curve(f"eta_weights.dat_{tag}",
+                                    np.asarray(grid.mu_bin),
+                                    weight[sel][0], fv)
+                writers.write_curve(f"histogram.dat_{tag}",
+                                    np.asarray(grid.mu_bin),
+                                    hist[sel][0], fv)
+                logs.g("# Flatness criterion satisfied - updating wl_factor")
+            else:
+                logs.my(f"# window {w}: flatness satisfied - halving f")
+            reset_hist |= sel
+            halve |= sel
+            firstcycle[sel] = False
+
+    f = np.where(halve, 0.5 * f, f)
+    if reset_hist.any():
+        hist[reset_hist] = 0.0
+
+    # switch to 1/t (mc_check_flatness:2135-2143)
+    if prm.wl_useinvt:
+        wl_invt = B / (cycle * prm.nwater)
+        trigger = (f < wl_invt) & (f > 1e-300) & ~invt
+        if trigger.any():
+            logs.g("# Switching to 1/t method")
+            invt |= trigger
+            f = np.where(trigger, wl_invt, f)
+
+    # invt/swetnam curve dumps (mc_check_flatness:2149-2179)
+    if (invt.any() or prm.wl_swetnam) and cycle % prm.invt_dump_int == 0:
+        tag = f"{cycle:020d}"
+        writers.append_wlf("wlf.dat", cycle, float(f.max()))
+        writers.write_curve(f"eta_weights.dat_{tag}",
+                            np.asarray(grid.mu_bin), weight[0],
+                            float(f.max()))
+        writers.write_curve(f"histogram.dat_{tag}",
+                            np.asarray(grid.mu_bin), hist[0],
+                            float(f.max()))
+
+    state = state._replace(
+        hist=jnp.asarray(hist, dtype=state.hist.dtype),
+        weight=jnp.asarray(weight, dtype=state.weight.dtype),
+        f=jnp.asarray(f, dtype=state.f.dtype),
+        firstcycle=jnp.asarray(firstcycle),
+        histogram_reset=jnp.asarray(hreset),
+        invt_active=jnp.asarray(invt),
+    )
+    if reset_hist.any():
+        # zero the sync snapshots too (comms_set_histogram,
+        # mc_check_flatness:1977, 2106)
+        win_reset = np.array(
+            [reset_hist[wid == w].any() for w in range(nwin)]
+        )
+        snap = np.where(
+            win_reset[:, None], 0.0, np.asarray(state.snap_hist)
+        )
+        state = state._replace(
+            snap_hist=jnp.asarray(snap, dtype=state.snap_hist.dtype)
+        )
+    return state
+
+
+def compute_deltaG(eng: Engine, state: SamplerState, logs,
+                   aux) -> SamplerState:
+    """Free-energy estimate from the unbiased histogram
+    (mc_compute_deltaG_from_hist, mc_moves.F90:2498-2621)."""
+    prm, grid = eng.prm, eng.grid
+    B = grid.nbins
+    cycle = int(state.cycle)
+    if prm.parallel_strategy == "mw" or _nwin(state) == 1:
+        state = eng.sync_all(state)
+        joined = np.asarray(state.uhist[0], dtype=np.float64)
+    else:
+        nwin = _nwin(state)
+        state = eng.sync_all(state)
+        curves = per_window_curves(
+            np.asarray(state.uhist), np.asarray(state.window_id), nwin
+        )
+        joined = join_uhist(curves, B, prm.window_overlap)
+
+    bw = np.asarray(grid.binwidth)
+    norm = (joined * bw).sum()
+    if norm <= 0:
+        logs.g(f"# deltaG at cycle {cycle}: histogram empty, skipped")
+        return state
+    normP = joined / norm
+    pA = (normP[: B // 2] * bw[: B // 2]).sum()
+    pB = (normP[B // 2:] * bw[B // 2:]).sum()
+    deltaG = np.log(pA / pB)
+    beta = prm.beta
+    if prm.leshift:
+        rh = np.asarray(aux.ref_enthalpy)
+        deltaG = deltaG + beta * rh[1] - beta * rh[0]
+
+    kT = KB * prm.temperature
+    per_mol = deltaG / prm.nwater
+    logs.g(f"# Estimate of delta G from histogram at cycle {cycle:10d}")
+    logs.g(f"# G(lattice2) - G(lattice1) = {per_mol:15.8f} kT/molecule")
+    logs.g(f"# G(lattice2) - G(lattice1) = "
+           f"{kT * HART_TO_KJPM * 1000.0 * per_mol:15.8f} J/mole")
+    logs.g(f"# G(lattice2) - G(lattice1) = "
+           f"{kT * HART_TO_EV * 1000.0 * per_mol:15.8f} meV/molecule")
+    writers.write_curve(
+        f"unbiased_histogram_{cycle:010d}.dat",
+        np.asarray(grid.mu_bin), normP, 0.0,
+    )
+    return state

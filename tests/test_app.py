@@ -1,0 +1,77 @@
+"""End-to-end application tests: the packaged reference examples run
+through the full driver (config -> xmol -> engine -> outputs ->
+checkpoint -> restart), SURVEY.md §4 oracle g."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mc_water_ls_mw_tpu.app import run_input_file
+
+
+def _stage(tmp_path, examples_dir, name):
+    import shutil
+
+    for f in (examples_dir / name).iterdir():
+        shutil.copy(f, tmp_path / f.name)
+    return str(tmp_path / "ice.input")
+
+
+OVR = {"n_walkers": 4, "dtype": "float64", "monitor_int": 50,
+       "chkpt_dump_int": 50, "flat_chk_int": 50, "deltaG_int": 50,
+       "mpi_sync_int": 10, "file_output_int": 10, "eq_mc_cycles": 10}
+
+
+def test_single_box_end_to_end(tmp_path, examples_dir):
+    inp = _stage(tmp_path, examples_dir, "single_box")
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides={**OVR}, max_cycles=50)
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / "mc.log").exists()
+    assert (tmp_path / "node000.log").exists()
+    therm = np.loadtxt(tmp_path / "ice000_therm.dat")
+    assert therm.shape[0] == 5           # cycles 10..50 step 10
+    assert (tmp_path / "checkpoint000.npz.1").exists()
+    log = (tmp_path / "node000.log").read_text()
+    assert "Computed energies" in log
+    assert "-25.55" in log               # Ih lattice energy oracle (eV)
+
+
+def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
+    inp = _stage(tmp_path, examples_dir, "ice1_sample")
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides={**OVR}, max_cycles=50)
+        t1 = np.loadtxt(tmp_path / "ice000_therm.dat")
+        # second invocation must auto-restart and continue
+        run_input_file(inp, overrides={**OVR}, max_cycles=50)
+        t2 = np.loadtxt(tmp_path / "ice000_therm.dat")
+    finally:
+        os.chdir(cwd)
+    assert t1[-1, 0] == 50
+    assert t2[-1, 0] == 100              # continued, appended
+    assert t2.shape[0] == 2 * t1.shape[0]
+    # monitor dumped merged curves + deltaG output
+    assert (tmp_path / "histogram.dat").exists()
+    assert (tmp_path / "unbiased_histogram.dat").exists()
+    assert (tmp_path / "unbiased_histogram_0000000050.dat").exists()
+    log = (tmp_path / "mc.log").read_text()
+    assert "delta G" in log
+
+
+def test_gen_weights_run(tmp_path, examples_dir):
+    inp = _stage(tmp_path, examples_dir, "ice1_gen_weights")
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides={**OVR}, max_cycles=50)
+    finally:
+        os.chdir(cwd)
+    # WL mode refines weights and dumps them at monitor points
+    f, w = __import__(
+        "mc_water_ls_mw_tpu.io.writers", fromlist=["read_eta_weights"]
+    ).read_eta_weights(str(tmp_path / "eta_weights.dat"))
+    assert len(w) == 101
+    assert np.asarray(w).max() > 0        # weights grew

@@ -1,0 +1,82 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the walker ensemble runs sharded over a
+jax.sharding.Mesh with identical semantics to the unsharded path: the
+delta-sync merges become cross-device collectives but produce the same
+global histograms (SURVEY.md §2.3 P1 TPU equivalent).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from mc_water_ls_mw_tpu.constants import ANG_TO_BOHR, AUP_TO_ATM
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.mcmc.engine import Engine
+from mc_water_ls_mw_tpu.mcmc.state import init_state
+from mc_water_ls_mw_tpu.io.xmol import read_lattices
+from mc_water_ls_mw_tpu.parallel.mesh import make_mesh, shard_state
+
+
+@pytest.fixture(scope="module")
+def setup(examples_dir):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    r0, H0 = read_lattices(examples_dir / "ice1_sample", 2, 48)
+    prm = RunParams(
+        nwater=48, num_lattices=2, temperature=200.0,
+        pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=1.1 * ANG_TO_BOHR, mc_dv_max=0.924 * ANG_TO_BOHR,
+        nbins=101, mu_min=-400.0, mu_max=400.0,
+        mc_vol_prob=1.0 / 768, mc_switch_prob=0.0,
+        samplerun=True, eq_mc_cycles=1, list_update_int=10,
+        mpi_sync_int=5, n_walkers=16, dtype="float64",
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    w0 = np.loadtxt(
+        examples_dir / "ice1_sample" / "eta_weights.dat", skiprows=1
+    )[:, 1]
+    state, aux = init_state(prm, MW, r0, H0, grid, weight0=w0)
+    return prm, grid, state, aux
+
+
+def test_sharded_run_matches_unsharded(setup):
+    prm, grid, state, aux = setup
+    eng = Engine(prm, MW, grid, aux)
+
+    ref, _ = eng.run_cycles(state, 6)
+    ref = eng.sync_all(ref)
+
+    mesh = make_mesh()
+    sh_state = shard_state(state, mesh, prm.n_walkers)
+    got, _ = eng.run_cycles(sh_state, 6)
+    got = eng.sync_all(got)
+
+    # same RNG streams -> identical trajectories regardless of layout
+    np.testing.assert_allclose(
+        np.asarray(got.mu), np.asarray(ref.mu), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.hist), np.asarray(ref.hist), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(ref.energy), rtol=1e-12
+    )
+    # the sharded result really lives on 8 devices
+    assert len(got.r.sharding.device_set) == 8
+
+
+def test_sharded_merge_is_global(setup):
+    """Cross-device delta-merge produces the global sum."""
+    prm, grid, state, aux = setup
+    eng = Engine(prm, MW, grid, aux)
+    mesh = make_mesh()
+    sh = shard_state(state, mesh, prm.n_walkers)
+    sh, _ = eng.run_cycles(sh, 3)
+    pre = np.asarray(sh.hist)
+    merged = eng.sync_all(sh)
+    m = np.asarray(merged.hist)
+    np.testing.assert_allclose(m[0], pre.sum(axis=0), rtol=1e-12)
+    assert np.abs(m - m[0]).max() == 0
