@@ -134,9 +134,9 @@ class Application:
 
         # report initial lattice energies (main.f90:125-140) - the
         # fp64 physics oracle line
-        e = np.asarray(state.energy[0]) * HART_TO_EV
+        e = np.asarray(state.energy[:, 0]) * HART_TO_EV
         hpv = np.asarray(
-            state.energy[0] + prm.pressure * state.volume[0]
+            state.energy[:, 0] + prm.pressure * state.volume[:, 0]
         ) * HART_TO_EV
         logs.my("# Reference lattices")
         logs.my(f"# Computed energies   = "
@@ -194,28 +194,28 @@ class Application:
         prm = self.prm
         cycles = np.asarray(samples["cycle"])
         mask = cycles % prm.file_output_int == 0
-        e = np.asarray(samples["E_ls"])
+        e = np.asarray(samples["E_ls"])          # [n, T]
         mu = np.asarray(samples["mu"])
-        vol = np.asarray(samples["vol"])
+        vol = np.asarray(samples["vol"])          # [n, L, T]
         ls = np.asarray(samples["ls"])
         fixed = prm.samplerun or self.prm.wl_factor < 1e-300
         for i in np.nonzero(mask)[0]:
             for w in self.therm.files:
                 self.therm.write(
                     w, int(cycles[i]), float(e[i, w]), float(mu[i, w]),
-                    vol[i, w], int(ls[i, w]), prm.num_lattices, fixed,
+                    vol[i, :, w], int(ls[i, w]), prm.num_lattices, fixed,
                 )
 
     def _write_traj(self):
         s = self.state
         ls0 = int(s.ls[0])
-        r_act = np.asarray(s.r[0, ls0])
+        r_act = np.asarray(s.r[ls0, :, :, 0]).T          # [N,3]
         r_oth = (
-            np.asarray(s.r[0, 1 - ls0])
+            np.asarray(s.r[1 - ls0, :, :, 0]).T
             if self.prm.num_lattices == 2 else None
         )
         writers.append_dcd_snapshot(
-            "mW.dcd", r_act, r_oth, np.asarray(s.h[0, ls0])
+            "mW.dcd", r_act, r_oth, np.asarray(s.h[ls0, :, :, 0])
         )
 
     def run(self, max_cycles=None):

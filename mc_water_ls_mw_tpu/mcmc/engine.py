@@ -5,58 +5,67 @@ TPU-native rebuild of mc_moves.F90.  Design (SURVEY.md §7):
 * One trial move advances ALL walkers simultaneously; a cycle is a
   ``lax.scan`` of nwater move steps (the chain is inherently
   sequential per walker, mc_cycle:224-250 - all parallelism comes from
-  the walker/lattice/gather axes).
+  the walker axis, the two lattice replicas and the dense candidate
+  arithmetic).
+* State is WALKER-LAST: every batched array ends with the walker axis
+  (a multiple of the 128-lane width), so the scan carry is tile-packed
+  - walker-first layouts padded the carry 10-45x and dominated step
+  time.
 * Move *types* are drawn per step from a shared schedule stream, so
-  every walker executes the same branch each step (the type choice is
-  state-independent, so per-walker detailed balance is preserved; the
-  reference draws types per rank, mc_cycle:226-241 - this
-  synchronised scheduling is the TPU-idiomatic equivalent and the only
-  intended deviation).
+  every walker executes the same (masked) kernels each step: the
+  choice is state-independent, preserving per-walker detailed balance
+  (the reference draws types per rank, mc_cycle:226-241).  The rare
+  volume moves are hoisted to a once-per-cycle conditional - in-scan
+  lax.switch branching costs milliseconds per step on TPU.
 * Wang-Landau weight/histogram updates are batched one-hot adds on
-  per-walker [W, nbins] arrays; walkers play the role of the
-  reference's MPI ranks, merged with the same delta-allreduce
-  semantics (comms_mpi.f90:244-530) by summing over the (sharded)
-  walker axis - XLA turns that into the ICI collective when the state
-  is sharded over a device mesh.
-* Data-dependent per-cycle events (neighbour rebuild, delta-sync,
-  chain resync) run under ``lax.cond`` inside the jitted block; file
-  IO events (monitor/flatness/checkpoint) happen host-side at block
-  boundaries (app layer).
+  [nbins, W] arrays; walkers play the role of the reference's MPI
+  ranks, merged with the same delta-allreduce semantics
+  (comms_mpi.f90:244-530) by summing over the (sharded) walker axis -
+  XLA turns that into the ICI collective under a device mesh.
+* Data-dependent per-cycle events (delta-sync, chain resync) run under
+  ``lax.cond`` at cycle granularity; file-IO events
+  (monitor/flatness/checkpoint) happen host-side at block boundaries
+  (app layer).
 """
 
 from __future__ import annotations
-
-
-from functools import partial
-
 
 import jax
 import jax.numpy as jnp
 
 from ..models.sw import SWParams
-from ..ops.geometry import determinant3, from_frac, recip_matrix, to_frac
+from ..ops.geometry import determinant3, recip_matrix
 from ..ops.dense import (
     Moments,
-    full_energy_dense_batched,
-    local_energies_dense_batched,
+    full_energy_batch,
+    local_energies_batch,
     reduced_shift_set,
 )
-from .bins import BinGrid, eta_weight, mu_to_bin
+from .bins import ETA_WALL, BinGrid, mu_to_bin
 from .config import RunParams
 from .state import EngineAux, SamplerState
 
 TRANS, VOL, SWITCH, NOOP = 0, 1, 2, 3
 
 
-def _take_w(arr, idx):
-    """arr [W, L, ...] indexed per-walker by idx [W] -> [W, ...]."""
-    return jax.vmap(lambda a, i: a[i])(arr, idx)
+def _take_lat(arr, ls):
+    """arr [L, ..., W] selected per-walker by ls [W] -> [..., W]."""
+    idx = ls.reshape((1,) + (1,) * (arr.ndim - 2) + (-1,))
+    return jnp.take_along_axis(arr, idx, axis=0)[0]
+
+
+def _per_lat(moments: Moments, l: int) -> Moments:
+    return Moments(*(f[l] for f in moments))
+
+
+def _stack_moments(per_lat) -> Moments:
+    return Moments(*(jnp.stack(f) for f in zip(*per_lat)))
 
 
 class Engine:
     """Jit-compiled sampler over a fixed (params, model, grid).
 
-    All configuration is closed over as compile-time constants, the
+    All configuration is closed over as compile-time constants; the
     state pytree is the only runtime argument (so the same compiled
     program also runs sharded over a device mesh).
     """
@@ -71,13 +80,7 @@ class Engine:
         # MIC-folded fast path: displacements folded by minimum image
         # with a reduced residual shift set (1-3 candidates instead of
         # the full enumeration; ops/dense.py reduced_shift_set)
-        self.fold_shifts = jnp.asarray(
-            reduced_shift_set(aux.ref_h, model)
-        )
-        self._eta_b = jax.vmap(
-            partial(eta_weight, interp=prm.eta_interp),
-            in_axes=(None, 0, 0, 0, 0, 0, 0, 0),
-        )
+        self.fold_shifts = reduced_shift_set(aux.ref_h, model)
         # jitted entry points
         self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
         self.sync_all = jax.jit(self._sync_all)
@@ -92,23 +95,57 @@ class Engine:
         return s.r.dtype
 
     def _mu_scratch(self, energy, volume):
-        """Order parameter from scratch (mc_moves.F90:856-862)."""
+        """Order parameter from scratch (mc_moves.F90:856-862).
+
+        energy/volume: [L, W] -> [W]."""
         prm = self.prm
         mu = (
-            energy[:, 0] + prm.pressure * volume[:, 0]
-            - energy[:, 1] - prm.pressure * volume[:, 1]
+            energy[0] + prm.pressure * volume[0]
+            - energy[1] - prm.pressure * volume[1]
         )
         if prm.leshift:
             mu = mu - self.aux.ref_enthalpy[0] + self.aux.ref_enthalpy[1]
-        return mu * prm.beta - prm.nwater * jnp.log(
-            volume[:, 0] / volume[:, 1]
-        )
+        return mu * prm.beta - prm.nwater * jnp.log(volume[0] / volume[1])
 
     def _eta(self, s: SamplerState, mu):
-        return self._eta_b(
-            self.grid, s.weight, mu, s.my_mu_min, s.my_mu_max,
-            s.start_bin, s.end_bin, s.in_window,
-        )
+        """Multicanonical weight eta(mu) per walker (batched form of
+        bins.eta_weight; reference mc_moves.F90:893-964)."""
+        prm, grid = self.prm, self.grid
+        B = grid.nbins
+        weight = s.weight                              # [B, W]
+        k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)    # [W]
+
+        if not prm.eta_interp:
+            eta = jnp.take_along_axis(weight, k[None, :], axis=0)[0]
+        else:
+            km = jnp.clip(k - 1, 0, B - 1)
+            kp = jnp.clip(k + 1, 0, B - 1)
+            w_k = jnp.take_along_axis(weight, k[None, :], axis=0)[0]
+            w_km = jnp.take_along_axis(weight, km[None, :], axis=0)[0]
+            w_kp = jnp.take_along_axis(weight, kp[None, :], axis=0)[0]
+            bw = grid.binwidth
+            bw_k, bw_km, bw_kp = bw[k], bw[km], bw[kp]
+            mub_k, mub_km = grid.mu_bin[k], grid.mu_bin[km]
+
+            grad_up = 2.0 * (w_kp - w_k) / (bw_k + bw_kp)
+            grad_dn = 2.0 * (w_k - w_km) / (bw_k + bw_km)
+            eta_first = w_k + (mu - mub_k) * grad_up
+            eta_last = w_k + (mu - mub_k) * grad_dn
+            eta_mid_up = w_k + (mu - mub_k) * grad_up
+            eta_mid_dn = w_km + (mu - mub_km) * grad_dn
+            eta = jnp.where(
+                k == s.start_bin,
+                eta_first,
+                jnp.where(
+                    k == s.end_bin,
+                    eta_last,
+                    jnp.where(mu > mub_k, eta_mid_up, eta_mid_dn),
+                ),
+            )
+
+        wall = (mu < s.my_mu_min) | (mu > s.my_mu_max)
+        eta = jnp.where(wall, ETA_WALL, eta)
+        return jnp.where(s.in_window, eta, 0.0)
 
     # ------------------------------------------------------------------
     # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
@@ -123,22 +160,23 @@ class Engine:
 
         # ``enabled`` gates steps whose scheduled move type performs no
         # WL update (switch-only steps, mc_cycle:228-241)
-        active = enabled & (s.cycle >= prm.eq_mc_cycles)  # (1615)
+        active = enabled & (s.cycle >= prm.eq_mc_cycles)   # (1615)
         k = mu_to_bin(grid, s.mu)
-        in_grid = (k >= 0) & (k < B)              # (mc_moves.F90:1619)
+        in_grid = (k >= 0) & (k < B)                       # (1619)
         kc = jnp.clip(k, 0, B - 1)
-        upd = (in_grid & active).astype(dtype)    # [W]
-        oh = jax.nn.one_hot(kc, B, dtype=dtype) * upd[:, None]
+        upd = (in_grid & active).astype(dtype)             # [W]
+        bin_ids = jnp.arange(B)
+        oh = (bin_ids[:, None] == kc[None, :]).astype(dtype) \
+            * upd[None, :]                                 # [B, W]
         incr = self.grid.av_binwidth / grid.binwidth[kc]   # [W]
 
-        hist = s.hist + oh * incr[:, None]
+        hist = s.hist + oh * incr[None, :]
 
         if prm.samplerun:
-            # unbiased histogram with frozen weights
-            # (mc_moves.F90:1625-1632)
+            # unbiased histogram with frozen weights (1625-1632)
             eta_val = self._eta(s, s.mu)
             u_incr = incr * jnp.exp(eta_val - self.aux.log_unbiased_norm)
-            uhist = s.uhist + oh * u_incr[:, None]
+            uhist = s.uhist + oh * u_incr[None, :]
             return s._replace(hist=hist, uhist=uhist)
 
         f = s.f
@@ -148,14 +186,14 @@ class Engine:
             sumh = s.sumhist + upd
             binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
-                hist * grid.binwidth[None, :]
-                / jnp.maximum(sumh, 1.0)[:, None]
-                - binfrac[None, :]
+                hist * grid.binwidth[:, None]
+                / jnp.maximum(sumh, 1.0)[None, :]
+                - binfrac[:, None]
             )
-            rms = jnp.sqrt(jnp.mean(dev * dev, axis=1))
+            rms = jnp.sqrt(jnp.mean(dev * dev, axis=0))
             f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
             f_new = jnp.minimum(f_new, prm.wl_factor)
-            f = jnp.where(active & True, f_new, f)
+            f = jnp.where(active & (upd > 0), f_new, f)
         elif prm.wl_useinvt:
             # 1/t schedule once active (mc_moves.F90:1655-1658)
             f_invt = jnp.minimum(
@@ -163,19 +201,16 @@ class Engine:
             )
             f = jnp.where(s.invt_active & active, f_invt, f)
 
-        weight = s.weight + oh * (incr * f)[:, None]
+        weight = s.weight + oh * (incr * f)[None, :]
 
         # shift window minimum to zero (mc_moves.F90:1680-1685),
         # only when an update actually occurred
-        bin_ids = jnp.arange(B)
-        winmask = (bin_ids[None, :] >= s.start_bin[:, None]) & (
-            bin_ids[None, :] <= s.end_bin[:, None]
+        winmask = (bin_ids[:, None] >= s.start_bin[None, :]) & (
+            bin_ids[:, None] <= s.end_bin[None, :]
         )
-        minv = jnp.min(
-            jnp.where(winmask, weight, jnp.inf), axis=1
-        )
+        minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
         weight = jnp.where(
-            winmask & (upd[:, None] > 0), weight - minv[:, None], weight
+            winmask & (upd[None, :] > 0), weight - minv[None, :], weight
         )
         return s._replace(hist=hist, weight=weight, f=f, sumhist=sumh)
 
@@ -188,80 +223,87 @@ class Engine:
         """Single-molecule translation in both replicas
         (mc_water_translation, mc_moves.F90:966-1213).
 
-        ``enabled`` (scalar or [W]) masks the whole move: the scan
-        body runs it every step and masks out non-translation steps -
-        branch-free stepping is far cheaper on TPU than lax.switch
-        (conditionals in the hot scan cost ~2ms/step in carry traffic).
+        ``enabled`` (scalar or [W]) masks the whole move: the scan body
+        runs it every step and masks out non-translation steps -
+        branch-free stepping is far cheaper on TPU than lax.switch.
         """
         prm, model = self.prm, self.model
-        W, L, N = s.r.shape[:3]
+        L = s.r.shape[0]
+        N = s.r.shape[2]
+        W = s.r.shape[3]
         dtype = self._dtype(s)
 
         u = jax.vmap(lambda k: jax.random.uniform(k, (7,), dtype=dtype))(
             keys
-        )
+        )                                                    # [W,7]
         imol = jnp.minimum((u[:, 0] * N).astype(jnp.int32), N - 1)
 
         # random direction x magnitude (mc_moves.F90:1021-1039)
-        d = 2.0 * u[:, 1:4] - 1.0
-        d = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
-        rmag = (2.0 * u[:, 4] - 1.0) * s.max_trans
-        v = d * rmag[:, None]                              # [W,3] active-frame
+        d0 = 2.0 * u[:, 1] - 1.0
+        d1 = 2.0 * u[:, 2] - 1.0
+        d2 = 2.0 * u[:, 3] - 1.0
+        inv_norm = jax.lax.rsqrt(d0 * d0 + d1 * d1 + d2 * d2)
+        rmag = (2.0 * u[:, 4] - 1.0) * s.max_trans * inv_norm
+        v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])     # [3,W]
 
         # same fractional displacement in the partner lattice
         # (mc_moves.F90:1042-1067)
-        recip_ls = _take_w(s.recip, s.ls)                  # [W,3,3]
-        sfrac = jnp.einsum("wa,wab->wb", v, recip_ls) * (0.5 / jnp.pi)
-        tv_all = jnp.einsum("wlab,wb->wla", s.h, sfrac)    # [W,L,3]
-        lat_is_active = (
-            jnp.arange(L)[None, :] == s.ls[:, None]
-        )[..., None]
-        transvec = jnp.where(lat_is_active, v[:, None, :], tv_all)
+        recip_ls = _take_lat(s.recip, s.ls)                  # [3,3,W]
+        sfrac = jnp.einsum("aw,abw->bw", v, recip_ls) * (0.5 / jnp.pi)
+        tv_all = jnp.einsum("labw,bw->law", s.h, sfrac)      # [L,3,W]
+        lat_act = (jnp.arange(L)[:, None] == s.ls[None, :])  # [L,W]
+        transvec = jnp.where(lat_act[:, None, :], v[None], tv_all)
 
-        p_old = _take_w(
-            jnp.swapaxes(s.r, 1, 2), imol
-        )                                                   # [W,L,3]
+        p_old = jnp.take_along_axis(
+            s.r, imol[None, None, None, :], axis=2
+        )[:, :, 0]                                           # [L,3,W]
         p_new = p_old + transvec
 
-        e_old, e_new, eff_mom = local_energies_dense_batched(
-            s.r, s.h, imol, p_new, s.moments, self.fold_shifts,
-            self.model, True,
-        )                                                   # [W,L]
+        per = [
+            local_energies_batch(
+                s.r[l], s.h[l], imol, p_new[l],
+                _per_lat(s.moments, l), self.fold_shifts, model, True,
+            )
+            for l in range(L)
+        ]
+        e_old = jnp.stack([p[0] for p in per])               # [L,W]
+        e_new = jnp.stack([p[1] for p in per])
+        eff_mom = _stack_moments([p[2] for p in per])        # [L,N,W]
         dE = e_new - e_old
 
         if prm.num_lattices == 2:
-            dmu = (dE[:, 0] - dE[:, 1]) * prm.beta
-            mu_new = s.mu + dmu                             # (1113)
+            dmu = (dE[0] - dE[1]) * prm.beta
+            mu_new = s.mu + dmu                              # (1113)
             eta_old = self._eta(s, s.mu)
             eta_new = self._eta(s, mu_new)
-            dE_ls = _take_w(dE, s.ls)
-            diffkT = prm.beta * dE_ls + eta_new - eta_old   # (1116)
+            dE_ls = _take_lat(dE, s.ls)
+            diffkT = prm.beta * dE_ls + eta_new - eta_old    # (1116)
         else:
             mu_new = s.mu
             dmu = jnp.zeros((W,), dtype=dtype)
-            diffkT = prm.beta * dE[:, 0]
+            diffkT = prm.beta * dE[0]
 
-        accept = enabled & (u[:, 5] < jnp.exp(-diffkT))     # (1146)
+        accept = enabled & (u[:, 5] < jnp.exp(-diffkT))      # (1146)
         accf = accept.astype(dtype)
 
-        onehot_mol = jax.nn.one_hot(imol, N, dtype=dtype)   # [W,N]
+        onehot = (jnp.arange(N)[:, None] == imol[None, :])   # [N,W]
         r = s.r + (
-            accf[:, None, None, None]
-            * onehot_mol[:, None, :, None]
+            accf[None, None, None, :]
+            * onehot.astype(dtype)[None, None, :, :]
             * transvec[:, :, None, :]
         )
-        energy = s.energy + accf[:, None] * dE
+        energy = s.energy + accf[None, :] * dE
         mu = jnp.where(accept, mu_new, s.mu)
-        a3 = accept[:, None, None]
+        a2 = accept[None, None, :]
         moments = jax.tree.map(
-            lambda e, o: jnp.where(a3, e, o), eff_mom, s.moments
+            lambda e, o: jnp.where(a2, e, o), eff_mom, s.moments
         )
 
         # acceptance bookkeeping (mc_moves.F90:1156-1159)
         en_i = jnp.broadcast_to(enabled, accept.shape).astype(jnp.int32)
-        att = s.att.at[:, TRANS].add(en_i)
-        acc = s.acc.at[:, TRANS].add(accept.astype(jnp.int32))
-        tpm = s.trans_per_mol + onehot_mol.astype(jnp.int32) * en_i[:, None]
+        att = s.att.at[TRANS].add(en_i)
+        acc = s.acc.at[TRANS].add(accept.astype(jnp.int32))
+        tpm = s.trans_per_mol + onehot.astype(jnp.int32) * en_i[None, :]
         admu = jnp.abs(dmu)
         min_dmu = jnp.where(accept & (admu < s.min_dmu), admu, s.min_dmu)
         max_dmu = jnp.where(accept & (admu > s.max_dmu), admu, s.max_dmu)
@@ -271,13 +313,14 @@ class Engine:
             acc=acc, trans_per_mol=tpm, min_dmu=min_dmu,
             max_dmu=max_dmu,
         )
-        return self._wl_update(s)
+        return self._wl_update(s, enabled)
 
     def _volume(self, s: SamplerState, keys) -> SamplerState:
         """Anisotropic cell move, same strain in both replicas
         (mc_volume, mc_moves.F90:1216-1534)."""
         prm, model = self.prm, self.model
-        W, L, N = s.r.shape[:3]
+        L = s.r.shape[0]
+        W = s.r.shape[3]
         dtype = self._dtype(s)
 
         u = jax.vmap(lambda k: jax.random.uniform(k, (4,), dtype=dtype))(
@@ -287,42 +330,48 @@ class Engine:
         jdim = jnp.minimum((u[:, 1] * 3).astype(jnp.int32), 2)
         delta = (2.0 * u[:, 2] - 1.0) * s.dv_max
 
-        # symmetric perturbation of one (i,j) element
-        # (mc_moves.F90:1276-1282)
-        ei = jax.nn.one_hot(idim, 3, dtype=dtype)
-        ej = jax.nn.one_hot(jdim, 3, dtype=dtype)
-        outer = ei[:, :, None] * ej[:, None, :]
-        sym = outer + jnp.swapaxes(outer, 1, 2) - outer * jnp.swapaxes(
-            outer, 1, 2
-        )  # diagonal picks i==j once
-        dh = sym * delta[:, None, None]                    # [W,3,3]
+        # symmetric perturbation of one (i,j) element (1276-1282)
+        ei = (jnp.arange(3)[:, None] == idim[None, :]).astype(dtype)
+        ej = (jnp.arange(3)[:, None] == jdim[None, :]).astype(dtype)
+        outer = ei[:, None, :] * ej[None, :, :]              # [3,3,W]
+        sym = outer + jnp.swapaxes(outer, 0, 1) \
+            - outer * jnp.swapaxes(outer, 0, 1)
+        dh = sym * delta[None, None, :]
 
-        h_new = s.h + dh[:, None, :, :]
+        h_new = s.h + dh[None]                               # [L,3,3,W]
         # rescale current and reference positions holding fractional
         # coordinates fixed (mc_moves.F90:1284-1350)
-        frac_r = to_frac(s.recip, s.r)                     # [W,L,N,3]
-        r_new = from_frac(h_new, frac_r)
-        frac_ref = to_frac(s.recip, s.ref_r)
-        ref_new = from_frac(h_new, frac_ref)
+        inv2pi = 0.5 / jnp.pi
+        frac_r = jnp.einsum("labw,lanw->lbnw", s.recip, s.r) * inv2pi
+        r_new = jnp.einsum("labw,lbnw->lanw", h_new, frac_r)
+        frac_ref = jnp.einsum("labw,lanw->lbnw", s.recip, s.ref_r) \
+            * inv2pi
+        ref_new = jnp.einsum("labw,lbnw->lanw", h_new, frac_ref)
 
-        recip_new = jax.vmap(jax.vmap(recip_matrix))(h_new)
-        vol_new = jnp.abs(jax.vmap(jax.vmap(determinant3))(h_new))
-
-        e_new, mom_new = full_energy_dense_batched(
-            r_new, h_new, self.fold_shifts, model, True
+        recip_new = jnp.stack([recip_matrix(h_new[l]) for l in range(L)])
+        vol_new = jnp.abs(
+            jnp.stack([determinant3(h_new[l]) for l in range(L)])
         )
+
+        per = [
+            full_energy_batch(r_new[l], h_new[l], self.fold_shifts,
+                              model, True)
+            for l in range(L)
+        ]
+        e_new = jnp.stack([p[0] for p in per])
+        mom_new = _stack_moments([p[1] for p in per])
         dE = e_new - s.energy
 
-        vol_ls_old = _take_w(s.volume, s.ls)
-        vol_ls_new = _take_w(vol_new, s.ls)
-        dE_ls = _take_w(dE, s.ls)
+        vol_ls_old = _take_lat(s.volume, s.ls)
+        vol_ls_new = _take_lat(vol_new, s.ls)
+        dE_ls = _take_lat(dE, s.ls)
 
         if prm.num_lattices == 2:
-            mu_new = self._mu_scratch(e_new, vol_new)      # (1366-1375)
+            mu_new = self._mu_scratch(e_new, vol_new)        # (1366-75)
             eta_old = self._eta(s, s.mu)
             eta_new = self._eta(s, mu_new)
             deta = eta_new - eta_old
-            mu_reject = self._mu_scratch(s.energy, s.volume)  # (1524-1528)
+            mu_reject = self._mu_scratch(s.energy, s.volume)  # (1524-28)
         else:
             mu_new = s.mu
             deta = jnp.zeros((W,), dtype=dtype)
@@ -336,7 +385,6 @@ class Engine:
             - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
         )
         accept = u[:, 3] < jnp.exp(-diffkT)
-        acc4 = accept[:, None, None, None]
 
         if prm.num_lattices == 2:
             admu = jnp.abs(mu_new - s.mu)
@@ -351,21 +399,22 @@ class Engine:
             min_dmu, max_dmu = s.min_dmu, s.max_dmu
             mu = s.mu
 
-        a3 = accept[:, None, None]
+        a4 = accept[None, None, None, :]
+        a2 = accept[None, None, :]
         moments = jax.tree.map(
-            lambda e, o: jnp.where(a3, e, o), mom_new, s.moments
+            lambda e, o: jnp.where(a2, e, o), mom_new, s.moments
         )
         s = s._replace(
-            r=jnp.where(acc4, r_new, s.r),
-            ref_r=jnp.where(acc4, ref_new, s.ref_r),
-            h=jnp.where(acc4, h_new, s.h),
-            recip=jnp.where(acc4, recip_new, s.recip),
-            volume=jnp.where(accept[:, None], vol_new, s.volume),
-            energy=jnp.where(accept[:, None], e_new, s.energy),
+            r=jnp.where(a4, r_new, s.r),
+            ref_r=jnp.where(a4, ref_new, s.ref_r),
+            h=jnp.where(a4, h_new, s.h),
+            recip=jnp.where(a4, recip_new, s.recip),
+            volume=jnp.where(accept[None, :], vol_new, s.volume),
+            energy=jnp.where(accept[None, :], e_new, s.energy),
             mu=mu,
             moments=moments,
-            att=s.att.at[:, VOL].add(1),
-            acc=s.acc.at[:, VOL].add(accept.astype(jnp.int32)),
+            att=s.att.at[VOL].add(1),
+            acc=s.acc.at[VOL].add(accept.astype(jnp.int32)),
             min_dmu=min_dmu,
             max_dmu=max_dmu,
         )
@@ -375,19 +424,18 @@ class Engine:
         """Lattice switch (mc_lattice_switch, mc_moves.F90:1536-1594).
 
         ``enabled`` gates dd-mode pre-equilibration suppression
-        (mc_cycle:237-249).
+        (mc_cycle:237-249) and the move-schedule mask.
         """
         prm = self.prm
         if prm.num_lattices != 2:
             return s
-        dtype = self._dtype(s)
         lsn = 1 - s.ls
-        E_ls = _take_w(s.energy, s.ls)
-        E_lsn = _take_w(s.energy, lsn)
+        E_ls = _take_lat(s.energy, s.ls)
+        E_lsn = _take_lat(s.energy, lsn)
         diffkT = prm.beta * (E_lsn - E_ls)
         if prm.mc_ensemble == "npt":
-            V_ls = _take_w(s.volume, s.ls)
-            V_lsn = _take_w(s.volume, lsn)
+            V_ls = _take_lat(s.volume, s.ls)
+            V_lsn = _take_lat(s.volume, lsn)
             diffkT = (
                 diffkT
                 + prm.beta * prm.pressure * (V_lsn - V_ls)
@@ -402,11 +450,12 @@ class Engine:
         mu = jnp.where(
             accept, self._mu_scratch(s.energy, s.volume), s.mu
         )
+        en_i = jnp.broadcast_to(enabled, accept.shape).astype(jnp.int32)
         return s._replace(
             ls=ls,
             mu=mu,
-            att=s.att.at[:, SWITCH].add(enabled.astype(jnp.int32)),
-            acc=s.acc.at[:, SWITCH].add(accept.astype(jnp.int32)),
+            att=s.att.at[SWITCH].add(en_i),
+            acc=s.acc.at[SWITCH].add(accept.astype(jnp.int32)),
         )
 
     # ------------------------------------------------------------------
@@ -416,16 +465,16 @@ class Engine:
     def _delta_merge(self, arr, snap, window_id, nwin):
         """Delta-allreduce over walkers sharing a mu-window.
 
-        Each walker contributes only its growth since the last sync
-        (comms_allreduce_eta, comms_mpi.f90:256-270); the sum over the
-        sharded walker axis becomes a cross-chip collective under a
-        mesh.  Returns (merged arr [W,B], new snapshots [nwin,B]).
+        arr: [B, W]; snap: [nwin, B].  Each walker contributes only its
+        growth since the last sync (comms_allreduce_eta,
+        comms_mpi.f90:256-270); the sum over the sharded walker axis
+        becomes a cross-chip collective under a mesh.
         """
-        W = arr.shape[0]
-        delta = arr - snap[window_id]                       # [W,B]
+        snap_w = snap.T[:, window_id]                        # [B, W]
+        delta = (arr - snap_w).T                             # [W, B]
         tot = jax.ops.segment_sum(delta, window_id, num_segments=nwin)
-        new_snap = snap + tot
-        return new_snap[window_id], new_snap
+        new_snap = snap + tot                                # [nwin, B]
+        return new_snap.T[:, window_id], new_snap
 
     def _sync_all(self, s: SamplerState) -> SamplerState:
         """Synchronise weights + histograms across walkers
@@ -460,27 +509,33 @@ class Engine:
         prm, model, aux = self.prm, self.model, self.aux
         if prm.num_lattices != 2:
             return s
+        L = s.r.shape[0]
         # correct lattice 2's cell displacement to match lattice 1
-        # (mc_moves.F90:2276-2277)
-        hdiff1 = s.h[:, 0] - aux.ref_h[0]
-        h2 = aux.ref_h[1] + hdiff1
-        h = s.h.at[:, 1].set(h2)
-        recip = jax.vmap(jax.vmap(recip_matrix))(h)
+        # (mc_moves.F90:2276-2277); aux.ref_h is [L,3,3] (shared)
+        ref0 = aux.ref_h[0][:, :, None]
+        ref1 = aux.ref_h[1][:, :, None]
+        h2 = ref1 + (s.h[0] - ref0)
+        h = s.h.at[1].set(h2)
+        recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
 
         # force every molecule's fractional displacement from its
         # reference site in lattice 2 to equal lattice 1's
         # (mc_moves.F90:2289-2333)
-        frac = to_frac(recip, s.r)                         # [W,L,N,3]
-        frac_ref = to_frac(recip, s.ref_r)
-        sdiff1 = frac[:, 0] - frac_ref[:, 0]               # [W,N,3]
-        s2 = frac_ref[:, 1] + sdiff1
-        r2 = from_frac(h[:, 1], s2)                        # [W,N,3]
-        r = s.r.at[:, 1].set(r2)
+        inv2pi = 0.5 / jnp.pi
+        frac = jnp.einsum("labw,lanw->lbnw", recip, s.r) * inv2pi
+        frac_ref = jnp.einsum("labw,lanw->lbnw", recip, s.ref_r) * inv2pi
+        sdiff1 = frac[0] - frac_ref[0]                       # [3,N,W]
+        s2 = frac_ref[1] + sdiff1
+        r2 = jnp.einsum("abw,bnw->anw", h[1], s2)
+        r = s.r.at[1].set(r2)
 
-        vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
-        energy, moments = full_energy_dense_batched(
-            r, h, self.fold_shifts, model, True
-        )
+        vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
+        per = [
+            full_energy_batch(r[l], h[l], self.fold_shifts, model, True)
+            for l in range(L)
+        ]
+        energy = jnp.stack([p[0] for p in per])
+        moments = _stack_moments([p[1] for p in per])
         mu = self._mu_scratch(energy, vol)
         return s._replace(
             r=r, h=h, recip=recip, volume=vol, energy=energy, mu=mu,
@@ -493,18 +548,22 @@ class Engine:
 
     def _audit_energy(self, s: SamplerState):
         """Recompute energies + moments from scratch; returns
-        (state, drift).
+        (state, drift [L,W]).
 
         The reference's monitor both reports the drift AND heals it by
-        overwriting the stored energies (mc_monitor_stats:1781-1792);
-        here the incremental moment tensors are refreshed too.
+        overwriting the stored energies (mc_monitor_stats:1781-1792).
+        The audit deliberately uses the general image-enumeration path
+        (no MIC folding): if a volume move ever shrank a box below the
+        MIC-validity bound, the drift report exposes it.
         """
-        # audit deliberately uses the general image-enumeration path:
-        # if a volume move ever shrank a box below the MIC validity
-        # bound, the drift report exposes it (SURVEY.md §4 oracle 3)
-        fresh, moments = full_energy_dense_batched(
-            s.r, s.h, self.aux.shifts, self.model, False
-        )
+        L = s.r.shape[0]
+        per = [
+            full_energy_batch(s.r[l], s.h[l], self.aux.shifts,
+                              self.model, False)
+            for l in range(L)
+        ]
+        fresh = jnp.stack([p[0] for p in per])
+        moments = _stack_moments([p[1] for p in per])
         drift = s.energy - fresh
         return s._replace(energy=fresh, moments=moments), drift
 
@@ -512,10 +571,10 @@ class Engine:
     # cycle driver
     # ------------------------------------------------------------------
 
-    def _one_cycle(self, s: SamplerState) -> tuple[SamplerState, dict]:
+    def _one_cycle(self, s: SamplerState):
         prm = self.prm
         dtype = self._dtype(s)
-        W, L, N = s.r.shape[:3]
+        L, _, N, W = s.r.shape
         cycle = s.cycle + 1
         s = s._replace(cycle=cycle)
 
@@ -543,25 +602,20 @@ class Engine:
             jnp.where(xi < volP, VOL, jnp.where(xi < swP, SWITCH, NOOP)),
         )
 
-        switch_ok_scalar = True
         if prm.parallel_strategy == "dd":
-            switch_ok = jnp.broadcast_to(
-                cycle >= prm.eq_mc_cycles, (W,)
-            )
+            switch_ok = jnp.broadcast_to(cycle >= prm.eq_mc_cycles, (W,))
         else:
             switch_ok = jnp.ones((W,), dtype=bool)
 
         # Branch-free inner scan: every step executes a MASKED
-        # translation (+ masked switch attempt); lax.switch/cond inside
-        # the hot scan costs ~2 ms/step in conditional carry traffic on
-        # TPU, while a masked no-op translation wastes only the ~0.5%
-        # of steps whose scheduled type is not 'translation'.  The rare
-        # volume moves (prob ~1/nwater per move, io.f90:172) are
-        # hoisted to a once-per-cycle conditional after the scan - a
-        # kernel-reordering deviation from the reference's in-sweep
-        # interleaving (mc_cycle:224-250) that preserves stationarity
-        # (each kernel obeys detailed balance; the mixture schedule is
-        # state-independent).
+        # translation (+ masked switch attempt); conditionals inside
+        # the hot scan cost milliseconds per step on TPU, while a
+        # masked no-op translation wastes only the ~0.5% of steps whose
+        # scheduled type is not 'translation'.  The rare volume moves
+        # (prob ~1/nwater per move, io.f90:172) are hoisted to a
+        # once-per-cycle conditional after the scan - a kernel
+        # reordering that preserves stationarity (each kernel obeys
+        # detailed balance; the mixture schedule is state-independent).
         def step(carry, t):
             st = carry
             code = codes[t]
@@ -575,16 +629,13 @@ class Engine:
                 zeta2 = jax.vmap(
                     lambda k: jax.random.uniform(k, (), dtype=dtype)
                 )(jax.vmap(lambda k: jax.random.fold_in(k, 104729))(keys))
-                # explicit switch-type steps plus the always-switch
-                # attempt after every translation (mc_cycle:243-249);
-                # volume-step switch attempts happen in the volume loop
                 sw_en = code == SWITCH
                 if prm.mc_always_switch:
                     sw_en = sw_en | (code == TRANS)
                 st = self._switch(st, zeta2, switch_ok & sw_en)
             return st, None
 
-        # unroll: amortise the ~0.2-0.4 ms per-iteration while-loop
+        # unroll amortises the ~0.2-0.4 ms per-iteration while-loop
         # overhead of the device over several physical steps
         s, _ = jax.lax.scan(step, s, jnp.arange(N), unroll=8)
 
@@ -641,11 +692,12 @@ class Engine:
         # therm-style per-cycle sample of the first therm_walkers
         # walkers (main.f90:200-223; host filters by file_output_int)
         T = min(prm.therm_walkers, W)
+        e_ls = _take_lat(s.energy, s.ls)
         sample = {
             "cycle": cycle,
-            "E_ls": _take_w(s.energy[:T], s.ls[:T]),
+            "E_ls": e_ls[:T],
             "mu": s.mu[:T],
-            "vol": s.volume[:T],
+            "vol": s.volume[:, :T],
             "ls": s.ls[:T],
         }
         return s, sample
@@ -663,5 +715,4 @@ class Engine:
 
     def merged_histogram(self, s: SamplerState):
         """Fully merged histogram view without advancing snapshots."""
-        s2 = self._sync_all(s)
-        return s2
+        return self._sync_all(s)

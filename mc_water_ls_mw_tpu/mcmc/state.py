@@ -6,9 +6,14 @@ a *batch* of W independent chains in one immutable pytree with leading
 walker axis, so the whole ensemble advances under a single jitted
 program and shards across chips along axis 0 (SURVEY.md §7).
 
-Each walker carries BOTH coupled lattice replicas (axis 1), absorbing
-the reference's OpenMP-over-lattices parallelism (mc_moves.F90:1006)
-into an array dimension.
+Each walker carries BOTH coupled lattice replicas, absorbing the
+reference's OpenMP-over-lattices parallelism (mc_moves.F90:1006) into
+an array dimension.
+
+Layout convention: WALKER-LAST.  Every batched array ends with the
+walker axis W so that W (a multiple of 128) occupies the TPU lane
+dimension and the small per-molecule/coordinate axes sit in sublanes -
+walker-first layouts pad the scan carry 10-45x (see ops/dense.py).
 """
 
 from __future__ import annotations
@@ -39,23 +44,23 @@ class SamplerState(NamedTuple):
     """
 
     # configuration state (data_structures.f90:34-53)
-    r: jnp.ndarray            # [W,L,N,3] positions ('ljr')
-    ref_r: jnp.ndarray        # [W,L,N,3] reference-lattice positions
-    h: jnp.ndarray            # [W,L,3,3] cell matrices
-    recip: jnp.ndarray        # [W,L,3,3]
-    volume: jnp.ndarray       # [W,L]
-    energy: jnp.ndarray       # [W,L] incremental model energy
+    r: jnp.ndarray            # [L,3,N,W] positions ('ljr'), coord-split
+    ref_r: jnp.ndarray        # [L,3,N,W] reference-lattice positions
+    h: jnp.ndarray            # [L,3,3,W] cell matrices
+    recip: jnp.ndarray        # [L,3,3,W]
+    volume: jnp.ndarray       # [L,W]
+    energy: jnp.ndarray       # [L,W] incremental model energy
     mu: jnp.ndarray           # [W] lattice-switch order parameter
     ls: jnp.ndarray           # [W] int32 active lattice (0-based)
 
     # per-molecule three-body moment tensors - the gather-free
     # replacement for the reference's Verlet lists (ops/dense.py)
-    moments: Moments          # s1 [W,L,N], mv [W,L,N,3], mt [W,L,N,3,3]
+    moments: Moments          # ten fields, each [L,N,W]
 
     # multicanonical state (mc_moves.F90:65-71)
-    weight: jnp.ndarray       # [W,B]
-    hist: jnp.ndarray         # [W,B]
-    uhist: jnp.ndarray        # [W,B]
+    weight: jnp.ndarray       # [B,W]
+    hist: jnp.ndarray         # [B,W]
+    uhist: jnp.ndarray        # [B,W]
     f: jnp.ndarray            # [W] Wang-Landau modification factor
     sumhist: jnp.ndarray      # [W] (Swetnam accumulator)
     invt_active: jnp.ndarray  # [W] bool
@@ -82,10 +87,10 @@ class SamplerState(NamedTuple):
     dv_max: jnp.ndarray       # [W]
 
     # counters (mc_moves.F90:44-55)
-    att: jnp.ndarray          # [W,3] attempted trans/vol/switch
-    acc: jnp.ndarray          # [W,3] accepted
-    trans_per_mol: jnp.ndarray  # [W,N]
-    avg_energy: jnp.ndarray   # [W,L]
+    att: jnp.ndarray          # [3,W] attempted trans/vol/switch
+    acc: jnp.ndarray          # [3,W] accepted
+    trans_per_mol: jnp.ndarray  # [N,W]
+    avg_energy: jnp.ndarray   # [L,W]
     min_dmu: jnp.ndarray      # [W]
     max_dmu: jnp.ndarray      # [W]
 
@@ -176,10 +181,13 @@ def init_state(
     bmax = tuple(max(b[d] for b in bounds) for d in range(3))
     shifts = jnp.asarray(enumerate_shifts(bmax))
 
-    r = jnp.broadcast_to(r0, (W, L, N, 3)).astype(dtype)
-    h = jnp.broadcast_to(H0, (W, L, 3, 3)).astype(dtype)
-    recip = jax.vmap(jax.vmap(recip_matrix))(h)
-    vol = jnp.abs(jax.vmap(jax.vmap(determinant3))(h))
+    # walker-last layout: [L,3,N,W] positions, [L,3,3,W] cells
+    r = jnp.broadcast_to(
+        jnp.transpose(r0, (0, 2, 1))[..., None], (L, 3, N, W)
+    ).astype(dtype)
+    h = jnp.broadcast_to(H0[..., None], (L, 3, 3, W)).astype(dtype)
+    recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
+    vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
 
     # all walkers start identical: compute one copy, broadcast
     from ..ops.dense import full_energy_dense
@@ -187,27 +195,28 @@ def init_state(
     e0, mom0 = jax.vmap(full_energy_dense, in_axes=(0, 0, None, None))(
         r0.reshape(L, N, 3), H0, shifts, model
     )
-    energy = jnp.broadcast_to(e0, (W, L)).astype(dtype)
+    energy = jnp.broadcast_to(e0[:, None], (L, W)).astype(dtype)
     moments = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (W, L, N)).astype(dtype), mom0
+        lambda x: jnp.broadcast_to(x[..., None], (L, N, W)).astype(dtype),
+        mom0,
     )
 
     # reference enthalpies (main.f90:146-150)
-    ref_enth = energy[0]
+    ref_enth = energy[:, 0]
     if prm.mc_ensemble == "npt":
-        ref_enth = ref_enth + prm.pressure * vol[0]
+        ref_enth = ref_enth + prm.pressure * vol[:, 0]
     if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
         ref_enth = jnp.asarray(prm.input_ref_enthalpy[:L], dtype=dtype)
 
     # initial order parameter (main.f90:170-175)
     if L == 2:
         mu0 = (
-            energy[:, 0] + prm.pressure * vol[:, 0]
-            - energy[:, 1] - prm.pressure * vol[:, 1]
+            energy[0] + prm.pressure * vol[0]
+            - energy[1] - prm.pressure * vol[1]
         )
         if prm.leshift:
             mu0 = mu0 - ref_enth[0] + ref_enth[1]
-        mu0 = mu0 * prm.beta - N * jnp.log(vol[:, 0] / vol[:, 1])
+        mu0 = mu0 * prm.beta - N * jnp.log(vol[0] / vol[1])
     else:
         mu0 = jnp.zeros((W,), dtype=dtype)
 
@@ -237,13 +246,15 @@ def init_state(
 
     if weight0 is None:
         weight0 = np.zeros(B)
-    weight = jnp.broadcast_to(jnp.asarray(weight0, dtype=dtype), (W, B))
+    weight = jnp.broadcast_to(
+        jnp.asarray(weight0, dtype=dtype)[:, None], (B, W)
+    )
     if prm.parallel_strategy == "dd" and nwin > 1:
         # keep only each window's portion of warm-start weights
         # (mc_init:808-814)
         bin_ids = np.arange(B)
-        winmask = (bin_ids[None, :] >= sb[:, None]) & (
-            bin_ids[None, :] <= eb[:, None]
+        winmask = (bin_ids[:, None] >= sb[None, :]) & (
+            bin_ids[:, None] <= eb[None, :]
         )
         weight = weight * jnp.asarray(winmask, dtype=dtype)
 
@@ -264,8 +275,8 @@ def init_state(
         ls=jnp.asarray(ls0),
         moments=moments,
         weight=weight,
-        hist=jnp.zeros((W, B), dtype=dtype),
-        uhist=jnp.zeros((W, B), dtype=dtype),
+        hist=jnp.zeros((B, W), dtype=dtype),
+        uhist=jnp.zeros((B, W), dtype=dtype),
         f=jnp.full((W,), prm.wl_factor, dtype=dtype),
         sumhist=jnp.zeros((W,), dtype=dtype),
         invt_active=jnp.zeros((W,), dtype=bool),
@@ -284,10 +295,10 @@ def init_state(
         in_window=jnp.asarray(in_window),
         max_trans=jnp.full((W,), prm.mc_max_trans, dtype=dtype),
         dv_max=jnp.full((W,), prm.mc_dv_max, dtype=dtype),
-        att=jnp.zeros((W, 3), dtype=jnp.int32),
-        acc=jnp.zeros((W, 3), dtype=jnp.int32),
-        trans_per_mol=jnp.zeros((W, N), dtype=jnp.int32),
-        avg_energy=jnp.zeros((W, L), dtype=dtype),
+        att=jnp.zeros((3, W), dtype=jnp.int32),
+        acc=jnp.zeros((3, W), dtype=jnp.int32),
+        trans_per_mol=jnp.zeros((N, W), dtype=jnp.int32),
+        avg_energy=jnp.zeros((L, W), dtype=dtype),
         min_dmu=jnp.full((W,), jnp.inf, dtype=dtype),
         max_dmu=jnp.zeros((W,), dtype=dtype),
         cycle=jnp.asarray(0, dtype=jnp.int32),

@@ -36,16 +36,16 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
     dumps (mc_monitor_stats, mc_moves.F90:1691-1934)."""
     prm, grid = eng.prm, eng.grid
     cycle = int(state.cycle)
-    att = np.asarray(state.att, dtype=np.float64)
+    att = np.asarray(state.att, dtype=np.float64)   # [3,W]
     acc = np.asarray(state.acc, dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
-        ratios = acc / att                      # [W,3], NaN where untried
+        ratios = acc / att                      # [3,W], NaN where untried
 
     # step-size adaptation toward the target acceptance ratio
     # (mc_monitor_stats:1729-1732), per walker
     if prm.eq_adjust_mc and cycle < prm.eq_mc_cycles:
-        atr = np.nan_to_num(ratios[:, TRANS], nan=1.0)
-        avr = np.nan_to_num(ratios[:, VOL], nan=1.0)
+        atr = np.nan_to_num(ratios[TRANS], nan=1.0)
+        avr = np.nan_to_num(ratios[VOL], nan=1.0)
         max_trans = np.maximum(
             np.asarray(state.max_trans) * atr / prm.mc_target_ratio, 0.1
         )
@@ -60,23 +60,23 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
     # ensemble-mean statistics block (per-rank block of the reference)
     def pct(i):
         with np.errstate(invalid="ignore", divide="ignore"):
-            return 100.0 * np.nansum(acc[:, i]) / max(np.nansum(att[:, i]), 1)
+            return 100.0 * np.nansum(acc[i]) / max(np.nansum(att[i]), 1)
 
     logs.my("#")
     logs.my(f"# Monte-Carlo statistics at cycle {cycle:10d}")
     logs.my("# " + "-" * 60)
     if prm.allow_trans:
         logs.my(f"# Accepted {pct(TRANS):8.2f} % of "
-                f"{int(att[:, TRANS].sum()):10d} translation moves")
+                f"{int(att[TRANS].sum()):10d} translation moves")
         tpm = np.asarray(state.trans_per_mol)
         logs.my(f"# Translations per molecule: avg "
                 f"{tpm.mean():10.1f} min {tpm.min():6d} max {tpm.max():6d}")
     if prm.mc_ensemble == "npt":
         logs.my(f"# Accepted {pct(VOL):8.2f} % of "
-                f"{int(att[:, VOL].sum()):10d} box moves")
+                f"{int(att[VOL].sum()):10d} box moves")
     if prm.allow_switch or prm.mc_always_switch:
         logs.my(f"# Accepted {pct(SWITCH):8.2f} % of "
-                f"{int(att[:, SWITCH].sum()):10d} lattice switches")
+                f"{int(att[SWITCH].sum()):10d} lattice switches")
     if prm.eq_adjust_mc and cycle < prm.eq_mc_cycles:
         logs.my(f"# Max molecule translation: "
                 f"{np.asarray(state.max_trans).mean() * BOHR_TO_ANG:12.6f} Ang")
@@ -85,10 +85,10 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
 
     # average excitation energy per degree of freedom
     # (mc_monitor_stats:1766-1772)
-    avg_e = np.asarray(state.avg_energy) / prm.monitor_int
+    avg_e = np.asarray(state.avg_energy) / prm.monitor_int   # [L,W]
     ref_h = np.asarray(aux.ref_enthalpy)
     for l in range(prm.num_lattices):
-        exc = (avg_e[:, l].mean() - ref_h[l]) / (
+        exc = (avg_e[l].mean() - ref_h[l]) / (
             KB * prm.temperature * 3 * prm.nwater
         )
         logs.my(f"# lattice {l + 1} = {exc:15.6f} kT per D.O.F.")
@@ -106,15 +106,14 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
 
     # energy drift audit + heal (mc_monitor_stats:1781-1792)
     state, drift = eng.audit_energy(state)
-    drift = np.asarray(drift) * HART_TO_EV
+    drift = np.asarray(drift) * HART_TO_EV                   # [L,W]
     e_now = np.asarray(state.energy) * HART_TO_EV
     for l in range(prm.num_lattices):
-        logs.my(f"#  latt {l + 1}  stored {e_now[:, l].mean() + drift[:, l].mean():12.6f} eV"
-                f"  computed {e_now[:, l].mean():12.6f} eV"
-                f"  max drift {np.abs(drift[:, l]).max():12.3e} eV")
+        logs.my(f"#  latt {l + 1}  stored {e_now[l].mean() + drift[l].mean():12.6f} eV"
+                f"  computed {e_now[l].mean():12.6f} eV"
+                f"  max drift {np.abs(drift[l]).max():12.3e} eV")
 
     # reset accumulators (mc_monitor_stats:1797-1810)
-    W = att.shape[0]
     state = state._replace(
         att=jnp.zeros_like(state.att),
         acc=jnp.zeros_like(state.acc),
@@ -133,19 +132,19 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
             wl_f = float(f_all.max())
             if not prm.samplerun:
                 writers.write_curve("eta_weights.dat", mu_bin,
-                                    np.asarray(state.weight[0]), wl_f)
+                                    np.asarray(state.weight[:, 0]), wl_f)
             writers.write_curve("histogram.dat", mu_bin,
-                                np.asarray(state.hist[0]), wl_f)
+                                np.asarray(state.hist[:, 0]), wl_f)
             writers.write_curve("unbiased_histogram.dat", mu_bin,
-                                np.asarray(state.uhist[0]), wl_f)
+                                np.asarray(state.uhist[:, 0]), wl_f)
         else:
             nwin = _nwin(state)
             wid = np.asarray(state.window_id)
             sb = np.asarray(state.start_bin)
             eb = np.asarray(state.end_bin)
-            w_cur = per_window_curves(np.asarray(state.weight), wid, nwin)
-            h_cur = per_window_curves(np.asarray(state.hist), wid, nwin)
-            u_cur = per_window_curves(np.asarray(state.uhist), wid, nwin)
+            w_cur = per_window_curves(np.asarray(state.weight).T, wid, nwin)
+            h_cur = per_window_curves(np.asarray(state.hist).T, wid, nwin)
+            u_cur = per_window_curves(np.asarray(state.uhist).T, wid, nwin)
             for w in range(nwin):
                 first = np.nonzero(wid == w)[0][0]
                 s, e = sb[first], eb[first] + 1
@@ -182,8 +181,8 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
 
     nwin = _nwin(state)
     wid = np.asarray(state.window_id)
-    hist = np.asarray(state.hist, dtype=np.float64)
-    weight = np.asarray(state.weight, dtype=np.float64)
+    hist = np.asarray(state.hist, dtype=np.float64).T     # [W,B]
+    weight = np.asarray(state.weight, dtype=np.float64).T
     f = np.asarray(state.f, dtype=np.float64)
     sb = np.asarray(state.start_bin)
     eb = np.asarray(state.end_bin)
@@ -281,8 +280,8 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
                             float(f.max()))
 
     state = state._replace(
-        hist=jnp.asarray(hist, dtype=state.hist.dtype),
-        weight=jnp.asarray(weight, dtype=state.weight.dtype),
+        hist=jnp.asarray(hist.T, dtype=state.hist.dtype),
+        weight=jnp.asarray(weight.T, dtype=state.weight.dtype),
         f=jnp.asarray(f, dtype=state.f.dtype),
         firstcycle=jnp.asarray(firstcycle),
         histogram_reset=jnp.asarray(hreset),
@@ -312,12 +311,12 @@ def compute_deltaG(eng: Engine, state: SamplerState, logs,
     cycle = int(state.cycle)
     if prm.parallel_strategy == "mw" or _nwin(state) == 1:
         state = eng.sync_all(state)
-        joined = np.asarray(state.uhist[0], dtype=np.float64)
+        joined = np.asarray(state.uhist[:, 0], dtype=np.float64)
     else:
         nwin = _nwin(state)
         state = eng.sync_all(state)
         curves = per_window_curves(
-            np.asarray(state.uhist), np.asarray(state.window_id), nwin
+            np.asarray(state.uhist).T, np.asarray(state.window_id), nwin
         )
         joined = join_uhist(curves, B, prm.window_overlap)
 

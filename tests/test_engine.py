@@ -67,8 +67,8 @@ def test_moves_actually_accept(examples_dir):
     prm, grid, state, aux = _two_lattice_setup(examples_dir)
     eng = Engine(prm, MW, grid, aux)
     state, _ = eng.run_cycles(state, 10)
-    att = np.asarray(state.att.sum(0))
-    acc = np.asarray(state.acc.sum(0))
+    att = np.asarray(state.att.sum(1))
+    acc = np.asarray(state.acc.sum(1))
     assert att[0] > 0 and att[2] > 0
     assert 0 < acc[0] < att[0]           # translations partly accepted
     assert acc[2] > 0                    # some switches accepted
@@ -94,17 +94,17 @@ def test_delta_sync_merge_semantics(examples_dir):
     )
     eng = Engine(prm, MW, grid, aux)
     state, _ = eng.run_cycles(state, 6)       # no sync happened
-    per_walker = np.asarray(state.hist)       # each grew independently
+    per_walker = np.asarray(state.hist).T     # [W,B], grew independently
     assert np.abs(per_walker.std(axis=0)).max() > 0
     merged = eng.sync_all(state)
-    m = np.asarray(merged.hist)
+    m = np.asarray(merged.hist).T             # [W,B]
     # all walkers identical after merge
     assert np.abs(m - m[0]).max() == 0
     np.testing.assert_allclose(m[0], per_walker.sum(axis=0), rtol=1e-12)
     # snapshots advanced: immediately re-merging changes nothing
     again = eng.sync_all(merged)
     np.testing.assert_allclose(
-        np.asarray(again.hist), m, rtol=0, atol=0
+        np.asarray(again.hist).T, m, rtol=0, atol=0
     )
 
 
@@ -116,16 +116,16 @@ def test_chain_resync(examples_dir):
     state, _ = eng.run_cycles(state, 10)
     synced = eng.resync_chains(state)
     # cell displacement from reference equal in both lattices
-    hd1 = np.asarray(synced.h[:, 0]) - np.asarray(aux.ref_h)[0]
-    hd2 = np.asarray(synced.h[:, 1]) - np.asarray(aux.ref_h)[1]
+    hd1 = np.asarray(synced.h[0]) - np.asarray(aux.ref_h)[0][:, :, None]
+    hd2 = np.asarray(synced.h[1]) - np.asarray(aux.ref_h)[1][:, :, None]
     np.testing.assert_allclose(hd1, hd2, atol=1e-12)
     # fractional displacements from reference sites match
-    from mc_water_ls_mw_tpu.ops.geometry import to_frac
-
-    frac = np.asarray(to_frac(synced.recip, synced.r))
-    frac_ref = np.asarray(to_frac(synced.recip, synced.ref_r))
+    frac = np.einsum("labw,lanw->lbnw", np.asarray(synced.recip),
+                     np.asarray(synced.r)) / (2 * np.pi)
+    frac_ref = np.einsum("labw,lanw->lbnw", np.asarray(synced.recip),
+                         np.asarray(synced.ref_r)) / (2 * np.pi)
     d = frac - frac_ref
-    np.testing.assert_allclose(d[:, 0], d[:, 1], atol=1e-9)
+    np.testing.assert_allclose(d[0], d[1], atol=1e-9)
     # energies are from-scratch after resync
     _, drift = eng.audit_energy(synced)
     assert float(jnp.abs(drift).max()) < 1e-12
@@ -148,7 +148,7 @@ def test_single_box_npt(examples_dir):
     eng = Engine(prm, MW, grid, aux)
     e0 = float(state.energy.mean())
     state, samples = eng.run_cycles(state, 15)
-    att = np.asarray(state.att.sum(0))
+    att = np.asarray(state.att.sum(1))
     assert att[2] == 0                    # no switch attempts
     assert att[1] > 0                     # volume moves happened
     _, drift = eng.audit_energy(state)

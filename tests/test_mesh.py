@@ -75,8 +75,8 @@ def test_sharded_merge_is_global(setup):
     mesh = make_mesh()
     sh = shard_state(state, mesh, prm.n_walkers)
     sh, _ = eng.run_cycles(sh, 3)
-    pre = np.asarray(sh.hist)
+    pre = np.asarray(sh.hist).T               # [W,B]
     merged = eng.sync_all(sh)
-    m = np.asarray(merged.hist)
+    m = np.asarray(merged.hist).T
     np.testing.assert_allclose(m[0], pre.sum(axis=0), rtol=1e-12)
     assert np.abs(m - m[0]).max() == 0
