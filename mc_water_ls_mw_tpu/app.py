@@ -123,7 +123,7 @@ class Application:
 
         n_windows = 1
         if prm.parallel_strategy == "dd" and prm.num_lattices == 2:
-            n_windows = max(2, min(prm.n_walkers, 8))
+            n_windows = max(2, min(prm.n_walkers, prm.n_windows))
 
         state, aux = init_state(
             prm, self.model, r0, H0, self.grid,
@@ -218,20 +218,33 @@ class Application:
             "mW.dcd", r_act, r_oth, np.asarray(s.h[ls0, :, :, 0])
         )
 
-    def run(self, max_cycles=None):
+    def run(self, max_cycles=None, jit_chunk=100):
         prm = self.prm
         eng = self.engine
         total = max_cycles if max_cycles is not None else prm.max_mc_cycles
         block = _block_size(prm)
+        # bound the size of a single compiled program: one jit call
+        # covers at most jit_chunk cycles (very long scans blow up
+        # compile time/memory); chunks of equal length reuse the same
+        # compiled executable
+        chunk = min(block, max(1, jit_chunk))
         done = 0
-        target = self.start_cycle + total
         while done < total and not self._stop:
             n = min(block, total - done)
             # keep block boundaries aligned to the intervals
             cur = int(self.state.cycle)
             to_boundary = block - (cur % block)
             n = min(n, to_boundary)
-            self.state, samples = eng.run_cycles(self.state, n)
+            samples = None
+            left = n
+            while left > 0:
+                c = min(chunk, left)
+                self.state, smp = eng.run_cycles(self.state, c)
+                left -= c
+                samples = smp if samples is None else {
+                    k: np.concatenate([samples[k], np.asarray(smp[k])])
+                    for k in samples
+                }
             done += n
             cycle = int(self.state.cycle)
             self._write_therm(samples)

@@ -119,8 +119,8 @@ _GROUPS = {
     ],
     "parallelisation": ["parallel_strategy", "window_overlap"],
     "tpu": [
-        "n_walkers", "neighbour_capacity", "dtype", "seed",
-        "therm_walkers", "minu",
+        "n_walkers", "n_windows", "neighbour_capacity", "dtype",
+        "seed", "therm_walkers", "minu",
     ],
 }
 

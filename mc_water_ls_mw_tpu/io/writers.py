@@ -207,3 +207,44 @@ def density_kgm3(nwater, volume_au):
     """Active-lattice density as reported in therm output
     (main.f90:202)."""
     return nwater * WATER_MASS / volume_au * AUD_TO_KGM3
+
+
+# ----------------------------------------------------------------------
+# legacy DLPOLY HISTORY trajectory (io.f90:856-1053; present in the
+# reference but not called from its main loop, main.f90:103)
+# ----------------------------------------------------------------------
+
+def write_history_header(path, nwater, num_lattices, rank=0):
+    """Unformatted-Fortran DLPOLY HISTORY header (io_hist_header)."""
+    n = nwater * num_lattices
+    header = f"HISTORY file for rank {rank:3d}".ljust(80).encode()
+    with open(path, "wb") as fh:
+        fh.write(_rec(header))
+        fh.write(_rec(struct.pack("<d", float(n))))
+        fh.write(_rec(b"".join(b"O_mW    " for _ in range(n))))
+        fh.write(_rec(struct.pack(f"<{n}d",
+                                  *([15.9998 + 2.0 * 1.0080] * n))))
+        fh.write(_rec(struct.pack(f"<{n}d", *([0.0] * n))))
+
+
+def append_history(path, icyc, r_active, r_other, h_active):
+    """Append one HISTORY frame (io_hist_append, io.f90:932-1053),
+    including the reference's +2*hmatrix(:,1) offset quirk
+    (io.f90:996-998)."""
+    coords = np.asarray(r_active) * BOHR_TO_ANG
+    if r_other is not None:
+        coords = np.concatenate(
+            [coords, np.asarray(r_other) * BOHR_TO_ANG]
+        )
+    H = np.asarray(h_active) * BOHR_TO_ANG
+    n = len(coords)
+    off = 2.0 * H[:, 0]
+    with open(path, "ab") as fh:
+        fh.write(_rec(struct.pack(
+            "<5d", float(icyc), float(n), 0.0, 3.0, 1.0
+        )))
+        fh.write(_rec(np.asarray(H, dtype="<f8").T.tobytes()))
+        for d in range(3):
+            fh.write(_rec(
+                (coords[:, d] + off[d]).astype("<f8").tobytes()
+            ))

@@ -92,6 +92,7 @@ class RunParams:
 
     # ---- TPU-native extensions (no reference counterpart) ----
     n_walkers: int = 32          # vmapped ensemble size (SURVEY.md §7)
+    n_windows: int = 8           # dd-mode mu-window count (ref: MPI size)
     neighbour_capacity: int = 40 # padded list capacity (ref maxneigh=50)
     dtype: str = "float32"       # compute dtype ('float64' = parity mode)
     seed: int = 0                # RNG seed

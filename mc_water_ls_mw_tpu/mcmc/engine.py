@@ -283,6 +283,32 @@ class Engine:
             dmu = jnp.zeros((W,), dtype=dtype)
             diffkT = prm.beta * dE[0]
 
+        ls_next = s.ls
+        if prm.minu and prm.num_lattices == 2:
+            # #ifdef MINU variant: fold a switch to the lower-enthalpy
+            # lattice into the move (mc_moves.F90:1119-1140)
+            enth = energy_trial = s.energy + dE
+            if prm.mc_ensemble == "npt":
+                enth = enth + prm.pressure * s.volume
+            if prm.leshift:
+                enth = enth - self.aux.ref_enthalpy[:, None]
+            lsn = jnp.argmin(enth, axis=0).astype(jnp.int32)
+            E_lsn = _take_lat(energy_trial, lsn)
+            E_ls_old = _take_lat(s.energy, s.ls)
+            alt = prm.beta * (E_lsn - E_ls_old) + eta_new - eta_old
+            if prm.mc_ensemble == "npt":
+                V_lsn = _take_lat(s.volume, lsn)
+                V_ls = _take_lat(s.volume, s.ls)
+                alt = (
+                    alt + prm.beta * prm.pressure * (V_lsn - V_ls)
+                    - prm.nwater * jnp.log(V_lsn / V_ls)
+                )
+            if prm.leshift:
+                rh = self.aux.ref_enthalpy
+                alt = alt - prm.beta * (rh[lsn] - rh[s.ls])
+            diffkT = jnp.where(lsn != s.ls, alt, diffkT)
+            ls_next = lsn
+
         accept = enabled & (u[:, 5] < jnp.exp(-diffkT))      # (1146)
         accf = accept.astype(dtype)
 
@@ -294,6 +320,7 @@ class Engine:
         )
         energy = s.energy + accf[None, :] * dE
         mu = jnp.where(accept, mu_new, s.mu)
+        ls = jnp.where(accept, ls_next, s.ls) if prm.minu else s.ls
         a2 = accept[None, None, :]
         moments = jax.tree.map(
             lambda e, o: jnp.where(a2, e, o), eff_mom, s.moments
@@ -309,7 +336,7 @@ class Engine:
         max_dmu = jnp.where(accept & (admu > s.max_dmu), admu, s.max_dmu)
 
         s = s._replace(
-            r=r, energy=energy, mu=mu, moments=moments, att=att,
+            r=r, energy=energy, mu=mu, ls=ls, moments=moments, att=att,
             acc=acc, trans_per_mol=tpm, min_dmu=min_dmu,
             max_dmu=max_dmu,
         )

@@ -170,3 +170,24 @@ def test_eq_gating_blocks_wl_updates(examples_dir):
     eng = Engine(prm, MW, grid, aux)
     state, _ = eng.run_cycles(state, 5)
     assert float(state.hist.sum()) == 0.0
+
+
+def test_minu_variant_smoke(examples_dir):
+    """#ifdef MINU variant (mc_moves.F90:1119-1140): moves fold a
+    switch to the lower-enthalpy lattice; chain stays consistent."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir, minu=True)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 8)
+    _, drift = eng.audit_energy(state)
+    assert float(jnp.abs(drift).max()) < 1e-11
+    mu_scratch = eng._mu_scratch(state.energy, state.volume)
+    np.testing.assert_allclose(
+        np.asarray(state.mu), np.asarray(mu_scratch), atol=1e-9
+    )
+    # with minu the active lattice tracks the lower-enthalpy replica
+    enth = np.asarray(state.energy) + float(prm.pressure) * np.asarray(
+        state.volume
+    )
+    ls = np.asarray(state.ls)
+    # not asserting all (switch acceptance also moves ls), just sanity
+    assert set(np.unique(ls)) <= {0, 1}
