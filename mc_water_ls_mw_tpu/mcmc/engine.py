@@ -173,9 +173,15 @@ class Engine:
         hist = s.hist + oh * incr[None, :]
 
         if prm.samplerun:
-            # unbiased histogram with frozen weights (1625-1632)
+            # unbiased histogram with frozen weights (1625-1632).
+            # Mask BEFORE the exp: out-of-window walkers carry the
+            # eta wall (1e30) and exp(wall) * 0 would poison the
+            # histogram with NaN.
             eta_val = self._eta(s, s.mu)
-            u_incr = incr * jnp.exp(eta_val - self.aux.log_unbiased_norm)
+            arg = jnp.where(
+                upd > 0, eta_val - self.aux.log_unbiased_norm, -1.0
+            )
+            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
             uhist = s.uhist + oh * u_incr[None, :]
             return s._replace(hist=hist, uhist=uhist)
 
