@@ -89,6 +89,22 @@ class Application:
         # initial structure (read_xmol, init.f90:38-125)
         r0, H0 = read_lattices(".", prm.num_lattices, prm.nwater)
 
+        # optional supercell tiling (TPU extension, &tpu tile=...)
+        if tuple(prm.tile) != (1, 1, 1):
+            from .io.xmol import tile_cell
+
+            import dataclasses
+
+            tiled = [tile_cell(r0[l], H0[l], prm.tile)
+                     for l in range(prm.num_lattices)]
+            r0 = np.stack([t[0] for t in tiled])
+            H0 = np.stack([t[1] for t in tiled])
+            self.prm = prm = dataclasses.replace(
+                prm, nwater=r0.shape[1]
+            )
+            logs.g(f"# Tiled input cells {prm.tile} -> "
+                   f"N = {prm.nwater}")
+
         # bin grid; nbins may be promoted to odd (mc_init:557)
         grid_dtype = (
             jnp.float64 if prm.dtype == "float64" else jnp.float32

@@ -120,7 +120,7 @@ _GROUPS = {
     "parallelisation": ["parallel_strategy", "window_overlap"],
     "tpu": [
         "n_walkers", "n_windows", "neighbour_capacity", "dtype",
-        "seed", "therm_walkers", "minu",
+        "seed", "therm_walkers", "minu", "tile",
     ],
 }
 
@@ -166,6 +166,8 @@ def read_input(path: str, extra_overrides: dict | None = None) -> RunParams:
         fields["input_ref_enthalpy"] = (
             float(fields["input_ref_enthalpy"]), 0.0
         )
+    if "tile" in fields and not isinstance(fields["tile"], tuple):
+        fields["tile"] = (int(fields["tile"]),) * 3
 
     prm = RunParams(**fields)
 

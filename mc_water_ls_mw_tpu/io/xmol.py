@@ -53,3 +53,24 @@ def read_lattices(directory, num_lattices, expected_n=None):
         rs.append(r)
         Hs.append(H)
     return np.stack(rs), np.stack(Hs)
+
+
+def tile_cell(r, H, reps):
+    """Replicate a cell (na, nb, nc) times -> supercell positions.
+
+    TPU-native extension (no reference counterpart): the reference
+    only ever reads the cell from file.  Used to scale the packaged
+    N=48 ice cells up to larger benchmark systems (e.g. 2x2x2 -> 384
+    molecules) while preserving the crystal structure.
+    """
+    import itertools
+
+    r = np.asarray(r, dtype=np.float64)
+    H = np.asarray(H, dtype=np.float64)
+    na, nb, nc = reps
+    out = []
+    for i, j, k in itertools.product(range(na), range(nb), range(nc)):
+        shift = H @ np.array([i, j, k], dtype=np.float64)
+        out.append(r + shift)
+    H_new = H @ np.diag([na, nb, nc]).astype(np.float64)
+    return np.concatenate(out), H_new

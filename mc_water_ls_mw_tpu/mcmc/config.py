@@ -98,6 +98,7 @@ class RunParams:
     seed: int = 0                # RNG seed
     therm_walkers: int = 1       # walkers sampled into therm output
     minu: bool = False           # reference's #ifdef MINU variant
+    tile: tuple = (1, 1, 1)      # supercell replication of the input cells
 
     @property
     def beta(self) -> float:

@@ -144,3 +144,25 @@ def test_checkpoint_dual_slot(tmp_path, examples_dir):
     open(path, "wb").write(b"garbage")
     loaded2, cycle2, _ = ck.load_checkpoint(state, str(tmp_path))
     assert cycle2 == 0
+
+
+def test_tile_cell(examples_dir):
+    import jax.numpy as jnp
+
+    from mc_water_ls_mw_tpu.io.xmol import read_lattices, tile_cell
+    from mc_water_ls_mw_tpu.models.sw import MW
+    from mc_water_ls_mw_tpu.ops.dense import (
+        full_energy_dense, reduced_shift_set,
+    )
+
+    r, H = read_lattices(examples_dir / "ice1_sample", 2, 48)
+    r2, H2 = tile_cell(r[0], H[0], (2, 2, 2))
+    assert r2.shape == (384, 3)
+    # energy per molecule is invariant under exact tiling
+    sh1 = jnp.asarray(reduced_shift_set(H[0], MW))
+    sh2 = jnp.asarray(reduced_shift_set(H2, MW))
+    e1, _ = full_energy_dense(jnp.asarray(r[0]), jnp.asarray(H[0]),
+                              sh1, MW, True)
+    e2, _ = full_energy_dense(jnp.asarray(r2), jnp.asarray(H2),
+                              sh2, MW, True)
+    assert float(e2) / 8 == pytest.approx(float(e1), rel=1e-12)
