@@ -224,11 +224,14 @@ class Engine:
     # moves
     # ------------------------------------------------------------------
 
-    def _translation(self, s: SamplerState, keys,
+    def _translation(self, s: SamplerState, u,
                      enabled=True) -> SamplerState:
         """Single-molecule translation in both replicas
         (mc_water_translation, mc_moves.F90:966-1213).
 
+        ``u``: [>=6, W] pre-drawn uniforms for this step (the whole
+        cycle's randoms are generated in one batched threefry call -
+        per-step small RNG kernels are dispatch-bound on TPU).
         ``enabled`` (scalar or [W]) masks the whole move: the scan body
         runs it every step and masks out non-translation steps -
         branch-free stepping is far cheaper on TPU than lax.switch.
@@ -239,17 +242,18 @@ class Engine:
         W = s.r.shape[3]
         dtype = self._dtype(s)
 
-        u = jax.vmap(lambda k: jax.random.uniform(k, (7,), dtype=dtype))(
-            keys
-        )                                                    # [W,7]
-        imol = jnp.minimum((u[:, 0] * N).astype(jnp.int32), N - 1)
+        imol = jnp.minimum((u[0] * N).astype(jnp.int32), N - 1)
 
         # random direction x magnitude (mc_moves.F90:1021-1039)
-        d0 = 2.0 * u[:, 1] - 1.0
-        d1 = 2.0 * u[:, 2] - 1.0
-        d2 = 2.0 * u[:, 3] - 1.0
-        inv_norm = jax.lax.rsqrt(d0 * d0 + d1 * d1 + d2 * d2)
-        rmag = (2.0 * u[:, 4] - 1.0) * s.max_trans * inv_norm
+        d0 = 2.0 * u[1] - 1.0
+        d1 = 2.0 * u[2] - 1.0
+        d2 = 2.0 * u[3] - 1.0
+        # guard the (astronomically rare in f32, but possible) zero
+        # direction vector against rsqrt(0) = inf
+        inv_norm = jax.lax.rsqrt(
+            jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
+        )
+        rmag = (2.0 * u[4] - 1.0) * s.max_trans * inv_norm
         v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])     # [3,W]
 
         # same fractional displacement in the partner lattice
@@ -315,7 +319,7 @@ class Engine:
             diffkT = jnp.where(lsn != s.ls, alt, diffkT)
             ls_next = lsn
 
-        accept = enabled & (u[:, 5] < jnp.exp(-diffkT))      # (1146)
+        accept = enabled & (u[5] < jnp.exp(-diffkT))         # (1146)
         accf = accept.astype(dtype)
 
         onehot = (jnp.arange(N)[:, None] == imol[None, :])   # [N,W]
@@ -324,7 +328,10 @@ class Engine:
             * onehot.astype(dtype)[None, None, :, :]
             * transvec[:, :, None, :]
         )
-        energy = s.energy + accf[None, :] * dE
+        # where-based (not multiply-masked) update: a rejected overlap
+        # proposal can carry non-finite dE, and 0 * inf = NaN would
+        # poison the accumulator
+        energy = jnp.where(accept[None, :], s.energy + dE, s.energy)
         mu = jnp.where(accept, mu_new, s.mu)
         ls = jnp.where(accept, ls_next, s.ls) if prm.minu else s.ls
         a2 = accept[None, None, :]
@@ -649,23 +656,28 @@ class Engine:
         # once-per-cycle conditional after the scan - a kernel
         # reordering that preserves stationarity (each kernel obeys
         # detailed balance; the mixture schedule is state-independent).
+        # the whole cycle's per-walker uniforms in one threefry call:
+        # [N, 7, W] (slots: imol, direction x3, magnitude, accept,
+        # switch); per-step small RNG kernels are dispatch-bound
+        cycle_u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, cycle), (N, 7), dtype=dtype
+            ),
+            out_axes=2,
+        )(s.key)                                         # [N,7,W]
+
         def step(carry, t):
             st = carry
             code = codes[t]
-            keys = jax.vmap(
-                lambda k: jax.random.fold_in(jax.random.fold_in(k, cycle), t)
-            )(st.key)
-            st = self._translation(st, keys, enabled=(code == TRANS))
+            u = cycle_u[t]                               # [7,W]
+            st = self._translation(st, u, enabled=(code == TRANS))
             if prm.num_lattices == 2 and (
                 prm.mc_always_switch or prm.allow_switch
             ):
-                zeta2 = jax.vmap(
-                    lambda k: jax.random.uniform(k, (), dtype=dtype)
-                )(jax.vmap(lambda k: jax.random.fold_in(k, 104729))(keys))
                 sw_en = code == SWITCH
                 if prm.mc_always_switch:
                     sw_en = sw_en | (code == TRANS)
-                st = self._switch(st, zeta2, switch_ok & sw_en)
+                st = self._switch(st, u[6], switch_ok & sw_en)
             return st, None
 
         # unroll amortises the ~0.2-0.4 ms per-iteration while-loop
