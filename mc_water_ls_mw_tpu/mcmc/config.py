@@ -95,6 +95,8 @@ class RunParams:
     n_windows: int = 8           # dd-mode mu-window count (ref: MPI size)
     neighbour_capacity: int = 40 # padded list capacity (ref maxneigh=50)
     dtype: str = "float32"       # compute dtype ('float64' = parity mode)
+    fused: str = "auto"          # whole-cycle Pallas kernel: on/off/auto
+                                 # (auto = on for TPU, off for CPU)
     seed: int = 0                # RNG seed
     therm_walkers: int = 1       # walkers sampled into therm output
     minu: bool = False           # reference's #ifdef MINU variant

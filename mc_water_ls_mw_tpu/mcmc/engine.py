@@ -71,8 +71,9 @@ class Engine:
     """
 
     def __init__(self, prm: RunParams, model: SWParams, grid: BinGrid,
-                 aux: EngineAux):
+                 aux: EngineAux, mesh=None):
         self.prm = prm
+        self.mesh = mesh
         self.model = model
         self.grid = grid
         self.aux = aux
@@ -81,6 +82,17 @@ class Engine:
         # with a reduced residual shift set (1-3 candidates instead of
         # the full enumeration; ops/dense.py reduced_shift_set)
         self.fold_shifts = reduced_shift_set(aux.ref_h, model)
+        # fused whole-cycle Pallas kernel (mcmc/fused.py): the hot
+        # N-step inner loop with per-walker state resident in VMEM
+        if prm.fused == "auto":
+            self.use_fused = jax.default_backend() != "cpu"
+        else:
+            self.use_fused = prm.fused == "on"
+        if self.use_fused:
+            from .fused import FusedCycle
+            self.fused_cycle = FusedCycle(
+                prm, model, grid, aux, self.fold_shifts, mesh=mesh
+            )
         # jitted entry points
         self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
         self.sync_all = jax.jit(self._sync_all)
@@ -643,9 +655,10 @@ class Engine:
         )
 
         if prm.parallel_strategy == "dd":
-            switch_ok = jnp.broadcast_to(cycle >= prm.eq_mc_cycles, (W,))
+            switch_ok_scalar = cycle >= prm.eq_mc_cycles
         else:
-            switch_ok = jnp.ones((W,), dtype=bool)
+            switch_ok_scalar = jnp.asarray(True)
+        switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
 
         # Branch-free inner scan: every step executes a MASKED
         # translation (+ masked switch attempt); conditionals inside
@@ -666,23 +679,33 @@ class Engine:
             out_axes=2,
         )(s.key)                                         # [N,7,W]
 
-        def step(carry, t):
-            st = carry
-            code = codes[t]
-            u = cycle_u[t]                               # [7,W]
-            st = self._translation(st, u, enabled=(code == TRANS))
-            if prm.num_lattices == 2 and (
-                prm.mc_always_switch or prm.allow_switch
-            ):
-                sw_en = code == SWITCH
-                if prm.mc_always_switch:
-                    sw_en = sw_en | (code == TRANS)
-                st = self._switch(st, u[6], switch_ok & sw_en)
-            return st, None
+        if self.use_fused:
+            # the whole N-step hot loop in one Pallas kernel with the
+            # walker block resident in VMEM (mcmc/fused.py); consumes
+            # the same codes/cycle_u streams as the scan path below
+            s = self.fused_cycle(
+                s, codes, cycle_u,
+                wl_active=cycle >= prm.eq_mc_cycles,
+                switch_ok=switch_ok_scalar,
+            )
+        else:
+            def step(carry, t):
+                st = carry
+                code = codes[t]
+                u = cycle_u[t]                           # [7,W]
+                st = self._translation(st, u, enabled=(code == TRANS))
+                if prm.num_lattices == 2 and (
+                    prm.mc_always_switch or prm.allow_switch
+                ):
+                    sw_en = code == SWITCH
+                    if prm.mc_always_switch:
+                        sw_en = sw_en | (code == TRANS)
+                    st = self._switch(st, u[6], switch_ok & sw_en)
+                return st, None
 
-        # unroll amortises the ~0.2-0.4 ms per-iteration while-loop
-        # overhead of the device over several physical steps
-        s, _ = jax.lax.scan(step, s, jnp.arange(N), unroll=8)
+            # unroll amortises the ~0.2-0.4 ms per-iteration while-loop
+            # overhead of the device over several physical steps
+            s, _ = jax.lax.scan(step, s, jnp.arange(N), unroll=8)
 
         # volume moves scheduled this cycle, executed back-to-back
         # (mc_volume, mc_moves.F90:1216-1534)

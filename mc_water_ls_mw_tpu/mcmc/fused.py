@@ -1,0 +1,739 @@
+"""Fused whole-cycle Pallas TPU kernel.
+
+The scan-based engine path (engine._one_cycle) dispatches one XLA
+program per trial move; every step round-trips the full walker state
+(positions, moment tensors, WL arrays - tens of MB) through HBM, and
+that traffic plus per-step fixed costs dominate the cycle time.  This
+module fuses ALL nwater trial moves of a cycle (translations, switch
+attempts and Wang-Landau updates - mc_cycle's hot loop,
+mc_moves.F90:224-250) into ONE Pallas kernel whose per-walker state
+stays resident in VMEM for the whole cycle:
+
+* grid = blocks of WB walkers; each program advances its block through
+  the entire cycle with a fori_loop over the nwater steps;
+* all state (positions, moments, energies, WL weight/histogram slabs,
+  counters) is copied HBM->VMEM once per cycle and written back once;
+* per-walker "scalars" are packed into two small [rows, W] arrays
+  (wf: float rows, wi: int rows) so the kernel has a bounded operand
+  list and clean (sublane, lane) tiles;
+* all gathers are expressed as one-hot mask contractions (molecule
+  selection, eta / binwidth lookups) - the same gather-free discipline
+  as ops/dense.py, which Mosaic vectorises at full VPU rate;
+* the SW energy math is the identical moment-tensor formulation as
+  ops/dense.py (shared helpers), with the image-shift axis unrolled in
+  Python (S = 1-3 after MIC folding).
+
+Rare events stay outside the kernel exactly as in the scan path:
+volume moves (full-cell recompute, ~1/nwater of moves), delta-syncs,
+chain resync, and all host-side IO (engine._one_cycle).
+
+Statistical semantics are IDENTICAL to the scan path - both consume
+the same pre-drawn uniforms (cycle_u) and shared move-type schedule
+(codes), so the two paths produce bit-comparable chains up to
+floating-point reduction order (pinned by tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.sw import SWParams
+from ..ops.dense import (
+    Moments,
+    _e3_closed_form,
+    _leg,
+    _mic_fold,
+    _pair,
+)
+from .bins import ETA_WALL, BinGrid, mu_to_bin
+from .config import RunParams
+
+# move-type codes - must match engine.py
+TRANS, VOL, SWITCH, NOOP = 0, 1, 2, 3
+
+# wf (float per-walker rows)
+WF_MU, WF_F, WF_SUMHIST, WF_MIN_DMU, WF_MAX_DMU = 0, 1, 2, 3, 4
+WF_MAX_TRANS, WF_MU_MIN, WF_MU_MAX = 5, 6, 7
+WF_ROWS = 8
+# wi (int per-walker rows)
+WI_LS = 0
+WI_ATT = 1            # rows 1..3: attempted trans/vol/switch
+WI_ACC = 4            # rows 4..6: accepted
+WI_START, WI_END, WI_INWIN, WI_INVT = 7, 8, 9, 10
+WI_ROWS = 11
+
+# flags (scalar-prefetch int rows)
+FL_WL_ACTIVE, FL_SWITCH_OK, FL_CYCLE = 0, 1, 2
+
+
+def _iota_eq(n, idx):
+    """One-hot bool [n, W]: row index == idx ([W] int32)."""
+    rows = lax.broadcasted_iota(jnp.int32, (n, idx.shape[0]), 0)
+    return rows == idx[None, :]
+
+
+class FusedCycle:
+    """One compiled whole-cycle kernel for a fixed (prm, model, grid).
+
+    Call signature mirrors one engine scan block:
+    ``s' = fused(s, codes, cycle_u, wl_active, switch_ok)``.
+    """
+
+    def __init__(self, prm: RunParams, model: SWParams, grid: BinGrid,
+                 aux, fold_shifts, mesh=None):
+        self.prm = prm
+        self.model = model
+        self.grid = grid
+        # Under a multi-device mesh a bare pallas_call is not GSPMD-
+        # partitionable (it would be replicated with all-gathered
+        # operands); wrap it in shard_map over the walker axis instead.
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.shifts = [tuple(int(x) for x in sh)
+                       for sh in np.asarray(fold_shifts)]
+        self.ref_enth = tuple(float(x)
+                              for x in np.asarray(aux.ref_enthalpy))
+        self.log_norm = float(aux.log_unbiased_norm)
+        # interpret mode makes the kernel runnable (slowly) on CPU -
+        # used by the equivalence tests
+        self.interpret = jax.default_backend() == "cpu"
+        self._samplerun = prm.samplerun and prm.num_lattices == 2
+
+    # ------------------------------------------------------------------
+    # kernel-side physics (mirrors ops/dense.py, S-axis unrolled)
+    # ------------------------------------------------------------------
+
+    def _cand(self, rx, ry, rz, Hc, one_i, p):
+        """Dense candidates of the molecule at ``p`` for one walker
+        block.  Returns (pair_sum [W], legs [(w,ux,uy,uz)] per shift,
+        delta Moments [N,W], own Moments [W], e3i [W]).
+        Mirror of ops/dense._candidates with the shift axis unrolled.
+        """
+        m = self.model
+        px, py, pz = p
+        ex = jnp.where(one_i, px[None, :], rx)
+        ey = jnp.where(one_i, py[None, :], ry)
+        ez = jnp.where(one_i, pz[None, :], rz)
+        fx, fy, fz = _mic_fold(
+            ex - px[None, :], ey - py[None, :], ez - pz[None, :], Hc
+        )
+
+        legs = []
+        acc = {}
+
+        def add(key, val):
+            acc[key] = val if key not in acc else acc[key] + val
+
+        pair_sum = None
+        for sh in self.shifts:
+            if sh == (0, 0, 0):
+                dx, dy, dz = fx, fy, fz
+                exclude_self = True    # null image: not self-interacting
+            else:
+                imx = sh[0] * Hc[0][0] + sh[1] * Hc[0][1] + sh[2] * Hc[0][2]
+                imy = sh[0] * Hc[1][0] + sh[1] * Hc[1][1] + sh[2] * Hc[1][2]
+                imz = sh[0] * Hc[2][0] + sh[1] * Hc[2][1] + sh[2] * Hc[2][2]
+                dx = fx + imx[None, :]
+                dy = fy + imy[None, :]
+                dz = fz + imz[None, :]
+                exclude_self = False
+            r2 = dx * dx + dy * dy + dz * dz
+            in_rc = r2 < m.rc2
+            if exclude_self:
+                in_rc = in_rc & ~one_i
+            r2s = jnp.where(in_rc, r2, 1.0)
+            inv = lax.rsqrt(r2s)
+            rij = r2s * inv
+            psum = jnp.sum(_pair(r2s, rij, in_rc, m), axis=0)
+            pair_sum = psum if pair_sum is None else pair_sum + psum
+            w = _leg(rij, in_rc, m)
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+            legs.append((w, ux, uy, uz))
+            wux, wuy, wuz = w * ux, w * uy, w * uz
+            add("s1", w)
+            add("mx", wux)
+            add("my", wuy)
+            add("mz", wuz)
+            add("mxx", wux * ux)
+            add("myy", wuy * uy)
+            add("mzz", wuz * uz)
+            add("mxy", wux * uy)
+            add("mxz", wux * uz)
+            add("myz", wuy * uz)
+            add("w2", w * w)
+
+        # per-j delta: m* sign flipped (j's view), as in dense.py
+        delta = Moments(
+            acc["s1"], -acc["mx"], -acc["my"], -acc["mz"],
+            acc["mxx"], acc["myy"], acc["mzz"],
+            acc["mxy"], acc["mxz"], acc["myz"],
+        )
+        own = Moments(
+            acc["s1"].sum(0), acc["mx"].sum(0), acc["my"].sum(0),
+            acc["mz"].sum(0), acc["mxx"].sum(0), acc["myy"].sum(0),
+            acc["mzz"].sum(0), acc["mxy"].sum(0), acc["mxz"].sum(0),
+            acc["myz"].sum(0),
+        )
+        e3i = _e3_closed_form(own, acc["w2"].sum(0), m.cos0)
+        return pair_sum, legs, delta, own, e3i
+
+    def _jcent(self, legs, mm: Moments):
+        """Wing-angle sums i-j-k (ops/dense._jcentred, S unrolled)."""
+        c0 = self.model.cos0
+        tot = None
+        for (w, ux, uy, uz) in legs:
+            quad = (
+                ux * ux * mm.mxx + uy * uy * mm.myy + uz * uz * mm.mzz
+                + 2.0 * (ux * uy * mm.mxy + ux * uz * mm.mxz
+                         + uy * uz * mm.myz)
+            )
+            lin = ux * mm.mx + uy * mm.my + uz * mm.mz
+            per = (
+                quad + 2.0 * c0 * lin + c0 * c0 * mm.s1
+                - (1.0 - c0) ** 2 * w
+            )
+            t = jnp.sum(w * per, axis=0)
+            tot = t if tot is None else tot + t
+        return tot
+
+    def _local(self, rx, ry, rz, Hc, one_i, p_old, p_new, mom_l):
+        """Old/new local energies + post-accept moments for one lattice
+        (mirror of ops/dense.local_energies_batch)."""
+        lam_eps = self.model.lam * self.model.epsilon
+        pair_o, legs_o, del_o, _own_o, e3i_o = self._cand(
+            rx, ry, rz, Hc, one_i, p_old
+        )
+        e3j_old = self._jcent(legs_o, mom_l)
+        e_old = pair_o + lam_eps * (e3i_o + e3j_old)
+
+        pair_n, legs_n, del_n, own_n, e3i_n = self._cand(
+            rx, ry, rz, Hc, one_i, p_new
+        )
+        eff = Moments(*(
+            jnp.where(one_i, ow[None, :], st - do + dn)
+            for st, do, dn, ow in zip(mom_l, del_o, del_n, own_n)
+        ))
+        e3j_new = self._jcent(legs_n, eff)
+        e_new = pair_n + lam_eps * (e3i_n + e3j_new)
+        return e_old, e_new, eff
+
+    # ------------------------------------------------------------------
+    # kernel-side sampler pieces (mirror engine.py on refs)
+    # ------------------------------------------------------------------
+
+    def _mu_scratch_rows(self, e0, e1, v0, v1):
+        prm = self.prm
+        mu = e0 + prm.pressure * v0 - e1 - prm.pressure * v1
+        if prm.leshift:
+            mu = mu - self.ref_enth[0] + self.ref_enth[1]
+        return mu * prm.beta - prm.nwater * jnp.log(v0 / v1)
+
+    def _eta(self, weight, mu, my_min, my_max, start_bin, end_bin,
+             in_window, binw, mub):
+        """eta(mu) on a walker block via one-hot lookups
+        (engine._eta / bins.eta_weight; mc_moves.F90:893-964)."""
+        grid, prm = self.grid, self.prm
+        B = grid.nbins
+        dtype = weight.dtype
+        k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)
+        ohk = _iota_eq(B, k).astype(dtype)
+        w_k = jnp.sum(ohk * weight, axis=0)
+        if not prm.eta_interp:
+            eta = w_k
+        else:
+            km = jnp.clip(k - 1, 0, B - 1)
+            kp = jnp.clip(k + 1, 0, B - 1)
+            ohm = _iota_eq(B, km).astype(dtype)
+            ohp = _iota_eq(B, kp).astype(dtype)
+            w_km = jnp.sum(ohm * weight, axis=0)
+            w_kp = jnp.sum(ohp * weight, axis=0)
+            bw_k = jnp.sum(ohk * binw, axis=0)
+            bw_km = jnp.sum(ohm * binw, axis=0)
+            bw_kp = jnp.sum(ohp * binw, axis=0)
+            mub_k = jnp.sum(ohk * mub, axis=0)
+            mub_km = jnp.sum(ohm * mub, axis=0)
+            grad_up = 2.0 * (w_kp - w_k) / (bw_k + bw_kp)
+            grad_dn = 2.0 * (w_k - w_km) / (bw_k + bw_km)
+            eta_first = w_k + (mu - mub_k) * grad_up
+            eta_last = w_k + (mu - mub_k) * grad_dn
+            eta_mid_up = w_k + (mu - mub_k) * grad_up
+            eta_mid_dn = w_km + (mu - mub_km) * grad_dn
+            eta = jnp.where(
+                k == start_bin,
+                eta_first,
+                jnp.where(
+                    k == end_bin,
+                    eta_last,
+                    jnp.where(mu > mub_k, eta_mid_up, eta_mid_dn),
+                ),
+            )
+        wall = (mu < my_min) | (mu > my_max)
+        eta = jnp.where(wall, ETA_WALL, eta)
+        return jnp.where(in_window, eta, jnp.zeros_like(eta))
+
+    def _eta_of(self, wgt, wf, wi, mu, binw, mub):
+        return self._eta(
+            wgt[...], mu, wf[WF_MU_MIN], wf[WF_MU_MAX],
+            wi[WI_START], wi[WI_END], wi[WI_INWIN] != 0, binw, mub,
+        )
+
+    def _wl_update(self, wgt, hist, uh, wf, wi, binw, mub,
+                   wl_active, cyc_f, enabled):
+        """Per-move WL update on refs (engine._wl_update;
+        mc_update_wl_bins, mc_moves.F90:1597-1689)."""
+        prm, grid = self.prm, self.grid
+        if prm.num_lattices != 2:
+            return
+        B = grid.nbins
+        dtype = wgt.dtype
+        mu = wf[WF_MU]
+
+        active = enabled & wl_active                    # scalar
+        k = mu_to_bin(grid, mu)
+        in_grid = (k >= 0) & (k < B)
+        kc = jnp.clip(k, 0, B - 1)
+        upd = (in_grid & active).astype(dtype)          # [W]
+        ohk = _iota_eq(B, kc).astype(dtype)
+        oh = ohk * upd[None, :]
+        bw_kc = jnp.sum(ohk * binw, axis=0)
+        incr = grid.av_binwidth / bw_kc                 # [W]
+
+        hist[...] = hist[...] + oh * incr[None, :]
+
+        if self._samplerun:
+            # unbiased histogram, frozen weights (1625-1632); mask
+            # BEFORE the exp (eta wall would poison via exp(1e30)*0)
+            eta_val = self._eta_of(wgt, wf, wi, mu, binw, mub)
+            arg = jnp.where(upd > 0, eta_val - self.log_norm, -1.0)
+            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+            uh[...] = uh[...] + oh * u_incr[None, :]
+            return
+
+        f = wf[WF_F]
+        if prm.wl_swetnam:
+            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653)
+            sumh = wf[WF_SUMHIST] + upd
+            wf[WF_SUMHIST, :] = sumh
+            h_now = hist[...]
+            binfrac = binw / (prm.mu_max - prm.mu_min - 1.0)
+            dev = (
+                h_now * binw / jnp.maximum(sumh, 1.0)[None, :] - binfrac
+            )
+            rms = jnp.sqrt(jnp.mean(dev * dev, axis=0))
+            f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
+            f_new = jnp.minimum(f_new, prm.wl_factor)
+            f = jnp.where(active & (upd > 0), f_new, f)
+            wf[WF_F, :] = f
+        elif prm.wl_useinvt:
+            # 1/t schedule once active (mc_moves.F90:1655-1658)
+            f_invt = jnp.minimum(f, B / (cyc_f * prm.nwater))
+            f = jnp.where((wi[WI_INVT] != 0) & active, f_invt, f)
+            wf[WF_F, :] = f
+
+        weight = wgt[...] + oh * (incr * f)[None, :]
+        # shift window minimum to zero (mc_moves.F90:1680-1685)
+        rows = lax.broadcasted_iota(jnp.int32, weight.shape, 0)
+        winmask = (rows >= wi[WI_START][None, :]) & (
+            rows <= wi[WI_END][None, :]
+        )
+        minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
+        weight = jnp.where(
+            winmask & (upd[None, :] > 0), weight - minv[None, :], weight
+        )
+        wgt[...] = weight
+
+    def _do_translation(self, h, recip, vol, r, mom, e, wgt, hist, uh,
+                        tpm, wf, wi, binw, mub, ut, enabled,
+                        wl_active, cyc_f):
+        """One masked translation step on refs (engine._translation;
+        mc_water_translation, mc_moves.F90:966-1213)."""
+        prm = self.prm
+        L, N = prm.num_lattices, prm.nwater
+        dtype = wf.dtype
+        ls = wi[WI_LS]
+        mu = wf[WF_MU]
+
+        imol = jnp.minimum((ut[0] * N).astype(jnp.int32), N - 1)
+        one_i = _iota_eq(N, imol)                        # [N,W] bool
+        one_if = one_i.astype(dtype)
+
+        d0 = 2.0 * ut[1] - 1.0
+        d1 = 2.0 * ut[2] - 1.0
+        d2 = 2.0 * ut[3] - 1.0
+        inv_norm = lax.rsqrt(
+            jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
+        )
+        rmag = (2.0 * ut[4] - 1.0) * wf[WF_MAX_TRANS] * inv_norm
+        v = (d0 * rmag, d1 * rmag, d2 * rmag)
+
+        Hcs = [[[h[l, a, b] for b in range(3)] for a in range(3)]
+               for l in range(L)]
+        Rcs = [[[recip[l, a, b] for b in range(3)] for a in range(3)]
+               for l in range(L)]
+        if L == 2:
+            recip_ls = [[jnp.where(ls == 0, Rcs[0][a][b], Rcs[1][a][b])
+                         for b in range(3)] for a in range(3)]
+        else:
+            recip_ls = Rcs[0]
+        inv2pi = 0.5 / np.pi
+        # same fractional displacement in the partner lattice
+        # (mc_moves.F90:1042-1067)
+        sfrac = [
+            sum(v[a] * recip_ls[a][b] for a in range(3)) * inv2pi
+            for b in range(3)
+        ]
+        transvec = []
+        for l in range(L):
+            tv = [sum(Hcs[l][a][b] * sfrac[b] for b in range(3))
+                  for a in range(3)]
+            if L == 2:
+                transvec.append(
+                    [jnp.where(ls == l, v[a], tv[a]) for a in range(3)]
+                )
+            else:
+                transvec.append(list(v))
+
+        e_olds, e_news, effs = [], [], []
+        for l in range(L):
+            rx, ry, rz = r[l, 0], r[l, 1], r[l, 2]
+            p_old = (
+                jnp.sum(one_if * rx, axis=0),
+                jnp.sum(one_if * ry, axis=0),
+                jnp.sum(one_if * rz, axis=0),
+            )
+            p_new = (
+                p_old[0] + transvec[l][0],
+                p_old[1] + transvec[l][1],
+                p_old[2] + transvec[l][2],
+            )
+            mom_l = Moments(*(mom[fi, l] for fi in range(10)))
+            eo, en_, eff = self._local(
+                rx, ry, rz, Hcs[l], one_i, p_old, p_new, mom_l
+            )
+            e_olds.append(eo)
+            e_news.append(en_)
+            effs.append(eff)
+        dE = [e_news[l] - e_olds[l] for l in range(L)]
+
+        if L == 2:
+            dmu = (dE[0] - dE[1]) * prm.beta
+            mu_new = mu + dmu                            # (1113)
+            eta_old = self._eta_of(wgt, wf, wi, mu, binw, mub)
+            eta_new = self._eta_of(wgt, wf, wi, mu_new, binw, mub)
+            dE_ls = jnp.where(ls == 0, dE[0], dE[1])
+            diffkT = prm.beta * dE_ls + eta_new - eta_old  # (1116)
+        else:
+            dmu = jnp.zeros_like(mu)
+            mu_new = mu
+            diffkT = prm.beta * dE[0]
+
+        ls_next = ls
+        if prm.minu and L == 2:
+            # #ifdef MINU variant (mc_moves.F90:1119-1140)
+            et = [e[l] + dE[l] for l in range(2)]
+            enth = list(et)
+            if prm.mc_ensemble == "npt":
+                enth = [enth[l] + prm.pressure * vol[l] for l in range(2)]
+            if prm.leshift:
+                enth = [enth[l] - self.ref_enth[l] for l in range(2)]
+            lsn = jnp.where(enth[1] < enth[0], 1, 0).astype(jnp.int32)
+            E_lsn = jnp.where(lsn == 0, et[0], et[1])
+            E_ls_old = jnp.where(ls == 0, e[0], e[1])
+            alt = prm.beta * (E_lsn - E_ls_old) + eta_new - eta_old
+            if prm.mc_ensemble == "npt":
+                V_lsn = jnp.where(lsn == 0, vol[0], vol[1])
+                V_ls = jnp.where(ls == 0, vol[0], vol[1])
+                alt = (
+                    alt + prm.beta * prm.pressure * (V_lsn - V_ls)
+                    - prm.nwater * jnp.log(V_lsn / V_ls)
+                )
+            if prm.leshift:
+                rh0, rh1 = self.ref_enth
+                alt = alt - prm.beta * (
+                    jnp.where(lsn == 0, rh0, rh1)
+                    - jnp.where(ls == 0, rh0, rh1)
+                )
+            diffkT = jnp.where(lsn != ls, alt, diffkT)
+            ls_next = lsn
+
+        accept = enabled & (ut[5] < jnp.exp(-diffkT))    # (1146)
+        acc_i = one_i & accept[None, :]
+
+        for l in range(L):
+            for a in range(3):
+                cur = r[l, a]
+                r[l, a] = jnp.where(
+                    acc_i, cur + transvec[l][a][None, :], cur
+                )
+            # where-based update: rejected overlap proposals can carry
+            # non-finite dE (engine.py NaN-poisoning note)
+            e[l, :] = jnp.where(accept, e[l] + dE[l], e[l])
+            for fi in range(10):
+                mom[fi, l] = jnp.where(
+                    accept[None, :], effs[l][fi], mom[fi, l]
+                )
+        wf[WF_MU, :] = jnp.where(accept, mu_new, mu)
+        if prm.minu and L == 2:
+            wi[WI_LS, :] = jnp.where(accept, ls_next, ls)
+
+        # acceptance bookkeeping (mc_moves.F90:1156-1159)
+        en_i = jnp.where(enabled, 1, 0).astype(jnp.int32)
+        wi[WI_ATT + TRANS, :] = wi[WI_ATT + TRANS] + en_i
+        wi[WI_ACC + TRANS, :] = (
+            wi[WI_ACC + TRANS] + accept.astype(jnp.int32)
+        )
+        tpm[...] = tpm[...] + jnp.where(
+            enabled, one_i.astype(jnp.int32), 0
+        )
+        if L == 2:
+            admu = jnp.abs(dmu)
+            mn, mx = wf[WF_MIN_DMU], wf[WF_MAX_DMU]
+            wf[WF_MIN_DMU, :] = jnp.where(
+                accept & (admu < mn), admu, mn
+            )
+            wf[WF_MAX_DMU, :] = jnp.where(
+                accept & (admu > mx), admu, mx
+            )
+
+        self._wl_update(
+            wgt, hist, uh, wf, wi, binw, mub, wl_active, cyc_f, enabled
+        )
+
+    def _do_switch(self, vol, e, wf, wi, zeta, enabled):
+        """Masked lattice switch on refs (engine._switch;
+        mc_lattice_switch, mc_moves.F90:1536-1594)."""
+        prm = self.prm
+        ls = wi[WI_LS]
+        e0, e1 = e[0], e[1]
+        v0, v1 = vol[0], vol[1]
+        E_ls = jnp.where(ls == 0, e0, e1)
+        E_lsn = jnp.where(ls == 0, e1, e0)
+        diffkT = prm.beta * (E_lsn - E_ls)
+        if prm.mc_ensemble == "npt":
+            V_ls = jnp.where(ls == 0, v0, v1)
+            V_lsn = jnp.where(ls == 0, v1, v0)
+            diffkT = (
+                diffkT
+                + prm.beta * prm.pressure * (V_lsn - V_ls)
+                - prm.nwater * jnp.log(V_lsn / V_ls)
+            )
+        if prm.leshift:
+            rh0, rh1 = self.ref_enth
+            diffkT = diffkT - prm.beta * (
+                jnp.where(ls == 0, rh1, rh0)
+                - jnp.where(ls == 0, rh0, rh1)
+            )
+        accept = enabled & (zeta < jnp.exp(-diffkT))
+        wi[WI_LS, :] = jnp.where(accept, 1 - ls, ls)
+        mu_sc = self._mu_scratch_rows(e0, e1, v0, v1)
+        wf[WF_MU, :] = jnp.where(accept, mu_sc, wf[WF_MU])
+        en_i = jnp.where(enabled, 1, 0).astype(jnp.int32)
+        wi[WI_ATT + SWITCH, :] = wi[WI_ATT + SWITCH] + en_i
+        wi[WI_ACC + SWITCH, :] = (
+            wi[WI_ACC + SWITCH] + accept.astype(jnp.int32)
+        )
+
+    # ------------------------------------------------------------------
+    # the kernel body
+    # ------------------------------------------------------------------
+
+    def _kernel(self, *refs):
+        prm = self.prm
+        N = prm.nwater
+        n_rw = 7 if self._samplerun else 6   # r,mom,e,wgt,hist,(uh),tpm + wf,wi
+        n_rw = n_rw + 2
+        (codes, flags, h, recip, vol, u, binw_r, mub_r), rest = \
+            refs[:8], refs[8:]
+        ins, outs = rest[:n_rw], rest[n_rw:]
+        if self._samplerun:
+            (r, mom, e, wgt, hist, uh, tpm, wf, wi) = outs
+        else:
+            (r, mom, e, wgt, hist, tpm, wf, wi) = outs
+            uh = None
+        for dst, src in zip(outs, ins):
+            dst[...] = src[...]
+
+        binw = binw_r[...]                               # [B,1]
+        mub = mub_r[...]
+        wl_active = flags[FL_WL_ACTIVE] != 0
+        switch_ok = flags[FL_SWITCH_OK] != 0
+        cyc_f = flags[FL_CYCLE].astype(wf.dtype)
+
+        do_switch = prm.num_lattices == 2 and (
+            prm.mc_always_switch or prm.allow_switch
+        )
+
+        def step(t, carry):
+            code = codes[t]
+            ut = u[t]                                    # [RNG_SLOTS, W]
+            self._do_translation(
+                h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf, wi,
+                binw, mub, ut, code == TRANS, wl_active, cyc_f,
+            )
+            if do_switch:
+                sw_en = code == SWITCH
+                if prm.mc_always_switch:
+                    sw_en = sw_en | (code == TRANS)
+                self._do_switch(
+                    vol, e, wf, wi, ut[6], switch_ok & sw_en
+                )
+            return carry
+
+        lax.fori_loop(0, N, step, 0)
+
+    # ------------------------------------------------------------------
+    # host-side wrapper
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _pick_wb(W):
+        import os
+        env = os.environ.get("MWLS_FUSED_WB")
+        if env:
+            wb = int(env)
+            if W % wb == 0:
+                return wb
+        # measured on v5e @ W=4096: WB=128 > 256 (23.4 vs 22.0 M
+        # moves/s); 512 exceeds the 16 MB VMEM budget
+        for wb in (128, 256):
+            if W % wb == 0:
+                return wb
+        return W
+
+    def __call__(self, s, codes, cycle_u, wl_active, switch_ok):
+        """Run one full cycle's translation/switch/WL steps.
+
+        s:        SamplerState
+        codes:    [N] int32 shared move-type schedule
+        cycle_u:  [N, 7, W] pre-drawn uniforms (same as scan path)
+        wl_active, switch_ok: traced bool scalars
+        """
+        prm, grid = self.prm, self.grid
+        L, _, N, W = s.r.shape
+        B = grid.nbins
+        dtype = s.r.dtype
+
+        mom = jnp.stack(list(s.moments))                 # [10,L,N,W]
+        wf = jnp.stack([
+            s.mu, s.f, s.sumhist, s.min_dmu, s.max_dmu,
+            s.max_trans, s.my_mu_min, s.my_mu_max,
+        ])
+        wi = jnp.stack([
+            s.ls,
+            s.att[0], s.att[1], s.att[2],
+            s.acc[0], s.acc[1], s.acc[2],
+            s.start_bin, s.end_bin,
+            s.in_window.astype(jnp.int32),
+            s.invt_active.astype(jnp.int32),
+        ]).astype(jnp.int32)
+        flags = jnp.stack([
+            jnp.asarray(wl_active, jnp.int32),
+            jnp.asarray(switch_ok, jnp.int32),
+            s.cycle.astype(jnp.int32),
+        ])
+        binw = grid.binwidth.astype(dtype)[:, None]
+        mub = grid.mu_bin.astype(dtype)[:, None]
+
+        rw_ins = [s.r, mom, s.energy, s.weight, s.hist]
+        if self._samplerun:
+            rw_ins.append(s.uhist)
+        rw_ins += [s.trans_per_mol, wf, wi]
+        ro_ins = [s.h, s.recip, s.volume, cycle_u, binw, mub]
+        n_ro = len(ro_ins)
+
+        def invoke(codes_i, flags_i, *arrs):
+            """Build + run the pallas_call from the (possibly per-shard)
+            operand shapes."""
+            ro, rw = arrs[:n_ro], arrs[n_ro:]
+            Wl = rw[0].shape[-1]
+            WBl = self._pick_wb(Wl)
+
+            def wspec(arr):
+                nd = arr.ndim
+                blk = tuple(arr.shape[:-1]) + (WBl,)
+
+                def imap(i, *_):
+                    return (0,) * (nd - 1) + (i,)
+
+                return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+            def cspec(arr):
+                nd = arr.ndim
+
+                def imap(i, *_):
+                    return (0,) * nd
+
+                return pl.BlockSpec(
+                    tuple(arr.shape), imap, memory_space=pltpu.VMEM
+                )
+
+            in_specs = (
+                [wspec(a) for a in ro[:4]]
+                + [cspec(ro[4]), cspec(ro[5])]
+                + [wspec(a) for a in rw]
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Wl // WBl,),
+                in_specs=in_specs,
+                out_specs=[wspec(a) for a in rw],
+            )
+            return pl.pallas_call(
+                self._kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct(a.shape, a.dtype) for a in rw
+                ],
+                interpret=self.interpret,
+            )(codes_i, flags_i, *ro, *rw)
+
+        if self.mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh.axis_names[0]
+            rep = P()
+
+            def pspec(arr):
+                return P(*((None,) * (arr.ndim - 1) + (ax,)))
+
+            invoke = shard_map(
+                invoke,
+                mesh=self.mesh,
+                in_specs=(
+                    rep, rep,
+                    *(pspec(a) for a in ro_ins[:4]), rep, rep,
+                    *(pspec(a) for a in rw_ins),
+                ),
+                out_specs=tuple(pspec(a) for a in rw_ins),
+                check_rep=False,
+            )
+
+        outs = invoke(codes.astype(jnp.int32), flags, *ro_ins, *rw_ins)
+
+        if self._samplerun:
+            r, mom_o, energy, weight, hist, uhist, tpm, wf_o, wi_o = outs
+        else:
+            r, mom_o, energy, weight, hist, tpm, wf_o, wi_o = outs
+            uhist = s.uhist
+        return s._replace(
+            r=r,
+            moments=Moments(*(mom_o[fi] for fi in range(10))),
+            energy=energy,
+            weight=weight,
+            hist=hist,
+            uhist=uhist,
+            trans_per_mol=tpm,
+            mu=wf_o[WF_MU],
+            f=wf_o[WF_F],
+            sumhist=wf_o[WF_SUMHIST],
+            min_dmu=wf_o[WF_MIN_DMU],
+            max_dmu=wf_o[WF_MAX_DMU],
+            ls=wi_o[WI_LS],
+            att=wi_o[WI_ATT:WI_ATT + 3],
+            acc=wi_o[WI_ACC:WI_ACC + 3],
+        )
