@@ -146,7 +146,16 @@ class Application:
             weight0=weight0, n_windows=n_windows,
         )
         self.aux = aux
-        self.engine = Engine(prm, self.model, self.grid, aux)
+        # decide device-mesh sharding BEFORE building the engine: the
+        # fused cycle kernel must be wrapped in shard_map over the
+        # walker axis when a multi-device mesh is active
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if self.use_mesh and n_dev > 1 and prm.n_walkers % n_dev == 0:
+            self.mesh = make_mesh()
+        self.engine = Engine(
+            prm, self.model, self.grid, aux, mesh=self.mesh
+        )
 
         # report initial lattice energies (main.f90:125-140) - the
         # fp64 physics oracle line
@@ -179,10 +188,8 @@ class Application:
                 state = self.engine.resync_chains(state)
             state, _ = self.engine.audit_energy(state)
 
-        n_dev = len(jax.devices())
-        if self.use_mesh and n_dev > 1 and prm.n_walkers % n_dev == 0:
-            mesh = make_mesh()
-            state = shard_state(state, mesh, prm.n_walkers)
+        if self.mesh is not None:
+            state = shard_state(state, self.mesh, prm.n_walkers)
             logs.g(f"# Sharding {prm.n_walkers} walkers over "
                    f"{n_dev} devices")
         elif n_dev > 1:

@@ -692,7 +692,7 @@ class FusedCycle:
             )(codes_i, flags_i, *ro, *rw)
 
         if self.mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             ax = self.mesh.axis_names[0]
@@ -710,7 +710,7 @@ class FusedCycle:
                     *(pspec(a) for a in rw_ins),
                 ),
                 out_specs=tuple(pspec(a) for a in rw_ins),
-                check_rep=False,
+                check_vma=False,
             )
 
         outs = invoke(codes.astype(jnp.int32), flags, *ro_ins, *rw_ins)

@@ -68,6 +68,34 @@ def test_sharded_run_matches_unsharded(setup):
     assert len(got.r.sharding.device_set) == 8
 
 
+def test_fused_sharded_matches_fused_unsharded(setup):
+    """The fused Pallas cycle kernel under shard_map over the walker
+    axis reproduces the single-device fused run exactly (same RNG
+    streams, per-walker-independent cycle)."""
+    import dataclasses
+
+    prm, grid, state, aux = setup
+    prm_f = dataclasses.replace(prm, fused="on")
+    eng1 = Engine(prm_f, MW, grid, aux)
+    ref, _ = eng1.run_cycles(state, 3)
+
+    mesh = make_mesh()
+    eng8 = Engine(prm_f, MW, grid, aux, mesh=mesh)
+    sh = shard_state(state, mesh, prm.n_walkers)
+    got, _ = eng8.run_cycles(sh, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(got.mu), np.asarray(ref.mu), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(ref.energy), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.acc), np.asarray(ref.acc)
+    )
+    assert len(got.r.sharding.device_set) == 8
+
+
 def test_sharded_merge_is_global(setup):
     """Cross-device delta-merge produces the global sum."""
     prm, grid, state, aux = setup
