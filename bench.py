@@ -30,13 +30,19 @@ def main():
     walkers = int(os.environ.get("BENCH_WALKERS", "4096"))
     cycles = int(os.environ.get("BENCH_CYCLES", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # headline system: the paper's N=216 cell pair (BASELINE.json
+    # metric "mW N=216 walkers"); BENCH_NWATER=48 selects the packaged
+    # reference cells instead
+    nwater = int(os.environ.get("BENCH_NWATER", "216"))
 
     import jax
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as g
 
-    prm, eng, state = g._setup(n_walkers=walkers, dtype=dtype)
+    prm, eng, state = g._setup(
+        n_walkers=walkers, dtype=dtype, nwater=nwater
+    )
     # realistic sync cadence for the measurement (the _setup default
     # of 1 is for the dry-run collective check)
     eng.prm = prm
@@ -56,7 +62,7 @@ def main():
     moves = walkers * n * cycles
     rate = moves / elapsed
     print(json.dumps({
-        "metric": "aggregate MC moves/sec (mW lattice-switch, N=48, "
+        "metric": f"aggregate MC moves/sec (mW lattice-switch, N={n}, "
                   f"{walkers} walkers, {dtype})",
         "value": round(rate, 1),
         "unit": "moves/s",

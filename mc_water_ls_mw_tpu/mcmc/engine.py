@@ -90,8 +90,15 @@ class Engine:
             self.use_fused = prm.fused == "on"
         if self.use_fused:
             from .fused import FusedCycle
+            from ..ops.pallas_energy import FullEnergyPallas
             self.fused_cycle = FusedCycle(
                 prm, model, grid, aux, self.fold_shifts, mesh=mesh
+            )
+            # chunked Pallas full-cell kernel for the volume move /
+            # chain resync (the XLA dense evaluation materialises
+            # [N,S,N,W] intermediates - 57 ms/lattice at N=216 W=4096)
+            self.pallas_full_energy = FullEnergyPallas(
+                model, self.fold_shifts, mesh=mesh
             )
         # jitted entry points
         self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
@@ -105,6 +112,15 @@ class Engine:
 
     def _dtype(self, s: SamplerState):
         return s.r.dtype
+
+    def _full_energy_mic(self, r_l, h_l):
+        """MIC-folded full-cell energy+moments of one lattice;
+        Pallas-chunked on the fused path, XLA dense otherwise."""
+        if self.use_fused:
+            return self.pallas_full_energy(r_l, h_l)
+        return full_energy_batch(
+            r_l, h_l, self.fold_shifts, self.model, True
+        )
 
     def _mu_scratch(self, energy, volume):
         """Order parameter from scratch (mc_moves.F90:856-862).
@@ -406,9 +422,7 @@ class Engine:
         )
 
         per = [
-            full_energy_batch(r_new[l], h_new[l], self.fold_shifts,
-                              model, True)
-            for l in range(L)
+            self._full_energy_mic(r_new[l], h_new[l]) for l in range(L)
         ]
         e_new = jnp.stack([p[0] for p in per])
         mom_new = _stack_moments([p[1] for p in per])
@@ -538,6 +552,24 @@ class Engine:
         weight, snap_eta = self._delta_merge(
             s.weight, s.snap_eta, s.window_id, nwin
         )
+        if not prm.samplerun:
+            # Re-zero the merged window minimum (uniform in-window
+            # shift: statistically neutral, eta differences unchanged).
+            # Without this the per-walker min-shifts of the WL update
+            # (mc_moves.F90:1680-1685) enter the delta sums and the
+            # merged baseline amplifies by ~(W-1) every sync once all
+            # bins are visited - harmless at the reference's 8 ranks
+            # in f64, divergent at 10^3-10^4 walkers in f32.
+            B = self.grid.nbins
+            bin_ids = jnp.arange(B)[:, None]
+            winmask = (bin_ids >= s.start_bin[None, :]) & (
+                bin_ids <= s.end_bin[None, :]
+            )
+            minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
+            weight = jnp.where(winmask, weight - minv[None, :], weight)
+            snap_eta = jax.ops.segment_min(
+                weight.T, s.window_id, num_segments=nwin
+            )
         hist, snap_hist = self._delta_merge(
             s.hist, s.snap_hist, s.window_id, nwin
         )
@@ -582,10 +614,7 @@ class Engine:
         r = s.r.at[1].set(r2)
 
         vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
-        per = [
-            full_energy_batch(r[l], h[l], self.fold_shifts, model, True)
-            for l in range(L)
-        ]
+        per = [self._full_energy_mic(r[l], h[l]) for l in range(L)]
         energy = jnp.stack([p[0] for p in per])
         moments = _stack_moments([p[1] for p in per])
         mu = self._mu_scratch(energy, vol)

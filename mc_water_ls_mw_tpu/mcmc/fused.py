@@ -548,14 +548,32 @@ class FusedCycle:
         n_rw = n_rw + 2
         (codes, flags, h, recip, vol, u, binw_r, mub_r), rest = \
             refs[:8], refs[8:]
-        ins, outs = rest[:n_rw], rest[n_rw:]
+        ins = rest[:n_rw]
+        outs = rest[n_rw:2 * n_rw]
+        mom_vmem, dma_sem = rest[2 * n_rw:]
         if self._samplerun:
-            (r, mom, e, wgt, hist, uh, tpm, wf, wi) = outs
+            (r, mom_hbm_o, e, wgt, hist, uh, tpm, wf, wi) = outs
         else:
-            (r, mom, e, wgt, hist, tpm, wf, wi) = outs
+            (r, mom_hbm_o, e, wgt, hist, tpm, wf, wi) = outs
             uh = None
-        for dst, src in zip(outs, ins):
-            dst[...] = src[...]
+
+        # the moment-tensor slab is the largest state component
+        # (10*L*N floats per walker); it stays HBM-resident (ANY
+        # memory space, no double-buffered VMEM windows) and is DMA'd
+        # into a single VMEM scratch here - at N=216 the blocked
+        # version overflows the 16 MB VMEM budget
+        WBl = mom_vmem.shape[-1]
+        woff = pl.program_id(0) * WBl
+        mom_in_dma = pltpu.make_async_copy(
+            ins[1].at[:, :, :, pl.ds(woff, WBl)], mom_vmem, dma_sem
+        )
+        mom_in_dma.start()
+
+        for k, (dst, src) in enumerate(zip(outs, ins)):
+            if k != 1:
+                dst[...] = src[...]
+        mom_in_dma.wait()
+        mom = mom_vmem
 
         binw = binw_r[...]                               # [B,1]
         mub = mub_r[...]
@@ -584,6 +602,12 @@ class FusedCycle:
             return carry
 
         lax.fori_loop(0, N, step, 0)
+
+        mom_out_dma = pltpu.make_async_copy(
+            mom_vmem, mom_hbm_o.at[:, :, :, pl.ds(woff, WBl)], dma_sem
+        )
+        mom_out_dma.start()
+        mom_out_dma.wait()
 
     # ------------------------------------------------------------------
     # host-side wrapper
@@ -671,16 +695,30 @@ class FusedCycle:
                     tuple(arr.shape), imap, memory_space=pltpu.VMEM
                 )
 
+            def rwspec(k, arr):
+                # the moments slab (rw index 1) stays HBM-resident;
+                # the kernel DMAs its walker slice into VMEM scratch
+                if k == 1:
+                    return pl.BlockSpec(memory_space=pltpu.ANY)
+                return wspec(arr)
+
             in_specs = (
                 [wspec(a) for a in ro[:4]]
                 + [cspec(ro[4]), cspec(ro[5])]
-                + [wspec(a) for a in rw]
+                + [rwspec(k, a) for k, a in enumerate(rw)]
             )
+            mom_arr = rw[1]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(Wl // WBl,),
                 in_specs=in_specs,
-                out_specs=[wspec(a) for a in rw],
+                out_specs=[rwspec(k, a) for k, a in enumerate(rw)],
+                scratch_shapes=[
+                    pltpu.VMEM(
+                        tuple(mom_arr.shape[:-1]) + (WBl,), mom_arr.dtype
+                    ),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
             )
             return pl.pallas_call(
                 self._kernel,
