@@ -88,6 +88,12 @@ class Engine:
             self.use_fused = jax.default_backend() != "cpu"
         else:
             self.use_fused = prm.fused == "on"
+        if self.use_fused and jax.default_backend() != "cpu":
+            per_shard = prm.n_walkers // (mesh.size if mesh else 1)
+            if per_shard % 128 != 0:
+                # the kernel's HBM moment-slab DMA slices along the
+                # walker axis, which Mosaic requires 128-lane aligned
+                self.use_fused = False
         if self.use_fused:
             from .fused import FusedCycle
             from ..ops.pallas_energy import FullEnergyPallas
@@ -237,15 +243,13 @@ class Engine:
 
         weight = s.weight + oh * (incr * f)[None, :]
 
-        # shift window minimum to zero (mc_moves.F90:1680-1685),
-        # only when an update actually occurred
-        winmask = (bin_ids[:, None] >= s.start_bin[None, :]) & (
-            bin_ids[:, None] <= s.end_bin[None, :]
-        )
-        minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
-        weight = jnp.where(
-            winmask & (upd[None, :] > 0), weight - minv[None, :], weight
-        )
+        # NOTE: the reference shifts the window minimum to zero after
+        # every update (mc_moves.F90:1680-1685).  A uniform in-window
+        # shift never enters any acceptance or histogram, so it is
+        # deferred to the delta-sync (engine._sync_all): doing it per
+        # update ratchets in f32 - the tiny shift subtractions round
+        # away at large weight values but not at small ones, inflating
+        # the curve span without bound.
         return s._replace(hist=hist, weight=weight, f=f, sumhist=sumh)
 
     # ------------------------------------------------------------------

@@ -334,17 +334,9 @@ class FusedCycle:
             f = jnp.where((wi[WI_INVT] != 0) & active, f_invt, f)
             wf[WF_F, :] = f
 
-        weight = wgt[...] + oh * (incr * f)[None, :]
-        # shift window minimum to zero (mc_moves.F90:1680-1685)
-        rows = lax.broadcasted_iota(jnp.int32, weight.shape, 0)
-        winmask = (rows >= wi[WI_START][None, :]) & (
-            rows <= wi[WI_END][None, :]
-        )
-        minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
-        weight = jnp.where(
-            winmask & (upd[None, :] > 0), weight - minv[None, :], weight
-        )
-        wgt[...] = weight
+        # min-shift deferred to the delta-sync (see engine._wl_update:
+        # per-update shifting ratchets in f32)
+        wgt[...] = wgt[...] + oh * (incr * f)[None, :]
 
     def _do_translation(self, h, recip, vol, r, mom, e, wgt, hist, uh,
                         tpm, wf, wi, binw, mub, ut, enabled,
