@@ -30,8 +30,18 @@ TPU-native rebuild of mc_moves.F90.  Design (SURVEY.md §7):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# 3-wide cell-matrix contractions MUST run at full f32: on TPU the
+# default einsum/matmul precision multiplies in bf16 (~4e-3 relative),
+# which injects coupling noise between the two replicas' position
+# fields on every volume move and corrupts the mu landscape.
+_einsum = functools.partial(
+    jnp.einsum, precision=jax.lax.Precision.HIGHEST
+)
 
 from ..models.sw import SWParams
 from ..ops.geometry import determinant3, recip_matrix
@@ -195,10 +205,14 @@ class Engine:
         # ``enabled`` gates steps whose scheduled move type performs no
         # WL update (switch-only steps, mc_cycle:228-241)
         active = enabled & (s.cycle >= prm.eq_mc_cycles)   # (1615)
+        # health gate: a walker with non-finite energies must not
+        # write into the SHARED WL arrays (it would pump weight at its
+        # stale mu bin until the merge poisons every walker)
+        healthy = jnp.all(jnp.isfinite(s.energy), axis=0)
         k = mu_to_bin(grid, s.mu)
         in_grid = (k >= 0) & (k < B)                       # (1619)
         kc = jnp.clip(k, 0, B - 1)
-        upd = (in_grid & active).astype(dtype)             # [W]
+        upd = (in_grid & active & healthy).astype(dtype)   # [W]
         bin_ids = jnp.arange(B)
         oh = (bin_ids[:, None] == kc[None, :]).astype(dtype) \
             * upd[None, :]                                 # [B, W]
@@ -291,8 +305,8 @@ class Engine:
         # same fractional displacement in the partner lattice
         # (mc_moves.F90:1042-1067)
         recip_ls = _take_lat(s.recip, s.ls)                  # [3,3,W]
-        sfrac = jnp.einsum("aw,abw->bw", v, recip_ls) * (0.5 / jnp.pi)
-        tv_all = jnp.einsum("labw,bw->law", s.h, sfrac)      # [L,3,W]
+        sfrac = _einsum("aw,abw->bw", v, recip_ls) * (0.5 / jnp.pi)
+        tv_all = _einsum("labw,bw->law", s.h, sfrac)      # [L,3,W]
         lat_act = (jnp.arange(L)[:, None] == s.ls[None, :])  # [L,W]
         transvec = jnp.where(lat_act[:, None, :], v[None], tv_all)
 
@@ -351,7 +365,14 @@ class Engine:
             diffkT = jnp.where(lsn != s.ls, alt, diffkT)
             ls_next = lsn
 
-        accept = enabled & (u[5] < jnp.exp(-diffkT))         # (1146)
+        # finite-state guard: an accepted move with non-finite energy
+        # deltas (f32 overflow on a catastrophic overlap) would poison
+        # the walker permanently - it then rejects every later move
+        # while still pumping WL weight at its stale mu bin
+        ok = jnp.isfinite(diffkT)
+        if prm.num_lattices == 2:
+            ok = ok & jnp.isfinite(mu_new)
+        accept = enabled & ok & (u[5] < jnp.exp(-diffkT))    # (1146)
         accf = accept.astype(dtype)
 
         onehot = (jnp.arange(N)[:, None] == imol[None, :])   # [N,W]
@@ -414,11 +435,11 @@ class Engine:
         # rescale current and reference positions holding fractional
         # coordinates fixed (mc_moves.F90:1284-1350)
         inv2pi = 0.5 / jnp.pi
-        frac_r = jnp.einsum("labw,lanw->lbnw", s.recip, s.r) * inv2pi
-        r_new = jnp.einsum("labw,lbnw->lanw", h_new, frac_r)
-        frac_ref = jnp.einsum("labw,lanw->lbnw", s.recip, s.ref_r) \
+        frac_r = _einsum("labw,lanw->lbnw", s.recip, s.r) * inv2pi
+        r_new = _einsum("labw,lbnw->lanw", h_new, frac_r)
+        frac_ref = _einsum("labw,lanw->lbnw", s.recip, s.ref_r) \
             * inv2pi
-        ref_new = jnp.einsum("labw,lbnw->lanw", h_new, frac_ref)
+        ref_new = _einsum("labw,lbnw->lanw", h_new, frac_ref)
 
         recip_new = jnp.stack([recip_matrix(h_new[l]) for l in range(L)])
         vol_new = jnp.abs(
@@ -454,7 +475,12 @@ class Engine:
             + prm.beta * prm.pressure * (vol_ls_new - vol_ls_old)
             - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
         )
-        accept = u[:, 3] < jnp.exp(-diffkT)
+        # finite-state guard (see _translation) + cell-collapse guard:
+        # a near-singular cell blows up the rescaled positions
+        ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
+        if prm.num_lattices == 2:
+            ok = ok & jnp.isfinite(mu_new)
+        accept = ok & (u[:, 3] < jnp.exp(-diffkT))
 
         if prm.num_lattices == 2:
             admu = jnp.abs(mu_new - s.mu)
@@ -515,7 +541,9 @@ class Engine:
             rh = self.aux.ref_enthalpy
             diffkT = diffkT - prm.beta * (rh[lsn] - rh[s.ls])
         # eta(mu) cancels: mu is unchanged by a switch (1558-1559)
-        accept = enabled & (zeta < jnp.exp(-diffkT))
+        accept = enabled & jnp.isfinite(diffkT) & (
+            zeta < jnp.exp(-diffkT)
+        )
         ls = jnp.where(accept, lsn, s.ls)
         mu = jnp.where(
             accept, self._mu_scratch(s.energy, s.volume), s.mu
@@ -610,11 +638,11 @@ class Engine:
         # reference site in lattice 2 to equal lattice 1's
         # (mc_moves.F90:2289-2333)
         inv2pi = 0.5 / jnp.pi
-        frac = jnp.einsum("labw,lanw->lbnw", recip, s.r) * inv2pi
-        frac_ref = jnp.einsum("labw,lanw->lbnw", recip, s.ref_r) * inv2pi
+        frac = _einsum("labw,lanw->lbnw", recip, s.r) * inv2pi
+        frac_ref = _einsum("labw,lanw->lbnw", recip, s.ref_r) * inv2pi
         sdiff1 = frac[0] - frac_ref[0]                       # [3,N,W]
         s2 = frac_ref[1] + sdiff1
-        r2 = jnp.einsum("abw,bnw->anw", h[1], s2)
+        r2 = _einsum("abw,bnw->anw", h[1], s2)
         r = s.r.at[1].set(r2)
 
         vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))

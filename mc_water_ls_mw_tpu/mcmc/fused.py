@@ -281,7 +281,7 @@ class FusedCycle:
             wi[WI_START], wi[WI_END], wi[WI_INWIN] != 0, binw, mub,
         )
 
-    def _wl_update(self, wgt, hist, uh, wf, wi, binw, mub,
+    def _wl_update(self, e, wgt, hist, uh, wf, wi, binw, mub,
                    wl_active, cyc_f, enabled):
         """Per-move WL update on refs (engine._wl_update;
         mc_update_wl_bins, mc_moves.F90:1597-1689)."""
@@ -293,10 +293,13 @@ class FusedCycle:
         mu = wf[WF_MU]
 
         active = enabled & wl_active                    # scalar
+        # health gate (engine._wl_update): poisoned walkers must not
+        # write into the shared WL arrays
+        healthy = jnp.isfinite(e[0]) & jnp.isfinite(e[1])
         k = mu_to_bin(grid, mu)
         in_grid = (k >= 0) & (k < B)
         kc = jnp.clip(k, 0, B - 1)
-        upd = (in_grid & active).astype(dtype)          # [W]
+        upd = (in_grid & active & healthy).astype(dtype)  # [W]
         ohk = _iota_eq(B, kc).astype(dtype)
         oh = ohk * upd[None, :]
         bw_kc = jnp.sum(ohk * binw, axis=0)
@@ -452,7 +455,13 @@ class FusedCycle:
             diffkT = jnp.where(lsn != ls, alt, diffkT)
             ls_next = lsn
 
-        accept = enabled & (ut[5] < jnp.exp(-diffkT))    # (1146)
+        # finite-state guard (engine._translation): never accept a
+        # move carrying non-finite deltas - a poisoned walker rejects
+        # everything forever while pumping WL weight at its stale bin
+        ok = jnp.isfinite(diffkT)
+        if L == 2:
+            ok = ok & jnp.isfinite(mu_new)
+        accept = enabled & ok & (ut[5] < jnp.exp(-diffkT))  # (1146)
         acc_i = one_i & accept[None, :]
 
         for l in range(L):
@@ -492,7 +501,8 @@ class FusedCycle:
             )
 
         self._wl_update(
-            wgt, hist, uh, wf, wi, binw, mub, wl_active, cyc_f, enabled
+            e, wgt, hist, uh, wf, wi, binw, mub, wl_active, cyc_f,
+            enabled,
         )
 
     def _do_switch(self, vol, e, wf, wi, zeta, enabled):
@@ -519,7 +529,9 @@ class FusedCycle:
                 jnp.where(ls == 0, rh1, rh0)
                 - jnp.where(ls == 0, rh0, rh1)
             )
-        accept = enabled & (zeta < jnp.exp(-diffkT))
+        accept = enabled & jnp.isfinite(diffkT) & (
+            zeta < jnp.exp(-diffkT)
+        )
         wi[WI_LS, :] = jnp.where(accept, 1 - ls, ls)
         mu_sc = self._mu_scratch_rows(e0, e1, v0, v1)
         wf[WF_MU, :] = jnp.where(accept, mu_sc, wf[WF_MU])

@@ -76,7 +76,8 @@ def full_energy(r, H, nbr, prm: SWParams):
     # cos-filter in the full-cell sum.
     inv_r = 1.0 / rij
     u = d * inv_r[..., None]                       # unit vectors [N, K, 3]
-    cosq = jnp.einsum("ika,ila->ikl", u, u)        # [N, K, K]
+    cosq = jnp.einsum("ika,ila->ikl", u, u,
+                      precision=jax.lax.Precision.HIGHEST)        # [N, K, K]
     leg = _leg_exp(rij, in_rc, prm)                # [N, K]
     K = leg.shape[-1]
     tri = jnp.triu(jnp.ones((K, K), dtype=bool), k=1)
@@ -112,7 +113,8 @@ def _local_terms(p, jlj, mj, klj, mk, prm: SWParams):
     # i-centred angles j-i-k over unordered pairs (molint.F90:302-318),
     # with the local-path cos < 0.99 screen (molint.F90:367)
     u = dij * inv_rij[..., None]
-    cos_ik = jnp.einsum("ka,la->kl", u, u)
+    cos_ik = jnp.einsum("ka,la->kl", u, u,
+                        precision=jax.lax.Precision.HIGHEST)
     K = leg_j.shape[0]
     tri = jnp.triu(jnp.ones((K, K), dtype=bool), k=1)
     m_i = tri & in_j[:, None] & in_j[None, :] & (cos_ik < 0.99)
@@ -128,7 +130,8 @@ def _local_terms(p, jlj, mj, klj, mk, prm: SWParams):
     rjk = jnp.sqrt(r2ks)
     leg_k = _leg_exp(rjk, in_k, prm)               # [K, K]
     # cos(theta_ijk): angle at j between (i - j) and (k - j)
-    cos_ijk = jnp.einsum("ka,kla->kl", -dij, djk) * (
+    cos_ijk = jnp.einsum("ka,kla->kl", -dij, djk,
+                         precision=jax.lax.Precision.HIGHEST) * (
         inv_rij[:, None] / rjk
     )
     m_j = in_j[:, None] & in_k & (cos_ijk < 0.99)

@@ -11,6 +11,7 @@ fp64.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import PI, INV_PI
@@ -62,12 +63,18 @@ def to_frac(recip, v):
     (e.g. mc_moves.F90:1042-1054): s_a = sum_d recip[d, a] * v[d] / 2pi.
     ``v`` may have leading batch dims; last axis is xyz.
     """
-    return (v @ recip) * (0.5 * INV_PI)
+    # full-precision contraction: TPU's default matmul multiplies in
+    # bf16, far too coarse for coordinate transforms
+    return jnp.matmul(
+        v, recip, precision=jax.lax.Precision.HIGHEST
+    ) * (0.5 * INV_PI)
 
 
 def from_frac(H, s):
     """Fractional -> cartesian: v = H @ s, batched over leading dims."""
-    return s @ jnp.swapaxes(H, -1, -2)
+    return jnp.matmul(
+        s, jnp.swapaxes(H, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def hmatrix_to_abc(H):

@@ -14,7 +14,7 @@ from mc_water_ls_mw_tpu.constants import ANG_TO_BOHR, AUP_TO_ATM
 from mc_water_ls_mw_tpu.models.sw import MW
 from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
 from mc_water_ls_mw_tpu.mcmc.config import RunParams
-from mc_water_ls_mw_tpu.mcmc.engine import Engine
+from mc_water_ls_mw_tpu.mcmc.engine import VOL, Engine
 from mc_water_ls_mw_tpu.mcmc.state import init_state
 from mc_water_ls_mw_tpu.io.xmol import read_lattices
 
@@ -33,7 +33,9 @@ def _two_lattice_setup(examples_dir, **over):
     )
     base.update(over)
     prm = RunParams(**base)
-    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    gdtype = jnp.float64 if prm.dtype == "float64" else jnp.float32
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=gdtype)
     w0 = np.loadtxt(
         examples_dir / "ice1_sample" / "eta_weights.dat", skiprows=1
     )[:, 1]
@@ -106,6 +108,49 @@ def test_delta_sync_merge_semantics(examples_dir):
     np.testing.assert_allclose(
         np.asarray(again.hist).T, m, rtol=0, atol=0
     )
+
+
+def test_replica_coupling_invariant(examples_dir):
+    """The two replicas must keep IDENTICAL fractional displacement
+    fields from their reference sites through translations AND volume
+    moves (the lattice-switch coupling, mc_moves.F90:1042-1067,
+    1284-1350).  Guards the TPU bf16-einsum regression: default-
+    precision cell contractions inject ~4e-3 coupling noise per
+    volume move and corrupt the whole mu landscape."""
+    prm, grid, state, aux = _two_lattice_setup(
+        examples_dir, dtype="float32", mc_vol_prob=0.2
+    )
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 10)
+    assert int(state.acc[VOL].sum()) > 0     # volume moves accepted
+    r = np.asarray(state.r, np.float64)
+    rec = np.asarray(state.recip, np.float64)
+    ref = np.asarray(state.ref_r, np.float64)
+    fr = np.einsum("labw,lanw->lbnw", rec, r) / (2 * np.pi)
+    frr = np.einsum("labw,lanw->lbnw", rec, ref) / (2 * np.pi)
+    d = fr - frr
+    d = d - np.round(d)
+    assert np.abs(d[0] - d[1]).max() < 1e-5
+
+
+def test_sync_rezeros_weight_baseline(examples_dir):
+    """Delta-sync re-zeros the merged window minimum (generation
+    mode).  Guards against the ensemble baseline amplification /
+    f32 ratchet pathologies: per-walker shifts must never compound
+    through the merge."""
+    prm, grid, state, aux = _two_lattice_setup(
+        examples_dir, samplerun=False, mpi_sync_int=2
+    )
+    # poison the baseline: uniform offsets differing per walker
+    off = jnp.asarray(np.array([-50.0, 30.0, -120.0, 7.0]))
+    state = state._replace(weight=state.weight + off[None, :])
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 4)       # includes >= 1 sync
+    w = np.asarray(state.weight)
+    # all walkers share the merged curve, min exactly zero
+    assert np.abs(w - w[:, :1]).max() == 0
+    assert abs(w.min()) < 1e-9
+    assert np.isfinite(w).all()
 
 
 def test_chain_resync(examples_dir):
