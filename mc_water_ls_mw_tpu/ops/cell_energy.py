@@ -1,0 +1,293 @@
+"""Slab-based SW energy kernels for the large-N cell engine.
+
+Large-N counterpart of ops/dense.py (same moment-tensor algebra, same
+Hamiltonian - molint.F90:220-499): instead of a dense [S, N, W]
+candidate set per mover (O(N) per move), candidates come from the
+static 27-cell neighbourhood of the mover's cell in the padded slab
+layout of ops/cells.py (O(1) per move).  All slab accesses use
+STATIC slot-index tables precomputed from the grid topology, so XLA
+sees constant-index gathers; the only dynamic indexing is per-mover
+scalar rows ([K, W]-sized takes).
+
+Periodic images: a neighbour cell that wraps the box contributes its
+occupants shifted by H @ off with off the static wrap offset
+(cells.build_grid).  Because the cell side exceeds rc + 2*mismatch,
+the 27-neighbourhood contains every interaction partner of the
+mover in BOTH lattices, each exactly once (ops/cells.py docstring),
+so no minimum-image folding is needed at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sw import SWParams
+from .cells import CellGrid
+from .dense import Moments, _e3_closed_form, _leg, _pair
+
+
+def nb_slot_tables(grid: CellGrid, cells: np.ndarray):
+    """Static neighbourhood tables for a set of cells.
+
+    cells: [K] int32 cell ids (numpy).  Returns
+    (nb_slots [K, 27*cap] int32 slot indices,
+     nb_off   [K, 27, 3] float64 wrap offsets).
+    """
+    cap = grid.cap
+    nbc = grid.nb_cell[cells]                    # [K,27]
+    slots = (
+        nbc[:, :, None] * cap + np.arange(cap, dtype=np.int32)
+    ).reshape(len(cells), -1)                    # [K, 27*cap]
+    return slots.astype(np.int32), grid.nb_off[cells].astype(np.float64)
+
+
+class _SlabCand:
+    """Candidate data of one mover batch against its neighbourhood.
+
+    All arrays [K, C, W] with C = 27*cap (or [K, W] reductions).
+    """
+
+    __slots__ = ("pair_sum", "w", "ux", "uy", "uz", "e3i", "own",
+                 "d_s1", "d_mx", "d_my", "d_mz", "d_mxx", "d_myy",
+                 "d_mzz", "d_mxy", "d_mxz", "d_myz")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def delta(self):
+        return Moments(self.d_s1, self.d_mx, self.d_my, self.d_mz,
+                       self.d_mxx, self.d_myy, self.d_mzz,
+                       self.d_mxy, self.d_mxz, self.d_myz)
+
+
+def _shift_vectors(H, nb_off):
+    """H [3,3,W] x off [K,27,3] -> three [K,27,W] shift components."""
+    comps = []
+    for a in range(3):
+        comps.append(jnp.einsum(
+            "kc,w->kcw",
+            jnp.asarray(nb_off[:, :, 0]), H[a, 0],
+        ) + jnp.einsum(
+            "kc,w->kcw",
+            jnp.asarray(nb_off[:, :, 1]), H[a, 1],
+        ) + jnp.einsum(
+            "kc,w->kcw",
+            jnp.asarray(nb_off[:, :, 2]), H[a, 2],
+        ))
+    return comps
+
+
+def _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
+                     mover_slot, p, prm: SWParams) -> _SlabCand:
+    """Candidate set of movers at positions ``p``.
+
+    rx/ry/rz: [nslot, W] slab coordinates; valid: [nslot, W] bool;
+    H: [3,3,W]; nb_slots: static [K, C]; nb_off: static [K, 27, 3];
+    mover_slot: [K, W] int32; p: (px,py,pz) each [K, W].
+    """
+    K, C = nb_slots.shape
+    cap = C // 27
+    take = lambda arr: jnp.take(arr, nb_slots.reshape(-1), axis=0) \
+        .reshape(K, C, -1)                                  # noqa: E731
+    cx, cy, cz = take(rx), take(ry), take(rz)
+    cval = take(valid)
+
+    shx, shy, shz = _shift_vectors(H, nb_off)               # [K,27,W]
+    rep = lambda s: jnp.repeat(s, cap, axis=1)              # noqa: E731
+    px, py, pz = p
+    dx = cx + rep(shx) - px[:, None, :]
+    dy = cy + rep(shy) - py[:, None, :]
+    dz = cz + rep(shz) - pz[:, None, :]
+
+    not_self = nb_slots[:, :, None] != mover_slot[:, None, :]
+    mask = cval & not_self
+    r2 = dx * dx + dy * dy + dz * dz
+    in_rc = (r2 < prm.rc2) & mask
+    r2s = jnp.where(in_rc, r2, 1.0)
+    inv = jax.lax.rsqrt(r2s)
+    rij = r2s * inv
+
+    pair_sum = jnp.sum(_pair(r2s, rij, in_rc, prm), axis=1)   # [K,W]
+    w = _leg(rij, in_rc, prm)
+    ux, uy, uz = dx * inv, dy * inv, dz * inv
+
+    wux, wuy, wuz = w * ux, w * uy, w * uz
+    own = Moments(
+        jnp.sum(w, axis=1),
+        jnp.sum(wux, axis=1), jnp.sum(wuy, axis=1),
+        jnp.sum(wuz, axis=1),
+        jnp.sum(wux * ux, axis=1), jnp.sum(wuy * uy, axis=1),
+        jnp.sum(wuz * uz, axis=1),
+        jnp.sum(wux * uy, axis=1), jnp.sum(wux * uz, axis=1),
+        jnp.sum(wuy * uz, axis=1),
+    )
+    sumw2 = jnp.sum(w * w, axis=1)
+    e3i = _e3_closed_form(own, sumw2, prm.cos0)               # [K,W]
+
+    # per-candidate contributions to each j's moments (from j's view,
+    # the leg direction is -u; ops/dense.py delta convention)
+    return _SlabCand(
+        pair_sum=pair_sum, w=w, ux=ux, uy=uy, uz=uz, e3i=e3i, own=own,
+        d_s1=w, d_mx=-wux, d_my=-wuy, d_mz=-wuz,
+        d_mxx=wux * ux, d_myy=wuy * uy, d_mzz=wuz * uz,
+        d_mxy=wux * uy, d_mxz=wux * uz, d_myz=wuy * uz,
+    )
+
+
+def _slab_jcentred(c: _SlabCand, m: Moments, prm: SWParams):
+    """Wing-angle sums i-j-k over slab candidates -> [K, W].
+
+    ``m``: gathered neighbourhood moments, fields [K, C, W]
+    (ops/dense._jcentred with the slab candidate axis)."""
+    c0 = prm.cos0
+    ux, uy, uz = c.ux, c.uy, c.uz
+    quad = (
+        ux * ux * m.mxx + uy * uy * m.myy + uz * uz * m.mzz
+        + 2.0 * (ux * uy * m.mxy + ux * uz * m.mxz + uy * uz * m.myz)
+    )
+    lin = ux * m.mx + uy * m.my + uz * m.mz
+    per = (
+        quad + 2.0 * c0 * lin + (c0 * c0) * m.s1
+        - (1.0 - c0) ** 2 * c.w
+    )
+    return jnp.sum(c.w * per, axis=1)
+
+
+def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
+                   nb_off, mover_slot, p_old, p_new, prm: SWParams):
+    """One lattice: old/new local energies of a batch of K movers.
+
+    slab_r: [3, nslot, W]; slab_mom fields [nslot, W];
+    valid: [nslot, W]; H: [3,3,W]; nb_slots/nb_off static tables;
+    mover_slot: [K, W]; p_old/p_new: [3, K, W].
+
+    Returns (e_old [K,W], e_new [K,W], cand_old, cand_new) - the
+    candidate objects carry the leg data needed for post-accept
+    moment updates.  Slab counterpart of dense.local_energies_batch
+    (itself 2x compute_local_real_energy, molint.F90:220-404).
+    """
+    lam_eps = prm.lam * prm.epsilon
+    rx, ry, rz = slab_r[0], slab_r[1], slab_r[2]
+    K, C = nb_slots.shape
+
+    co = _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
+                          mover_slot, (p_old[0], p_old[1], p_old[2]),
+                          prm)
+    take = lambda arr: jnp.take(arr, nb_slots.reshape(-1), axis=0) \
+        .reshape(K, C, -1)                                  # noqa: E731
+    mom_nb = Moments(*(take(f) for f in slab_mom))
+    e3j_old = _slab_jcentred(co, mom_nb, prm)
+    e_old = co.pair_sum + lam_eps * (co.e3i + e3j_old)
+
+    cn = _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
+                          mover_slot, (p_new[0], p_new[1], p_new[2]),
+                          prm)
+    # world with the mover at p_new: every neighbour's moments
+    # corrected by the mover's old/new leg contributions
+    eff = Moments(*(
+        m - do + dn
+        for m, do, dn in zip(mom_nb, co.delta(), cn.delta())
+    ))
+    e3j_new = _slab_jcentred(cn, eff, prm)
+    e_new = cn.pair_sum + lam_eps * (cn.e3i + e3j_new)
+    return e_old, e_new, co, cn
+
+
+def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
+                     cell_chunk: int = 8):
+    """One lattice: total energy + fresh per-slot moments.
+
+    Slab counterpart of dense.full_energy_batch (compute_model_energy,
+    molint.F90:407-499): per slot i, half the pair sum plus the
+    centre-angle moment formula.  Chunked over cells with lax.map to
+    bound the [chunk*cap, 27*cap, W] intermediate.
+
+    Returns (energy [W], Moments fields [nslot, W]).
+    """
+    ncell, cap = grid.ncell, grid.cap
+    assert ncell % cell_chunk == 0
+    all_cells = np.arange(ncell, dtype=np.int32)
+    nb_slots_all, nb_off_all = nb_slot_tables(grid, all_cells)
+    nb_slots_all = jnp.asarray(
+        nb_slots_all.reshape(ncell // cell_chunk, cell_chunk, -1)
+    )
+    nb_off_all = jnp.asarray(
+        nb_off_all.reshape(ncell // cell_chunk, cell_chunk, 27, 3)
+    )
+    rx, ry, rz = slab_r[0], slab_r[1], slab_r[2]
+    W = rx.shape[-1]
+    dtype = rx.dtype
+    lam_eps = prm.lam * prm.epsilon
+
+    def one_chunk(args):
+        nb_slots, nb_off, cell0 = args
+        B = cell_chunk * cap
+        C = nb_slots.shape[-1]
+        # centre slots of this chunk: contiguous [cell0*cap, ...)
+        ctr = cell0 * cap + jnp.arange(B, dtype=jnp.int32)
+        ctr_valid = jnp.take(valid, ctr, axis=0)              # [B,W]
+        px = jnp.take(rx, ctr, axis=0)
+        py = jnp.take(ry, ctr, axis=0)
+        pz = jnp.take(rz, ctr, axis=0)
+
+        take = lambda arr: jnp.take(                        # noqa: E731
+            arr, nb_slots.reshape(-1), axis=0
+        ).reshape(cell_chunk, C, W)
+        cx, cy, cz = take(rx), take(ry), take(rz)
+        cval = take(valid)
+        shx, shy, shz = _shift_vectors(H, nb_off)           # [cc,27,W]
+        rep = lambda s: jnp.repeat(s, cap, axis=1)          # noqa: E731
+        cx = cx + rep(shx)
+        cy = cy + rep(shy)
+        cz = cz + rep(shz)
+
+        # reshape centres to [cc, cap, W] to match candidate chunks
+        rs = lambda a: a.reshape(cell_chunk, cap, W)        # noqa: E731
+        dx = cx[:, None, :, :] - rs(px)[:, :, None, :]      # [cc,cap,C,W]
+        dy = cy[:, None, :, :] - rs(py)[:, :, None, :]
+        dz = cz[:, None, :, :] - rs(pz)[:, :, None, :]
+
+        slot_ids = nb_slots.reshape(cell_chunk, 1, C, 1)
+        ctr_ids = ctr.reshape(cell_chunk, cap, 1, 1)
+        not_self = slot_ids != ctr_ids
+        mask = (
+            cval[:, None, :, :] & not_self
+            & rs(ctr_valid)[:, :, None, :]
+        )
+        r2 = dx * dx + dy * dy + dz * dz
+        in_rc = (r2 < prm.rc2) & mask
+        r2s = jnp.where(in_rc, r2, 1.0)
+        inv = jax.lax.rsqrt(r2s)
+        rij = r2s * inv
+
+        pair_half = 0.5 * jnp.sum(
+            _pair(r2s, rij, in_rc, prm), axis=2
+        )                                                    # [cc,cap,W]
+        w = _leg(rij, in_rc, prm)
+        ux, uy, uz = dx * inv, dy * inv, dz * inv
+        wux, wuy, wuz = w * ux, w * uy, w * uz
+        red = lambda a: jnp.sum(a, axis=2)                  # noqa: E731
+        mom = Moments(
+            red(w), red(wux), red(wuy), red(wuz),
+            red(wux * ux), red(wuy * uy), red(wuz * uz),
+            red(wux * uy), red(wux * uz), red(wuy * uz),
+        )
+        sumw2 = red(w * w)
+        e3 = _e3_closed_form(mom, sumw2, prm.cos0)           # [cc,cap,W]
+        e_chunk = jnp.sum(pair_half + lam_eps * e3, axis=(0, 1))
+        return e_chunk, Moments(*(
+            f.reshape(cell_chunk * cap, W) for f in mom
+        ))
+
+    cell0s = jnp.arange(0, ncell, cell_chunk, dtype=jnp.int32)
+    e_chunks, mom_chunks = jax.lax.map(
+        one_chunk, (nb_slots_all, nb_off_all, cell0s)
+    )
+    energy = jnp.sum(e_chunks, axis=0).astype(dtype)
+    moments = Moments(*(
+        f.reshape(grid.nslot, W) for f in mom_chunks
+    ))
+    return energy, moments
