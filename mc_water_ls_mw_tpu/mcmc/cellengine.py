@@ -1,0 +1,995 @@
+"""Large-N parallel cell-sweep MC engine.
+
+New capability beyond the reference (SURVEY.md §7 step 8,
+BASELINE.json configs[4]): the reference's sampler is a strictly
+serial per-rank chain with O(N^2) neighbour searches
+(mc_cycle:224-250, molint.F90:501-559) and cannot reach N >= 10^4.
+This engine recasts the chain for large boxes:
+
+* Space is partitioned by the 8-coloured fractional cell grid of
+  ops/cells.py (cell side > 2*rc + 2*mismatch).  One sub-step picks
+  ONE random molecule in every active-colour cell and proposes
+  translations for all of them AT ONCE.  Movers sit in distinct
+  same-colour cells, hence > 2*rc apart in both replicas, so their
+  local energies, Delta-E's and moment updates are EXACTLY independent
+  (a mover's Delta-E reaches at most 2*rc: rc to a neighbour j plus rc
+  from j to a wing molecule k).
+
+* The accept/reject chain stays EXACT: energies are evaluated in
+  parallel, but acceptance runs in a cheap sequential scan over the
+  movers because the multicanonical state (mu, eta(mu), WL weights)
+  couples all moves globally.  Since the movers' energy terms are
+  disjoint, evaluating Delta-E_k against the pre-sub-step
+  configuration equals evaluating it mid-chain, and the scan
+  reproduces the serial Markov chain move for move.
+
+* A move that would cross its cell boundary is rejected (a
+  state-only-dependent hard wall: the reverse proposal faces the same
+  wall, so detailed balance is preserved), and the grid origin is
+  re-drawn at random + molecules re-binned every ``list_update_int``
+  cycles (the reference's Verlet-rebuild cadence, mc_cycle:218-222),
+  which restores ergodicity across cells - the standard checkerboard
+  construction of massively-parallel MC.
+
+* Everything else - Wang-Landau updates, eta lookups, lattice
+  switches, delta-sync, mu-window dd mode, flatness/monitor/deltaG -
+  is INHERITED from the dense Engine unchanged: CellState carries the
+  same multicanonical fields, and those methods never touch the
+  configurational layout.
+
+Throughput model: one cycle = nwater trial moves, executed as
+``sweeps = nwater/ncell`` sweeps of 8 colour sub-steps moving
+ncell/8 molecules each - per-walker parallelism that GROWS with N,
+on top of the walker ensemble.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.sw import SWParams
+from ..ops.cells import (
+    CellGrid,
+    bin_molecules,
+    cell_of_frac,
+    gather_from_slab,
+    scatter_to_slab,
+)
+from ..ops.cell_energy import (
+    mover_energies,
+    nb_slot_tables,
+    slab_full_energy,
+)
+from ..ops.dense import Moments
+from ..ops.geometry import determinant3, recip_matrix
+from .bins import BinGrid
+from .config import RunParams
+from .engine import (
+    Engine,
+    NOOP,
+    SWITCH,
+    TRANS,
+    VOL,
+    _einsum,
+    _stack_moments,
+    _take_lat,
+)
+from .state import (
+    EngineAux,
+    assign_windows,
+    compute_log_unbiased_norm,
+)
+
+
+class CellState(NamedTuple):
+    """Sampler state in slab layout; field names deliberately shadow
+    SamplerState so the inherited Engine methods (eta/WL/switch/sync)
+    and the host-side wanglandau.py events work unchanged."""
+
+    # configurational state, slab layout (nslot = ncell*cap >= N)
+    r: jnp.ndarray            # [L,3,nslot,W] positions (slab slots)
+    h: jnp.ndarray            # [L,3,3,W]
+    recip: jnp.ndarray        # [L,3,3,W]
+    volume: jnp.ndarray       # [L,W]
+    energy: jnp.ndarray       # [L,W]
+    mu: jnp.ndarray           # [W]
+    ls: jnp.ndarray           # [W]
+    moments: Moments          # fields [L,nslot,W]
+
+    # slab bookkeeping
+    slot2mol: jnp.ndarray     # [nslot,W] int32, -1 = empty
+    mol2slot: jnp.ndarray     # [N,W] int32
+    origin: jnp.ndarray       # [3] fractional grid origin (shared)
+    occ_overflow: jnp.ndarray  # [W] int32 max(occupancy-cap) observed
+
+    # multicanonical state (same as SamplerState)
+    weight: jnp.ndarray
+    hist: jnp.ndarray
+    uhist: jnp.ndarray
+    f: jnp.ndarray
+    sumhist: jnp.ndarray
+    invt_active: jnp.ndarray
+    firstcycle: jnp.ndarray
+    histogram_reset: jnp.ndarray
+    snap_eta: jnp.ndarray
+    snap_hist: jnp.ndarray
+    snap_uhist: jnp.ndarray
+    window_id: jnp.ndarray
+    my_mu_min: jnp.ndarray
+    my_mu_max: jnp.ndarray
+    start_bin: jnp.ndarray
+    end_bin: jnp.ndarray
+    in_window: jnp.ndarray
+
+    # counters / step sizes (same as SamplerState)
+    max_trans: jnp.ndarray
+    dv_max: jnp.ndarray
+    att: jnp.ndarray
+    acc: jnp.ndarray
+    trans_per_mol: jnp.ndarray
+    avg_energy: jnp.ndarray
+    min_dmu: jnp.ndarray
+    max_dmu: jnp.ndarray
+
+    cycle: jnp.ndarray
+    key: jnp.ndarray
+    shared_key: jnp.ndarray
+
+
+class CellAux(NamedTuple):
+    """Static large-N extras alongside EngineAux."""
+
+    dfrac0: jnp.ndarray       # [3,N] invariant correspondence mismatch
+                              # f1 - f2 per molecule (models/stacking.py)
+    mismatch: float           # max Cartesian mismatch bound (Bohr)
+
+
+def _slab_take(arr, idx):
+    """arr [nslot,W], idx [K,W] -> [K,W] (per-walker row take)."""
+    return jnp.take_along_axis(arr, idx, axis=0)
+
+
+def _slab_put(arr, idx, val, mask):
+    """Per-walker scatter: arr[idx[k,w], w] = val[k,w] where mask."""
+    def one(a, i, v, m):
+        cur = a[i]
+        return a.at[i].set(jnp.where(m, v, cur))
+    return jax.vmap(one, in_axes=(1, 1, 1, 1), out_axes=1)(
+        arr, idx, val, mask
+    )
+
+
+def _scatter_add_mol(arr, mol, val):
+    """arr [N,W] += val [K,W] at rows mol [K,W] (per walker)."""
+    def one(a, i, v):
+        return a.at[i].add(v)
+    return jax.vmap(one, in_axes=(1, 1, 1), out_axes=1)(arr, mol, val)
+
+
+def _frac_of(recip_l, r_l):
+    """Fractional coords: recip [3,3,W], r [3,M,W] -> [3,M,W]."""
+    return _einsum("abw,amw->bmw", recip_l, r_l) * (0.5 / jnp.pi)
+
+
+class CellEngine(Engine):
+    """Drop-in engine for large systems; inherits all multicanonical
+    machinery from Engine and replaces the configurational kernels."""
+
+    def __init__(self, prm: RunParams, model: SWParams, grid: BinGrid,
+                 aux: EngineAux, cellgrid: CellGrid, cellaux: CellAux,
+                 mesh=None):
+        if prm.minu:
+            raise NotImplementedError(
+                "MINU variant not supported by the large-N cell engine"
+            )
+        prm = dataclasses.replace(prm, fused="off")
+        super().__init__(prm, model, grid, aux, mesh=mesh)
+        self.cellgrid = cellgrid
+        self.cellaux = cellaux
+        # volume-move geometry guard: the grid stays valid only while
+        # every cell side exceeds 2*rc + 2*mismatch (hard wall;
+        # state-only-dependent, so detailed balance is preserved)
+        self.s_min_guard = 2.0 * model.rc + 2.0 * cellaux.mismatch
+
+        # static per-colour tables
+        self.color_tables = []
+        cap = cellgrid.cap
+        for col in range(8):
+            cells_c = np.asarray(cellgrid.color_cells[col])
+            nb_slots, nb_off = nb_slot_tables(cellgrid, cells_c)
+            cell_slots = (
+                cells_c[:, None] * cap + np.arange(cap, dtype=np.int32)
+            )
+            self.color_tables.append(
+                (cells_c, nb_slots, nb_off, cell_slots)
+            )
+        self.K = cellgrid.cells_per_color
+        self.sweeps_per_cycle = max(
+            1, int(round(prm.nwater / cellgrid.ncell))
+        )
+        self.trials_per_cycle = (
+            self.sweeps_per_cycle * cellgrid.ncell
+        )
+
+    # ------------------------------------------------------------------
+    # full-cell energy (slab)
+    # ------------------------------------------------------------------
+
+    def _slab_valid(self, s: CellState):
+        return s.slot2mol >= 0
+
+    def _full_both(self, s: CellState, r, h):
+        valid = self._slab_valid(s)
+        per = [
+            slab_full_energy(r[l], valid, h[l], self.cellgrid,
+                             self.model)
+            for l in range(r.shape[0])
+        ]
+        energy = jnp.stack([p[0] for p in per])
+        moments = _stack_moments([p[1] for p in per])
+        return energy, moments
+
+    # ------------------------------------------------------------------
+    # one colour sub-step: K parallel movers, exact sequential chain
+    # ------------------------------------------------------------------
+
+    def _substep(self, s: CellState, color: int, cycle, substep_id,
+                 codes_k, switch_ok):
+        prm, model, cg = self.prm, self.model, self.cellgrid
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        K, cap = self.K, cg.cap
+        dtype = s.r.dtype
+        cells_c, nb_slots, nb_off, cell_slots = self.color_tables[color]
+        cells_j = jnp.asarray(cells_c)
+
+        # per-walker uniforms for this sub-step in one threefry call
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(
+                    jax.random.fold_in(k, cycle), substep_id
+                ),
+                (K, cap + 6), dtype=dtype,
+            ),
+            out_axes=2,
+        )(s.key)                                     # [K,cap+6,W]
+
+        # mover selection: uniform over the cell's occupants via
+        # argmax of iid uniforms masked to occupied slots
+        occ_mol = jnp.take(
+            s.slot2mol, jnp.asarray(cell_slots.reshape(-1)), axis=0
+        ).reshape(K, cap, W)
+        occ = occ_mol >= 0
+        score = jnp.where(occ, u[:, :cap, :], -1.0)
+        sel = jnp.argmax(score, axis=1).astype(jnp.int32)     # [K,W]
+        has_mover = jnp.any(occ, axis=1)                      # [K,W]
+        mover_slot = cells_j[:, None] * cap + sel             # [K,W]
+        mover_mol = jnp.take_along_axis(
+            occ_mol, sel[:, None, :], axis=1
+        )[:, 0, :]                                            # [K,W]
+
+        p_old = jnp.stack([
+            jnp.stack([_slab_take(s.r[l, a], mover_slot)
+                       for a in range(3)])
+            for l in range(L)
+        ])                                                    # [L,3,K,W]
+
+        # displacement: random direction x U(-1,1)*max_trans in the
+        # active lattice, same fractional displacement in the partner
+        # (mc_water_translation, mc_moves.F90:1021-1067)
+        d0 = 2.0 * u[:, cap + 0, :] - 1.0                     # [K,W]
+        d1 = 2.0 * u[:, cap + 1, :] - 1.0
+        d2 = 2.0 * u[:, cap + 2, :] - 1.0
+        inv_norm = jax.lax.rsqrt(
+            jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
+        )
+        rmag = (
+            (2.0 * u[:, cap + 3, :] - 1.0)
+            * s.max_trans[None, :] * inv_norm
+        )
+        v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])      # [3,K,W]
+
+        recip_ls = _take_lat(s.recip, s.ls)                   # [3,3,W]
+        sfrac = _einsum("akw,abw->bkw", v, recip_ls) * (0.5 / jnp.pi)
+        tv_all = _einsum("labw,bkw->lakw", s.h, sfrac)        # [L,3,K,W]
+        lat_act = (
+            jnp.arange(L)[:, None, None, None]
+            == s.ls[None, None, None, :]
+        )
+        transvec = jnp.where(lat_act, v[None], tv_all)
+        p_new = p_old + transvec
+
+        # cell-boundary wall: BOTH endpoints must resolve to this cell
+        # (symmetric under the reverse move, preserving balance even
+        # at f32 rounding edges)
+        f_old = _frac_of(s.recip[0], p_old[0])                # [3,K,W]
+        f_new = _frac_of(s.recip[0], p_new[0])
+        in_cell = (
+            (cell_of_frac(cg, f_old, s.origin) == cells_j[:, None])
+            & (cell_of_frac(cg, f_new, s.origin) == cells_j[:, None])
+        )
+
+        # parallel Delta-E of all K movers in both lattices
+        valid = self._slab_valid(s)
+        per = [
+            mover_energies(
+                s.r[l], Moments(*(f[l] for f in s.moments)), valid,
+                s.h[l], nb_slots, nb_off, mover_slot,
+                p_old[l], p_new[l], model,
+            )
+            for l in range(L)
+        ]
+        e_old = jnp.stack([p[0] for p in per])                # [L,K,W]
+        e_new = jnp.stack([p[1] for p in per])
+        dE = e_new - e_old                                    # [L,K,W]
+
+        # ---- exact sequential accept/reject chain over the K movers
+        trans_type = codes_k == TRANS
+        sw_type = codes_k == SWITCH
+        if prm.mc_always_switch:
+            sw_try = trans_type | sw_type
+        else:
+            sw_try = sw_type
+
+        small = s
+
+        def body(st, xs):
+            dE_k, tt, swt, has_k, inc_k, ua, uz = xs
+            # a trial exists whenever the cell is occupied; the cell
+            # wall only vetoes ACCEPTANCE (a rejected trial still
+            # counts and still updates the WL histogram at current mu,
+            # exactly like any Metropolis rejection)
+            enabled = tt & has_k
+            if prm.num_lattices == 2:
+                dmu = (dE_k[0] - dE_k[1]) * prm.beta
+                mu_new = st.mu + dmu
+                eta_old = self._eta(st, st.mu)
+                eta_new = self._eta(st, mu_new)
+                dE_ls = _take_lat(dE_k, st.ls)
+                diffkT = prm.beta * dE_ls + eta_new - eta_old
+            else:
+                dmu = jnp.zeros((W,), dtype=dtype)
+                mu_new = st.mu
+                diffkT = prm.beta * dE_k[0]
+
+            ok = jnp.isfinite(diffkT)
+            if prm.num_lattices == 2:
+                ok = ok & jnp.isfinite(mu_new)
+            accept = enabled & inc_k & ok & (ua < jnp.exp(-diffkT))
+
+            energy = jnp.where(accept[None, :], st.energy + dE_k,
+                               st.energy)
+            mu = jnp.where(accept, mu_new, st.mu)
+            en_i = enabled.astype(jnp.int32)
+            admu = jnp.abs(dmu)
+            min_dmu = jnp.where(accept & (admu < st.min_dmu), admu,
+                                st.min_dmu)
+            max_dmu = jnp.where(accept & (admu > st.max_dmu), admu,
+                                st.max_dmu)
+            st = st._replace(
+                energy=energy, mu=mu,
+                att=st.att.at[TRANS].add(en_i),
+                acc=st.acc.at[TRANS].add(accept.astype(jnp.int32)),
+                min_dmu=min_dmu, max_dmu=max_dmu,
+            )
+            # WL update after every translation trial
+            # (mc_update_wl_bins; Engine._wl_update)
+            st = self._wl_update(st, enabled)
+            # switch attempt after the move (mc_always_switch,
+            # mc_cycle:243-249), or a scheduled switch trial
+            if prm.num_lattices == 2 and (
+                prm.mc_always_switch or prm.allow_switch
+            ):
+                st = self._switch(st, uz, switch_ok & swt)
+            return st, accept
+
+        xs = (
+            jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
+            trans_type, sw_try, has_mover, in_cell,
+            u[:, cap + 4, :], u[:, cap + 5, :],
+        )
+        small, accepts = jax.lax.scan(body, small, xs)
+
+        # ---- apply accepted movers to the slabs (independent, so
+        # parallel application equals the sequential composition)
+        accf = accepts                                          # [K,W]
+        r = s.r
+        for l in range(L):
+            for a in range(3):
+                r = r.at[l, a].set(_slab_put(
+                    r[l, a], mover_slot, p_new[l, a], accf
+                ))
+
+        nb_flat = jnp.asarray(nb_slots.reshape(-1))
+        new_mom = []
+        for l in range(L):
+            _, _, co, cn = per[l]
+            d_old = co.delta()
+            d_new = cn.delta()
+            own = cn.own
+            fields = []
+            for fo, fn, fown, cur in zip(d_old, d_new, own,
+                                         (f[l] for f in s.moments)):
+                dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
+                upd = cur.at[nb_flat].add(
+                    dlt.reshape(-1, W), mode="drop"
+                )
+                upd = _slab_put(upd, mover_slot, fown, accf)
+                fields.append(upd)
+            new_mom.append(Moments(*fields))
+        moments = _stack_moments(new_mom)
+
+        tpm = _scatter_add_mol(
+            s.trans_per_mol, jnp.maximum(mover_mol, 0),
+            (trans_type[:, None] & has_mover).astype(jnp.int32),
+        )
+
+        return small._replace(
+            r=r, moments=moments, trans_per_mol=tpm,
+        )
+
+    # ------------------------------------------------------------------
+    # volume move (slab variant of Engine._volume)
+    # ------------------------------------------------------------------
+
+    def _volume(self, s: CellState, keys) -> CellState:
+        prm = self.prm
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        dtype = s.r.dtype
+
+        u = jax.vmap(lambda k: jax.random.uniform(k, (4,), dtype=dtype))(
+            keys
+        )
+        idim = jnp.minimum((u[:, 0] * 3).astype(jnp.int32), 2)
+        jdim = jnp.minimum((u[:, 1] * 3).astype(jnp.int32), 2)
+        delta = (2.0 * u[:, 2] - 1.0) * s.dv_max
+
+        ei = (jnp.arange(3)[:, None] == idim[None, :]).astype(dtype)
+        ej = (jnp.arange(3)[:, None] == jdim[None, :]).astype(dtype)
+        outer = ei[:, None, :] * ej[None, :, :]
+        sym = outer + jnp.swapaxes(outer, 0, 1) \
+            - outer * jnp.swapaxes(outer, 0, 1)
+        dh = sym * delta[None, None, :]
+
+        h_new = s.h + dh[None]
+        # rescale holding fractional coordinates fixed (slab slots and
+        # the fractional grid are untouched by construction)
+        frac = jnp.stack([_frac_of(s.recip[l], s.r[l])
+                          for l in range(L)])
+        r_new = _einsum("labw,lbmw->lamw", h_new, frac)
+        recip_new = jnp.stack(
+            [recip_matrix(h_new[l]) for l in range(L)]
+        )
+        vol_new = jnp.abs(jnp.stack(
+            [determinant3(h_new[l]) for l in range(L)]
+        ))
+
+        e_new, mom_new = self._full_both(s, r_new, h_new)
+        dE = e_new - s.energy
+
+        vol_ls_old = _take_lat(s.volume, s.ls)
+        vol_ls_new = _take_lat(vol_new, s.ls)
+        dE_ls = _take_lat(dE, s.ls)
+
+        if prm.num_lattices == 2:
+            mu_new = self._mu_scratch(e_new, vol_new)
+            eta_old = self._eta(s, s.mu)
+            eta_new = self._eta(s, mu_new)
+            deta = eta_new - eta_old
+            mu_reject = self._mu_scratch(s.energy, s.volume)
+        else:
+            mu_new = s.mu
+            deta = jnp.zeros((W,), dtype=dtype)
+            mu_reject = s.mu
+
+        diffkT = (
+            prm.beta * dE_ls
+            + deta
+            + prm.beta * prm.pressure * (vol_ls_new - vol_ls_old)
+            - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
+        )
+        ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
+        # grid-validity wall: every cell side must stay > 2rc+2m in
+        # both lattices (state-only-dependent hard wall)
+        ok = ok & (self._min_cell_side(h_new) > self.s_min_guard)
+        if prm.num_lattices == 2:
+            ok = ok & jnp.isfinite(mu_new)
+        accept = ok & (u[:, 3] < jnp.exp(-diffkT))
+
+        if prm.num_lattices == 2:
+            admu = jnp.abs(mu_new - s.mu)
+            min_dmu = jnp.where(accept & (admu < s.min_dmu), admu,
+                                s.min_dmu)
+            max_dmu = jnp.where(accept & (admu > s.max_dmu), admu,
+                                s.max_dmu)
+            mu = jnp.where(accept, mu_new, mu_reject)
+        else:
+            min_dmu, max_dmu = s.min_dmu, s.max_dmu
+            mu = s.mu
+
+        a4 = accept[None, None, None, :]
+        a2 = accept[None, None, :]
+        moments = jax.tree.map(
+            lambda e, o: jnp.where(a2, e, o), mom_new, s.moments
+        )
+        s = s._replace(
+            r=jnp.where(a4, r_new, s.r),
+            h=jnp.where(a4, h_new, s.h),
+            recip=jnp.where(a4, recip_new, s.recip),
+            volume=jnp.where(accept[None, :], vol_new, s.volume),
+            energy=jnp.where(accept[None, :], e_new, s.energy),
+            mu=mu,
+            moments=moments,
+            att=s.att.at[VOL].add(1),
+            acc=s.acc.at[VOL].add(accept.astype(jnp.int32)),
+            min_dmu=min_dmu,
+            max_dmu=max_dmu,
+        )
+        return self._wl_update(s)
+
+    def _min_cell_side(self, h) -> jnp.ndarray:
+        """Min over lattices/axes of (perpendicular width / cells) [W]."""
+        n = jnp.asarray(self.cellgrid.n, dtype=h.dtype)
+        L = h.shape[0]
+        sides = []
+        for l in range(L):
+            H = h[l]                                        # [3,3,W]
+            vol = jnp.abs(determinant3(H))
+            for a in range(3):
+                b, c = (a + 1) % 3, (a + 2) % 3
+                cx = H[1, b] * H[2, c] - H[2, b] * H[1, c]
+                cy = H[2, b] * H[0, c] - H[0, b] * H[2, c]
+                cz = H[0, b] * H[1, c] - H[1, b] * H[0, c]
+                w = vol * jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
+                sides.append(w / n[a])
+        return jnp.min(jnp.stack(sides), axis=0)
+
+    # ------------------------------------------------------------------
+    # rebin: new random grid origin (ergodicity across cells)
+    # ------------------------------------------------------------------
+
+    def _rebin(self, s: CellState) -> CellState:
+        cg = self.cellgrid
+        L = s.r.shape[0]
+        N = s.mol2slot.shape[0]
+        dtype = s.r.dtype
+
+        # gather slabs back to molecule order
+        r_mol = jnp.stack([
+            jnp.stack([gather_from_slab(s.r[l, a], s.mol2slot)
+                       for a in range(3)])
+            for l in range(L)
+        ])                                                  # [L,3,N,W]
+        mom_mol = Moments(*(
+            jnp.stack([gather_from_slab(f[l], s.mol2slot)
+                       for l in range(L)])
+            for f in s.moments
+        ))
+
+        # new shared origin
+        okey = jax.random.fold_in(s.shared_key, s.cycle)
+        origin = jax.random.uniform(okey, (3,), dtype=dtype)
+
+        # wrap lattice 1 into [origin, origin+1) fractional: the grid
+        # is periodic in g = f - origin, so stored images must wrap at
+        # the GRID boundary for the neighbour tables' +-1 box shifts
+        # to be the true periodic offsets; re-image lattice 2 to
+        # within the (invariant) correspondence mismatch of lattice 1.
+        # Both are lattice-vector shifts, leaving all energies
+        # unchanged.
+        f1 = _frac_of(s.recip[0], r_mol[0])
+        f1 = f1 - jnp.floor(f1 - origin[:, None, None])
+        r1 = _einsum("abw,bnw->anw", s.h[0], f1)
+        if L == 2:
+            f2 = _frac_of(s.recip[1], r_mol[1])
+            dmic = f1 - f2
+            dmic = dmic - jnp.round(dmic)
+            r2 = _einsum("abw,bnw->anw", s.h[1], f1 - dmic)
+            r_mol = jnp.stack([r1, r2])
+        else:
+            r_mol = r1[None]
+
+        cid = cell_of_frac(cg, f1, origin)
+        slot, max_occ = bin_molecules(cg, cid)
+        occ_overflow = jnp.maximum(
+            s.occ_overflow, max_occ - cg.cap
+        ).astype(jnp.int32)
+
+        r_slab = jnp.stack([
+            jnp.stack([scatter_to_slab(r_mol[l, a], slot, cg.nslot)
+                       for a in range(3)])
+            for l in range(L)
+        ])
+        mom_slab = Moments(*(
+            jnp.stack([scatter_to_slab(f[l], slot, cg.nslot)
+                       for l in range(L)])
+            for f in mom_mol
+        ))
+        mols = jnp.arange(N, dtype=jnp.int32)[:, None]
+        mols = jnp.broadcast_to(mols, slot.shape)
+        base = jnp.full((cg.nslot, slot.shape[1]), -1, dtype=jnp.int32)
+        slot2mol = _slab_put(
+            base, slot, mols, jnp.ones_like(slot, dtype=bool)
+        )
+        return s._replace(
+            r=r_slab, moments=mom_slab, slot2mol=slot2mol,
+            mol2slot=slot, origin=origin, occ_overflow=occ_overflow,
+        )
+
+    # ------------------------------------------------------------------
+    # chain resynchronisation (slab variant of Engine._resync_chains)
+    # ------------------------------------------------------------------
+
+    def _resync_chains(self, s: CellState) -> CellState:
+        prm, aux = self.prm, self.aux
+        if prm.num_lattices != 2:
+            return s
+        L = s.r.shape[0]
+        # lattice 2's cell displacement := lattice 1's
+        # (mc_moves.F90:2276-2277)
+        ref0 = aux.ref_h[0][:, :, None]
+        ref1 = aux.ref_h[1][:, :, None]
+        h2 = ref1 + (s.h[0] - ref0)
+        h = s.h.at[1].set(h2)
+        recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
+
+        # every molecule's fractional displacement from its reference
+        # := lattice 1's, i.e. f2 = f1 - dfrac0 (mc_moves.F90:2289-2333)
+        f1 = _frac_of(recip[0], s.r[0])                  # [3,nslot,W]
+        mol = jnp.maximum(s.slot2mol, 0)                 # [nslot,W]
+        dfrac = jnp.take(self.cellaux.dfrac0, mol, axis=1)
+        valid = self._slab_valid(s)
+        r2 = _einsum("abw,bmw->amw", h[1], f1 - dfrac)
+        r2 = jnp.where(valid[None], r2, 0.0)
+        r = s.r.at[1].set(r2)
+
+        vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
+        s2 = s._replace(r=r, h=h, recip=recip, volume=vol)
+        energy, moments = self._full_both(s2, r, h)
+        mu = self._mu_scratch(energy, vol)
+        return s2._replace(energy=energy, moments=moments, mu=mu)
+
+    # ------------------------------------------------------------------
+    # audit (slab variant)
+    # ------------------------------------------------------------------
+
+    def _audit_energy(self, s: CellState):
+        fresh, moments = self._full_both(s, s.r, s.h)
+        drift = s.energy - fresh
+        return s._replace(energy=fresh, moments=moments), drift
+
+    # ------------------------------------------------------------------
+    # cycle driver
+    # ------------------------------------------------------------------
+
+    def _one_cycle(self, s: CellState):
+        prm = self.prm
+        dtype = s.r.dtype
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        T = self.trials_per_cycle
+        K = self.K
+        cycle = s.cycle + 1
+        s = s._replace(cycle=cycle)
+
+        # dd-mode window tracking (mc_cycle:181-210)
+        if prm.parallel_strategy == "dd" and L == 2:
+            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
+            in_window = jnp.where(
+                cycle < prm.eq_mc_cycles,
+                now_in,
+                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
+                          jnp.ones_like(s.in_window)),
+            )
+            s = s._replace(in_window=in_window)
+
+        # re-draw the grid origin + rebin on the reference's Verlet
+        # cadence (mc_cycle:218-222)
+        s = jax.lax.cond(
+            cycle % prm.list_update_int == 0,
+            self._rebin, lambda x: x, s,
+        )
+
+        # shared move-type schedule over this cycle's trials
+        ck = jax.random.fold_in(s.shared_key, cycle)
+        xi = jax.random.uniform(ck, (T,), dtype=dtype)
+        transP, volP, swP = self.probs
+        codes = jnp.where(
+            xi < transP, TRANS,
+            jnp.where(xi < volP, VOL, jnp.where(xi < swP, SWITCH, NOOP)),
+        )
+
+        if prm.parallel_strategy == "dd":
+            switch_ok_scalar = cycle >= prm.eq_mc_cycles
+        else:
+            switch_ok_scalar = jnp.asarray(True)
+        switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
+
+        # sweeps of 8 colour sub-steps
+        def sweep_body(st, sweep):
+            for color in range(8):
+                sid = sweep * 8 + color
+                codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
+                st = self._substep(st, color, cycle, sid, codes_k,
+                                   switch_ok)
+            return st, None
+
+        s, _ = jax.lax.scan(
+            sweep_body, s, jnp.arange(self.sweeps_per_cycle)
+        )
+
+        # scheduled volume moves, back-to-back (mc_volume)
+        if prm.mc_ensemble == "npt" and prm.allow_vol:
+            nvol = jnp.sum(codes == VOL)
+
+            def vol_body(k, st):
+                keys = jax.vmap(
+                    lambda kk: jax.random.fold_in(
+                        jax.random.fold_in(kk, cycle), 100_003 + k
+                    )
+                )(st.key)
+                st = self._volume(st, keys)
+                if prm.num_lattices == 2 and prm.mc_always_switch:
+                    zeta2 = jax.vmap(
+                        lambda kk: jax.random.uniform(kk, (), dtype=dtype)
+                    )(jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, 104729)
+                    )(keys))
+                    st = self._switch(st, zeta2, switch_ok)
+                return st
+
+            s = jax.lax.cond(
+                nvol > 0,
+                lambda st: jax.lax.fori_loop(0, nvol, vol_body, st),
+                lambda st: st,
+                s,
+            )
+
+        avg = s.avg_energy + s.energy
+        if prm.mc_ensemble == "npt":
+            avg = avg + prm.pressure * s.volume
+        s = s._replace(avg_energy=avg)
+
+        if prm.num_lattices == 2:
+            s = jax.lax.cond(
+                cycle % prm.mpi_sync_int == 0,
+                self._sync_all, lambda x: x, s,
+            )
+            s = jax.lax.cond(
+                cycle % prm.latt_sync_int == 0,
+                self._resync_chains, lambda x: x, s,
+            )
+
+        T_w = min(prm.therm_walkers, W)
+        e_ls = _take_lat(s.energy, s.ls)
+        sample = {
+            "cycle": cycle,
+            "E_ls": e_ls[:T_w],
+            "mu": s.mu[:T_w],
+            "vol": s.volume[:, :T_w],
+            "ls": s.ls[:T_w],
+        }
+        return s, sample
+
+
+# ----------------------------------------------------------------------
+# state initialisation
+# ----------------------------------------------------------------------
+
+def init_cell_state(
+    prm: RunParams,
+    model: SWParams,
+    r0: np.ndarray,           # [L,N,3] Bohr
+    H0: np.ndarray,           # [L,3,3] Bohr
+    grid: BinGrid,
+    cellgrid: CellGrid,
+    weight0: np.ndarray | None = None,
+    n_windows: int = 1,
+) -> tuple[CellState, EngineAux, CellAux]:
+    """Build the initial slab-layout walker ensemble (the large-N
+    sibling of state.init_state, same init order as main.f90:98-175)."""
+    dtype = jnp.float64 if prm.dtype == "float64" else jnp.float32
+    W = prm.n_walkers
+    L = prm.num_lattices
+    N = prm.nwater
+    B = grid.nbins
+
+    r0 = np.asarray(r0, dtype=np.float64)
+    H0 = np.asarray(H0, dtype=np.float64)
+
+    # invariant correspondence mismatch (models/stacking.py)
+    f1_0 = r0[0] @ np.linalg.inv(H0[0]).T
+    if L == 2:
+        f2_0 = r0[1] @ np.linalg.inv(H0[1]).T
+        dfrac0 = f1_0 - f2_0
+        dfrac0 -= np.round(dfrac0)
+        mismatch = max(
+            float(np.linalg.norm(dfrac0 @ H0[l].T, axis=1).max())
+            for l in range(2)
+        )
+    else:
+        dfrac0 = np.zeros_like(f1_0)
+        mismatch = 0.0
+
+    # initial binning (origin 0): wrap lattice 1, re-image lattice 2
+    f1 = f1_0 - np.floor(f1_0)
+    r_use = [f1 @ H0[0].T]
+    if L == 2:
+        r_use.append((f1 - dfrac0) @ H0[1].T)
+    r_use = np.stack(r_use)                            # [L,N,3]
+
+    origin = jnp.zeros(3, dtype=dtype)
+    f1_j = jnp.asarray(f1.T, dtype=dtype)              # [3,N]
+    cid = cell_of_frac(cellgrid, f1_j[:, :, None], origin)[..., 0]
+    slot1, max_occ1 = bin_molecules(
+        cellgrid, cid[:, None].astype(jnp.int32)
+    )
+    if int(max_occ1[0]) > cellgrid.cap:
+        raise ValueError(
+            f"cell occupancy {int(max_occ1[0])} exceeds capacity "
+            f"{cellgrid.cap}; increase cap"
+        )
+    slot1 = slot1[:, 0]                                # [N]
+
+    # slabs, broadcast to W walkers
+    r_slab0 = np.zeros((L, 3, cellgrid.nslot), dtype=np.float64)
+    s2m0 = np.full(cellgrid.nslot, -1, dtype=np.int32)
+    slot_np = np.asarray(slot1)
+    for l in range(L):
+        r_slab0[l][:, slot_np] = r_use[l].T
+    s2m0[slot_np] = np.arange(N, dtype=np.int32)
+
+    r = jnp.broadcast_to(
+        jnp.asarray(r_slab0, dtype=dtype)[..., None],
+        (L, 3, cellgrid.nslot, W),
+    )
+    slot2mol = jnp.broadcast_to(
+        jnp.asarray(s2m0)[:, None], (cellgrid.nslot, W)
+    )
+    mol2slot = jnp.broadcast_to(
+        jnp.asarray(slot_np.astype(np.int32))[:, None], (N, W)
+    )
+    h = jnp.broadcast_to(
+        jnp.asarray(H0, dtype=dtype)[..., None], (L, 3, 3, W)
+    )
+    recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
+    vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
+
+    # energies + moments on a single-walker slab, then broadcast
+    valid1 = jnp.asarray(s2m0 >= 0)[:, None]
+    e0 = []
+    mom0 = []
+    for l in range(L):
+        e_l, m_l = slab_full_energy(
+            jnp.asarray(r_slab0[l], dtype=dtype)[..., None],
+            valid1,
+            jnp.asarray(H0[l], dtype=dtype)[..., None],
+            cellgrid, model,
+        )
+        e0.append(e_l[0])
+        mom0.append(Moments(*(f[:, 0] for f in m_l)))
+    energy = jnp.broadcast_to(
+        jnp.stack(e0)[:, None], (L, W)
+    ).astype(dtype)
+    moments = Moments(*(
+        jnp.broadcast_to(
+            jnp.stack([m[i] for m in mom0])[..., None],
+            (L, cellgrid.nslot, W),
+        ).astype(dtype)
+        for i in range(10)
+    ))
+
+    ref_enth = energy[:, 0]
+    if prm.mc_ensemble == "npt":
+        ref_enth = ref_enth + prm.pressure * vol[:, 0]
+    if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
+        ref_enth = jnp.asarray(prm.input_ref_enthalpy[:L], dtype=dtype)
+
+    if L == 2:
+        mu0 = (
+            energy[0] + prm.pressure * vol[0]
+            - energy[1] - prm.pressure * vol[1]
+        )
+        if prm.leshift:
+            mu0 = mu0 - ref_enth[0] + ref_enth[1]
+        mu0 = mu0 * prm.beta - N * jnp.log(vol[0] / vol[1])
+    else:
+        mu0 = jnp.zeros((W,), dtype=dtype)
+
+    # windows (identical logic to state.init_state)
+    if prm.parallel_strategy == "dd" and L == 2 and n_windows > 1:
+        wins = assign_windows(prm, grid, n_windows)
+        wid = np.arange(W) % n_windows
+        sb = np.array([wins[i][0] for i in wid], dtype=np.int32)
+        eb = np.array([wins[i][1] for i in wid], dtype=np.int32)
+        lo = np.array([wins[i][2] for i in wid])
+        hi = np.array([wins[i][3] for i in wid])
+        in_window = np.zeros(W, dtype=bool)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        ls0 = np.where(hi < 0.0, 0, ls0)
+        ls0 = np.where(lo > 0.0, 1, ls0)
+        nwin = n_windows
+    else:
+        wid = np.zeros(W, dtype=np.int32)
+        sb = np.zeros(W, dtype=np.int32)
+        eb = np.full(W, B - 1, dtype=np.int32)
+        lo = np.full(W, prm.mu_min)
+        hi = np.full(W, prm.mu_max)
+        in_window = np.ones(W, dtype=bool)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        nwin = 1
+
+    if weight0 is None:
+        weight0 = np.zeros(B)
+    weight = jnp.broadcast_to(
+        jnp.asarray(weight0, dtype=dtype)[:, None], (B, W)
+    )
+    if prm.parallel_strategy == "dd" and nwin > 1:
+        bin_ids = np.arange(B)
+        winmask = (bin_ids[:, None] >= sb[None, :]) & (
+            bin_ids[:, None] <= eb[None, :]
+        )
+        weight = weight * jnp.asarray(winmask, dtype=dtype)
+
+    log_norm = compute_log_unbiased_norm(prm, grid, weight0, W)
+
+    key = jax.random.PRNGKey(prm.seed)
+    shared_key, wkey = jax.random.split(key)
+    walker_keys = jax.random.split(wkey, W)
+
+    state = CellState(
+        r=r, h=h, recip=recip, volume=vol, energy=energy,
+        mu=mu0.astype(dtype), ls=jnp.asarray(ls0), moments=moments,
+        slot2mol=slot2mol, mol2slot=mol2slot, origin=origin,
+        occ_overflow=jnp.zeros((W,), dtype=jnp.int32),
+        weight=weight,
+        hist=jnp.zeros((B, W), dtype=dtype),
+        uhist=jnp.zeros((B, W), dtype=dtype),
+        f=jnp.full((W,), prm.wl_factor, dtype=dtype),
+        sumhist=jnp.zeros((W,), dtype=dtype),
+        invt_active=jnp.zeros((W,), dtype=bool),
+        firstcycle=jnp.ones((W,), dtype=bool),
+        histogram_reset=jnp.zeros((W,), dtype=bool),
+        snap_eta=jnp.broadcast_to(
+            jnp.asarray(weight0, dtype=dtype), (nwin, B)
+        ),
+        snap_hist=jnp.zeros((nwin, B), dtype=dtype),
+        snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
+        window_id=jnp.asarray(wid),
+        my_mu_min=jnp.asarray(lo, dtype=dtype),
+        my_mu_max=jnp.asarray(hi, dtype=dtype),
+        start_bin=jnp.asarray(sb),
+        end_bin=jnp.asarray(eb),
+        in_window=jnp.asarray(in_window),
+        max_trans=jnp.full((W,), prm.mc_max_trans, dtype=dtype),
+        dv_max=jnp.full((W,), prm.mc_dv_max, dtype=dtype),
+        att=jnp.zeros((3, W), dtype=jnp.int32),
+        acc=jnp.zeros((3, W), dtype=jnp.int32),
+        trans_per_mol=jnp.zeros((N, W), dtype=jnp.int32),
+        avg_energy=jnp.zeros((L, W), dtype=dtype),
+        min_dmu=jnp.full((W,), jnp.inf, dtype=dtype),
+        max_dmu=jnp.zeros((W,), dtype=dtype),
+        cycle=jnp.asarray(0, dtype=jnp.int32),
+        key=walker_keys,
+        shared_key=shared_key,
+    )
+    # EngineAux: shifts unused by the cell engine (audits run on the
+    # slab path); keep the minimal general shift set for parity of
+    # the aux structure
+    eaux = EngineAux(
+        shifts=jnp.zeros((1, 3), dtype=jnp.int32),
+        ref_h=jnp.asarray(H0, dtype=dtype),
+        ref_enthalpy=ref_enth.astype(dtype),
+        log_unbiased_norm=log_norm,
+    )
+    caux = CellAux(
+        dfrac0=jnp.asarray(dfrac0.T, dtype=dtype),
+        mismatch=mismatch,
+    )
+    return state, eaux, caux

@@ -187,7 +187,12 @@ def bin_molecules(grid: CellGrid, cell_id):
     start = jnp.where(first, pos, 0)
     start = jax.lax.cummax(start, axis=0)
     rank = pos - start                                       # [N,W]
-    slot_sorted = sorted_cells * grid.cap + rank
+    # clamp on overflow so slots stay in-bounds; the caller MUST check
+    # max_occ <= cap (an overflowing walker is corrupt - two molecules
+    # share a slot - and the engine surfaces it via occ_overflow)
+    slot_sorted = sorted_cells * grid.cap + jnp.minimum(
+        rank, grid.cap - 1
+    )
     # scatter back to molecule order
     inv = jnp.argsort(order, axis=0)                         # [N,W]
     slot = jnp.take_along_axis(slot_sorted, inv, axis=0)
