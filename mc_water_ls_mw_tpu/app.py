@@ -86,24 +86,60 @@ class Application:
 
         rng_self_test(logs)
 
-        # initial structure (read_xmol, init.f90:38-125)
-        r0, H0 = read_lattices(".", prm.num_lattices, prm.nwater)
-
-        # optional supercell tiling (TPU extension, &tpu tile=...)
-        if tuple(prm.tile) != (1, 1, 1):
-            from .io.xmol import tile_cell
-
+        # initial structure: xmol files (read_xmol, init.f90:38-125) or
+        # the built-in polytype builder (&tpu stack=..., TPU extension)
+        if prm.method == "stack" or tuple(prm.stack) != (0, 0, 0):
             import dataclasses
 
-            tiled = [tile_cell(r0[l], H0[l], prm.tile)
-                     for l in range(prm.num_lattices)]
-            r0 = np.stack([t[0] for t in tiled])
-            H0 = np.stack([t[1] for t in tiled])
+            from .models.stacking import (
+                stacking_cell,
+                stacking_switch_pair,
+            )
+
+            nx, ny, m = (int(x) for x in prm.stack)
+            if prm.num_lattices == 2:
+                r0, H0 = stacking_switch_pair(nx, ny, m)
+            else:
+                r, H = stacking_cell("AB" * ((m + 1) // 2), nx, ny)
+                r0, H0 = r[None], H[None]
             self.prm = prm = dataclasses.replace(
                 prm, nwater=r0.shape[1]
             )
-            logs.g(f"# Tiled input cells {prm.tile} -> "
-                   f"N = {prm.nwater}")
+            logs.g(f"# Built stacking pair nx={nx} ny={ny} "
+                   f"bilayers={m} -> N = {prm.nwater}")
+        else:
+            r0, H0 = read_lattices(".", prm.num_lattices, prm.nwater)
+
+            # optional supercell tiling (TPU extension, &tpu tile=...)
+            if tuple(prm.tile) != (1, 1, 1):
+                from .io.xmol import tile_cell
+
+                import dataclasses
+
+                tiled = [tile_cell(r0[l], H0[l], prm.tile)
+                         for l in range(prm.num_lattices)]
+                r0 = np.stack([t[0] for t in tiled])
+                H0 = np.stack([t[1] for t in tiled])
+                self.prm = prm = dataclasses.replace(
+                    prm, nwater=r0.shape[1]
+                )
+                logs.g(f"# Tiled input cells {prm.tile} -> "
+                       f"N = {prm.nwater}")
+
+        # optional Hungarian relabeling of lattice 2 (statistically
+        # transparent; minimises the correspondence mismatch that
+        # bounds the large-N cell size - models/stacking.py)
+        if prm.relabel and prm.num_lattices == 2:
+            from .models.stacking import (
+                correspondence_mismatch,
+                relabel_for_correspondence,
+            )
+
+            before, _ = correspondence_mismatch(r0, H0)
+            r0, _ = relabel_for_correspondence(r0, H0)
+            after, _ = correspondence_mismatch(r0, H0)
+            logs.g(f"# Relabeled lattice 2: correspondence mismatch "
+                   f"{before:.3f} -> {after:.3f} Bohr")
 
         # bin grid; nbins may be promoted to odd (mc_init:557)
         grid_dtype = (
@@ -141,11 +177,39 @@ class Application:
         if prm.parallel_strategy == "dd" and prm.num_lattices == 2:
             n_windows = max(2, min(prm.n_walkers, prm.n_windows))
 
-        state, aux = init_state(
-            prm, self.model, r0, H0, self.grid,
-            weight0=weight0, n_windows=n_windows,
-        )
-        self.aux = aux
+        # engine selection: the large-N parallel cell-sweep engine when
+        # requested/auto-eligible, else the dense walker engine
+        self.cellgrid = None
+        if prm.largen in ("on", "auto") and prm.num_lattices <= 2:
+            from .models.stacking import correspondence_mismatch
+            from .ops.cells import build_grid, choose_grid_shape
+
+            mismatch = 0.0
+            if prm.num_lattices == 2:
+                mismatch, _ = correspondence_mismatch(r0, H0)
+            try:
+                shape = choose_grid_shape(H0, self.model, mismatch)
+            except ValueError as err:
+                if prm.largen == "on":
+                    raise
+                shape = None
+            if shape is not None and (
+                prm.largen == "on"
+                or prm.nwater >= prm.largen_threshold
+            ):
+                ncell = int(np.prod(shape))
+                cap = prm.cell_cap
+                if cap <= 0:
+                    cap = int(
+                        -(-int(prm.nwater / ncell * 1.35 + 8) // 8) * 8
+                    )
+                self.cellgrid = build_grid(shape, cap)
+                logs.g(
+                    f"# Large-N cell engine: grid {shape} "
+                    f"({ncell} cells, cap {cap}), mismatch "
+                    f"{mismatch:.3f} Bohr"
+                )
+
         # decide device-mesh sharding BEFORE building the engine: the
         # fused cycle kernel must be wrapped in shard_map over the
         # walker axis when a multi-device mesh is active
@@ -153,9 +217,28 @@ class Application:
         self.mesh = None
         if self.use_mesh and n_dev > 1 and prm.n_walkers % n_dev == 0:
             self.mesh = make_mesh()
-        self.engine = Engine(
-            prm, self.model, self.grid, aux, mesh=self.mesh
-        )
+
+        if self.cellgrid is not None:
+            from .mcmc.cellengine import CellEngine, init_cell_state
+
+            state, aux, caux = init_cell_state(
+                prm, self.model, r0, H0, self.grid, self.cellgrid,
+                weight0=weight0, n_windows=n_windows,
+            )
+            self.aux = aux
+            self.engine = CellEngine(
+                prm, self.model, self.grid, aux, self.cellgrid, caux,
+                mesh=self.mesh,
+            )
+        else:
+            state, aux = init_state(
+                prm, self.model, r0, H0, self.grid,
+                weight0=weight0, n_windows=n_windows,
+            )
+            self.aux = aux
+            self.engine = Engine(
+                prm, self.model, self.grid, aux, mesh=self.mesh
+            )
 
         # report initial lattice energies (main.f90:125-140) - the
         # fp64 physics oracle line
@@ -232,10 +315,15 @@ class Application:
     def _write_traj(self):
         s = self.state
         ls0 = int(s.ls[0])
-        r_act = np.asarray(s.r[ls0, :, :, 0]).T          # [N,3]
+        if self.cellgrid is not None:
+            # slab layout: gather molecule-ordered positions
+            slot = np.asarray(s.mol2slot[:, 0])
+            r_all = np.asarray(s.r[:, :, :, 0])[:, :, slot]  # [L,3,N]
+        else:
+            r_all = np.asarray(s.r[:, :, :, 0])              # [L,3,N]
+        r_act = r_all[ls0].T                                 # [N,3]
         r_oth = (
-            np.asarray(s.r[1 - ls0, :, :, 0]).T
-            if self.prm.num_lattices == 2 else None
+            r_all[1 - ls0].T if self.prm.num_lattices == 2 else None
         )
         writers.append_dcd_snapshot(
             "mW.dcd", r_act, r_oth, np.asarray(s.h[ls0, :, :, 0])
@@ -308,6 +396,16 @@ class Application:
                     "Not all walkers have reached their designated "
                     f"window after {prm.eq_mc_cycles} MC cycles"
                 )
+
+            # large-N slab-capacity audit: an overflowing walker has
+            # two molecules sharing a slot and is corrupt
+            if self.cellgrid is not None:
+                ovf = int(np.asarray(self.state.occ_overflow).max())
+                if ovf > 0:
+                    raise RuntimeError(
+                        f"cell occupancy exceeded capacity by {ovf}; "
+                        "increase cell_cap in the &tpu namelist"
+                    )
 
         # final checkpoint (main.f90:246)
         self.ckpt_writer.write(self.state)

@@ -121,6 +121,7 @@ _GROUPS = {
     "tpu": [
         "n_walkers", "n_windows", "neighbour_capacity", "dtype",
         "seed", "therm_walkers", "minu", "tile",
+        "largen", "largen_threshold", "cell_cap", "relabel", "stack",
     ],
 }
 
@@ -168,6 +169,8 @@ def read_input(path: str, extra_overrides: dict | None = None) -> RunParams:
         )
     if "tile" in fields and not isinstance(fields["tile"], tuple):
         fields["tile"] = (int(fields["tile"]),) * 3
+    if "stack" in fields and not isinstance(fields["stack"], tuple):
+        raise ValueError("stack needs three values: nx, ny, bilayers")
 
     prm = RunParams(**fields)
 
@@ -178,8 +181,9 @@ def read_input(path: str, extra_overrides: dict | None = None) -> RunParams:
         raise ValueError("unrecognised ensemble: choose npt or nvt")
     if prm.nwater < 1:
         raise ValueError("invalid number of waters")
-    if prm.method.strip() != "xmol":
-        raise ValueError("use method='xmol' only")
+    if prm.method.strip() not in ("xmol", "stack"):
+        raise ValueError("use method='xmol' (reference) or 'stack' "
+                         "(built-in polytype builder)")
     for name in ("list_update_int", "traj_output_int", "file_output_int",
                  "max_mc_cycles", "eq_mc_cycles"):
         if getattr(prm, name) < 1:

@@ -102,6 +102,17 @@ class RunParams:
     minu: bool = False           # reference's #ifdef MINU variant
     tile: tuple = (1, 1, 1)      # supercell replication of the input cells
 
+    # ---- large-N cell engine (mcmc/cellengine.py) ----
+    largen: str = "auto"         # parallel cell-sweep engine: on/off/auto
+                                 # (auto = on when the box supports a
+                                 # valid cell grid and N >= threshold)
+    largen_threshold: int = 4000
+    cell_cap: int = 0            # slab slots per cell (0 = auto-size)
+    relabel: bool = False        # Hungarian relabeling of lattice 2 to
+                                 # minimise correspondence mismatch
+    stack: tuple = (0, 0, 0)     # (nx, ny, bilayers): build the Ih/Ic
+                                 # stacking pair instead of reading xmol
+
     @property
     def beta(self) -> float:
         return 1.0 / (KB * self.temperature)

@@ -1,0 +1,149 @@
+"""Large-N cell-engine correctness: exactness of the parallel sweep.
+
+The engine's claim (mcmc/cellengine.py) is that K parallel movers +
+a sequential acceptance scan reproduce the serial Markov chain
+EXACTLY.  These tests pin the load-bearing invariants in fp64:
+
+* incremental energies and moments stay drift-free (1e-10) through
+  sweeps, origin re-shifts/rebins and volume moves - the reference's
+  #ifdef DEBUG oracle (mc_moves.F90:1094-1102) made permanent;
+* mu tracked move-by-move equals mu recomputed from scratch;
+* the multicanonical machinery (inherited from Engine) accumulates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.models.stacking import (
+    correspondence_mismatch,
+    stacking_cell,
+    stacking_switch_pair,
+)
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.mcmc.cellengine import (
+    CellEngine,
+    init_cell_state,
+)
+from mc_water_ls_mw_tpu.ops.cells import build_grid, choose_grid_shape
+from mc_water_ls_mw_tpu.ops.cell_energy import slab_full_energy
+
+
+def _build(r0, H0, **kw):
+    N = r0.shape[1]
+    L = r0.shape[0]
+    base = dict(
+        nwater=N, num_lattices=L, n_walkers=2, dtype="float64",
+        mc_ensemble="npt", temperature=200.0,
+        list_update_int=100000, latt_sync_int=100000,
+        mpi_sync_int=100000, eq_mc_cycles=0,
+        mc_vol_prob=0.0, allow_vol=False,
+        mc_always_switch=(L == 2), allow_switch=(L == 2),
+        mu_min=-1000.0, mu_max=1000.0,
+    )
+    base.update(kw)
+    prm = RunParams(**base)
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float64)
+    mismatch = 0.0
+    if L == 2:
+        mismatch, _ = correspondence_mismatch(r0, H0)
+    cg = build_grid(choose_grid_shape(H0, MW, mismatch),
+                    64 if L == 1 else 160)
+    state, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    return prm, eng, state, cg
+
+
+@pytest.fixture(scope="module")
+def single_lattice():
+    r, H = stacking_cell("AB" * 6, 10, 6)
+    return r[None], H[None]
+
+
+class TestSingleLattice:
+    def test_substep_exactly_updates_energy_and_moments(
+        self, single_lattice
+    ):
+        r0, H0 = single_lattice
+        prm, eng, state, cg = _build(r0, H0)
+        s = state._replace(cycle=jnp.asarray(1, jnp.int32))
+        codes_k = jnp.zeros(eng.K, dtype=jnp.int32)   # all TRANS
+        sw_ok = jnp.ones(prm.n_walkers, dtype=bool)
+        s2 = jax.jit(
+            lambda st: eng._substep(
+                st, 0, jnp.asarray(2, jnp.int32),
+                jnp.asarray(0, jnp.int32), codes_k, sw_ok,
+            )
+        )(s)
+        assert int(s2.acc[0].sum()) > 0          # something moved
+        valid = s2.slot2mol >= 0
+        e_f, mom_f = slab_full_energy(s2.r[0], valid, s2.h[0], cg, MW)
+        np.testing.assert_allclose(
+            np.asarray(s2.energy[0]), np.asarray(e_f), atol=1e-10
+        )
+        for a, b in zip(s2.moments, mom_f):
+            np.testing.assert_allclose(
+                np.asarray(a[0]), np.asarray(b), atol=1e-10
+            )
+
+    def test_cycles_drift_free_with_rebin_and_volume(
+        self, single_lattice
+    ):
+        r0, H0 = single_lattice
+        prm, eng, state, cg = _build(
+            r0, H0, list_update_int=2, mc_vol_prob=0.01, allow_vol=True
+        )
+        s2, _ = eng.run_cycles(state, 3)
+        s3, drift = eng.audit_energy(s2)
+        assert float(jnp.max(jnp.abs(drift))) < 1e-9
+        assert int(s2.occ_overflow.max()) == 0
+        assert int(s2.att[0, 0]) > 0
+        assert int(s2.acc[0, 0]) > 0
+        # cell walls + rebins must not freeze molecules: most got trials
+        tried = np.asarray(s2.trans_per_mol[:, 0]) > 0
+        assert tried.mean() > 0.8
+
+
+class TestSwitchPair:
+    @pytest.fixture(scope="class")
+    def run_result(self):
+        r0, H0 = stacking_switch_pair(14, 8, 18)
+        prm, eng, state, cg = _build(
+            r0, H0, list_update_int=2, latt_sync_int=2, mpi_sync_int=1,
+            wl_factor=0.05, mu_min=-500.0, mu_max=500.0,
+        )
+        s2, samples = eng.run_cycles(state, 2)
+        return prm, eng, state, s2
+
+    def test_incremental_exactness_both_lattices(self, run_result):
+        prm, eng, state, s2 = run_result
+        s3, drift = eng.audit_energy(s2)
+        assert float(jnp.max(jnp.abs(drift))) < 1e-9
+
+    def test_mu_tracked_equals_scratch(self, run_result):
+        prm, eng, state, s2 = run_result
+        mu_scr = eng._mu_scratch(s2.energy, s2.volume)
+        np.testing.assert_allclose(
+            np.asarray(s2.mu), np.asarray(mu_scr), atol=1e-8
+        )
+
+    def test_wl_and_switch_statistics(self, run_result):
+        prm, eng, state, s2 = run_result
+        assert float(s2.weight.sum()) > 0.0      # WL accumulated
+        assert int(s2.att[2, 0]) > 0             # switches attempted
+        assert int(s2.acc[0, 0]) > 0             # translations accepted
+
+    def test_resync_preserves_mu_and_heals(self, run_result):
+        prm, eng, state, s2 = run_result
+        s4 = eng.resync_chains(s2)
+        # resync recomputes everything from scratch; energies stay
+        # finite and mu remains consistent with them
+        mu_scr = eng._mu_scratch(s4.energy, s4.volume)
+        np.testing.assert_allclose(
+            np.asarray(s4.mu), np.asarray(mu_scr), atol=1e-8
+        )
+        assert bool(jnp.all(jnp.isfinite(s4.energy)))
