@@ -67,7 +67,7 @@ from ..ops.cell_energy import (
 )
 from ..ops.dense import Moments
 from ..ops.geometry import determinant3, recip_matrix
-from .bins import BinGrid
+from .bins import BinGrid, mu_to_bin
 from .config import RunParams
 from .engine import (
     Engine,
@@ -261,9 +261,11 @@ class CellEngine(Engine):
 
         # mover selection: uniform over the cell's occupants via
         # argmax of iid uniforms masked to occupied slots
+        # (cell-granularity gather: [ncell,cap,W] blocks, not W-wide
+        # slot rows - see ops/cell_energy._cell_take)
         occ_mol = jnp.take(
-            s.slot2mol, jnp.asarray(cell_slots.reshape(-1)), axis=0
-        ).reshape(K, cap, W)
+            s.slot2mol.reshape(-1, cap, W), cells_j, axis=0
+        )                                                     # [K,cap,W]
         occ = occ_mol >= 0
         score = jnp.where(occ, u[:, :cap, :], -1.0)
         sel = jnp.argmax(score, axis=1).astype(jnp.int32)     # [K,W]
@@ -328,7 +330,21 @@ class CellEngine(Engine):
         e_new = jnp.stack([p[1] for p in per])
         dE = e_new - e_old                                    # [L,K,W]
 
-        # ---- exact sequential accept/reject chain over the K movers
+        # ---- exact sequential accept/reject chain over the K movers.
+        #
+        # The chain carries ONLY the scalar fields the acceptance rule
+        # couples globally (mu, ls, per-lattice energy): a carry that
+        # dragged the multi-MB slabs/histograms through nwater
+        # sequential scan steps per cycle dominated runtime on TPU.
+        # eta lookups use the weight array FROZEN at substep start and
+        # the <= K WL weight/histogram increments are applied in one
+        # batched scatter after the chain ("micro-batched WL": within
+        # one colour sub-step a walker's own weight updates become
+        # visible only at the sub-step boundary - the same deferred-
+        # visibility semantics the reference already accepts BETWEEN
+        # walkers via mpi_sync_int-delayed delta-allreduces,
+        # comms_mpi.f90:244-277.  Sample runs have frozen weights, so
+        # there the chain is exactly the serial one.)
         trans_type = codes_k == TRANS
         sw_type = codes_k == SWITCH
         if prm.mc_always_switch:
@@ -336,64 +352,115 @@ class CellEngine(Engine):
         else:
             sw_try = sw_type
 
-        small = s
+        s0 = s
+        eta_fn = lambda mu_v: self._eta(s0, mu_v)       # noqa: E731
+        two = prm.num_lattices == 2
+        vol0 = s.volume
 
-        def body(st, xs):
+        def body(carry, xs):
+            mu, ls, energy = carry
             dE_k, tt, swt, has_k, inc_k, ua, uz = xs
             # a trial exists whenever the cell is occupied; the cell
             # wall only vetoes ACCEPTANCE (a rejected trial still
             # counts and still updates the WL histogram at current mu,
             # exactly like any Metropolis rejection)
             enabled = tt & has_k
-            if prm.num_lattices == 2:
+            if two:
                 dmu = (dE_k[0] - dE_k[1]) * prm.beta
-                mu_new = st.mu + dmu
-                eta_old = self._eta(st, st.mu)
-                eta_new = self._eta(st, mu_new)
-                dE_ls = _take_lat(dE_k, st.ls)
+                mu_new = mu + dmu
+                eta_old = eta_fn(mu)
+                eta_new = eta_fn(mu_new)
+                dE_ls = _take_lat(dE_k, ls)
                 diffkT = prm.beta * dE_ls + eta_new - eta_old
             else:
                 dmu = jnp.zeros((W,), dtype=dtype)
-                mu_new = st.mu
+                mu_new = mu
                 diffkT = prm.beta * dE_k[0]
 
             ok = jnp.isfinite(diffkT)
-            if prm.num_lattices == 2:
+            if two:
                 ok = ok & jnp.isfinite(mu_new)
             accept = enabled & inc_k & ok & (ua < jnp.exp(-diffkT))
 
-            energy = jnp.where(accept[None, :], st.energy + dE_k,
-                               st.energy)
-            mu = jnp.where(accept, mu_new, st.mu)
-            en_i = enabled.astype(jnp.int32)
-            admu = jnp.abs(dmu)
-            min_dmu = jnp.where(accept & (admu < st.min_dmu), admu,
-                                st.min_dmu)
-            max_dmu = jnp.where(accept & (admu > st.max_dmu), admu,
-                                st.max_dmu)
-            st = st._replace(
-                energy=energy, mu=mu,
-                att=st.att.at[TRANS].add(en_i),
-                acc=st.acc.at[TRANS].add(accept.astype(jnp.int32)),
-                min_dmu=min_dmu, max_dmu=max_dmu,
-            )
-            # WL update after every translation trial
-            # (mc_update_wl_bins; Engine._wl_update)
-            st = self._wl_update(st, enabled)
+            energy = jnp.where(accept[None, :], energy + dE_k, energy)
+            mu = jnp.where(accept, mu_new, mu)
+            mu_trans = mu          # mu after the translation trial:
+            healthy = jnp.all(jnp.isfinite(energy), axis=0)
             # switch attempt after the move (mc_always_switch,
             # mc_cycle:243-249), or a scheduled switch trial
-            if prm.num_lattices == 2 and (
-                prm.mc_always_switch or prm.allow_switch
-            ):
-                st = self._switch(st, uz, switch_ok & swt)
-            return st, accept
+            sw_acc = jnp.zeros((W,), dtype=bool)
+            sw_en = jnp.zeros((W,), dtype=bool)
+            if two and (prm.mc_always_switch or prm.allow_switch):
+                sw_en = switch_ok & swt
+                lsn = 1 - ls
+                E_ls = _take_lat(energy, ls)
+                E_lsn = _take_lat(energy, lsn)
+                dsw = prm.beta * (E_lsn - E_ls)
+                if prm.mc_ensemble == "npt":
+                    V_ls = _take_lat(vol0, ls)
+                    V_lsn = _take_lat(vol0, lsn)
+                    dsw = (
+                        dsw
+                        + prm.beta * prm.pressure * (V_lsn - V_ls)
+                        - prm.nwater * jnp.log(V_lsn / V_ls)
+                    )
+                if prm.leshift:
+                    rh = self.aux.ref_enthalpy
+                    dsw = dsw - prm.beta * (rh[lsn] - rh[ls])
+                sw_acc = sw_en & jnp.isfinite(dsw) & (
+                    uz < jnp.exp(-dsw)
+                )
+                ls = jnp.where(sw_acc, lsn, ls)
+                # refresh mu from scratch on accept (1578-1588)
+                mu = jnp.where(
+                    sw_acc, self._mu_scratch(energy, vol0), mu
+                )
+            out = (accept, enabled, mu_trans, healthy, dmu,
+                   sw_acc, sw_en)
+            return (mu, ls, energy), out
 
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
             trans_type, sw_try, has_mover, in_cell,
             u[:, cap + 4, :], u[:, cap + 5, :],
         )
-        small, accepts = jax.lax.scan(body, small, xs)
+        # fully unrolled: the body is a handful of [W]-sized ops, and
+        # per-iteration loop overhead on the remote-TPU platform is
+        # ~0.3 ms (DESIGN.md §6) - an un-unrolled inner chain costs
+        # nwater such iterations per cycle
+        (mu_f, ls_f, energy_f), outs = jax.lax.scan(
+            body, (s.mu, s.ls, s.energy), xs, unroll=True
+        )
+        (accepts, enabled_t, mu_t, healthy_t, dmu_t,
+         sw_acc_t, sw_en_t) = outs                     # each [K,W]
+
+        # ---- batched WL/histogram update for the K trials
+        # (mc_update_wl_bins semantics, applied per trial in recorded
+        # chain order; identical sums since the bin grid is static)
+        small = s._replace(mu=mu_f, ls=ls_f, energy=energy_f)
+        small = self._wl_update_batch(
+            small, mu_t, enabled_t & healthy_t
+        )
+
+        # counters (mc_moves.F90:1156-1159) and dmu extrema
+        en_i = jnp.sum(enabled_t, axis=0, dtype=jnp.int32)
+        ac_i = jnp.sum(accepts, axis=0, dtype=jnp.int32)
+        admu = jnp.abs(dmu_t)
+        admu_acc = jnp.where(accepts, admu, jnp.inf)
+        min_dmu = jnp.minimum(small.min_dmu, jnp.min(admu_acc, axis=0))
+        admu_acc0 = jnp.where(accepts, admu, 0.0)
+        max_dmu = jnp.maximum(small.max_dmu, jnp.max(admu_acc0, axis=0))
+        small = small._replace(
+            att=small.att.at[TRANS].add(en_i)
+                .at[SWITCH].add(
+                    jnp.sum(sw_en_t, axis=0, dtype=jnp.int32)
+                ),
+            acc=small.acc.at[TRANS].add(ac_i)
+                .at[SWITCH].add(
+                    jnp.sum(sw_acc_t, axis=0, dtype=jnp.int32)
+                ),
+            min_dmu=min_dmu, max_dmu=max_dmu,
+        )
 
         # ---- apply accepted movers to the slabs (independent, so
         # parallel application equals the sequential composition)
@@ -405,7 +472,13 @@ class CellEngine(Engine):
                     r[l, a], mover_slot, p_new[l, a], accf
                 ))
 
-        nb_flat = jnp.asarray(nb_slots.reshape(-1))
+        # cell-block scatter of the movers' leg deltas into their
+        # neighbourhoods (27 [cap,W] blocks per mover, not W-wide
+        # slot rows)
+        nb_cells = jnp.asarray(
+            np.asarray(nb_slots)[:, ::cap] // cap
+        ).reshape(-1)                                  # [K*27]
+        nslot = s.r.shape[2]
         new_mom = []
         for l in range(L):
             _, _, co, cn = per[l]
@@ -416,9 +489,9 @@ class CellEngine(Engine):
             for fo, fn, fown, cur in zip(d_old, d_new, own,
                                          (f[l] for f in s.moments)):
                 dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
-                upd = cur.at[nb_flat].add(
-                    dlt.reshape(-1, W), mode="drop"
-                )
+                upd = cur.reshape(-1, cap, W).at[nb_cells].add(
+                    dlt.reshape(-1, cap, W)
+                ).reshape(nslot, W)
                 upd = _slab_put(upd, mover_slot, fown, accf)
                 fields.append(upd)
             new_mom.append(Moments(*fields))
@@ -432,6 +505,79 @@ class CellEngine(Engine):
         return small._replace(
             r=r, moments=moments, trans_per_mol=tpm,
         )
+
+    # ------------------------------------------------------------------
+    # batched Wang-Landau update for K recorded trials
+    # ------------------------------------------------------------------
+
+    def _wl_update_batch(self, s: CellState, mu_t, enabled_t):
+        """mc_update_wl_bins (mc_moves.F90:1597-1689) applied to the K
+        trials of one colour sub-step in a single batched scatter.
+
+        mu_t: [K, W] mu after each translation trial (chain order);
+        enabled_t: [K, W] trial-performed-and-healthy mask.  Histogram
+        and unbiased-histogram sums are identical to per-move updates
+        (the bin grid is static); the WL weight increment uses the
+        sub-step-constant f, the micro-batching documented in
+        ``_substep``.
+        """
+        prm, grid = self.prm, self.grid
+        if prm.num_lattices != 2:
+            return s
+        B = grid.nbins
+        dtype = s.r.dtype
+
+        active = enabled_t & (s.cycle >= prm.eq_mc_cycles)
+        k = mu_to_bin(grid, mu_t)                          # [K,W]
+        in_grid = (k >= 0) & (k < B)
+        kc = jnp.clip(k, 0, B - 1)
+        upd = (in_grid & active).astype(dtype)             # [K,W]
+        bin_ids = jnp.arange(B)
+        oh = (
+            bin_ids[None, :, None] == kc[:, None, :]
+        ).astype(dtype) * upd[:, None, :]                  # [K,B,W]
+        incr = grid.av_binwidth / grid.binwidth[kc]        # [K,W]
+        d_hist = jnp.sum(oh * incr[:, None, :], axis=0)    # [B,W]
+        hist = s.hist + d_hist
+
+        if prm.samplerun:
+            # frozen weights: eta at the recorded mu's is exactly the
+            # serial chain's (engine._wl_update NaN/overflow guards)
+            eta_val = jax.vmap(lambda m: self._eta(s, m))(mu_t)
+            arg = jnp.where(
+                upd > 0, eta_val - self.aux.log_unbiased_norm, -1.0
+            )
+            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+            uhist = s.uhist + jnp.sum(
+                oh * u_incr[:, None, :], axis=0
+            )
+            return s._replace(hist=hist, uhist=uhist)
+
+        f = s.f
+        sumh = s.sumhist
+        any_upd = jnp.any(upd > 0, axis=0)
+        if prm.wl_swetnam:
+            # Swetnam RMS-flatness f recomputed once per sub-step from
+            # the post-batch histogram (mc_moves.F90:1636-1653)
+            sumh = s.sumhist + jnp.sum(upd, axis=0)
+            binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
+            dev = (
+                hist * grid.binwidth[:, None]
+                / jnp.maximum(sumh, 1.0)[None, :]
+                - binfrac[:, None]
+            )
+            rms = jnp.sqrt(jnp.mean(dev * dev, axis=0))
+            f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
+            f_new = jnp.minimum(f_new, prm.wl_factor)
+            f = jnp.where(any_upd, f_new, f)
+        elif prm.wl_useinvt:
+            f_invt = jnp.minimum(
+                f, B / (s.cycle.astype(dtype) * prm.nwater)
+            )
+            f = jnp.where(s.invt_active & any_upd, f_invt, f)
+
+        weight = s.weight + d_hist * f[None, :]
+        return s._replace(hist=hist, weight=weight, f=f, sumhist=sumh)
 
     # ------------------------------------------------------------------
     # volume move (slab variant of Engine._volume)
@@ -817,90 +963,104 @@ def init_cell_state(
         dfrac0 = np.zeros_like(f1_0)
         mismatch = 0.0
 
-    # initial binning (origin 0): wrap lattice 1, re-image lattice 2
+    # initial binning (origin 0): wrap lattice 1, re-image lattice 2.
+    # All layout work is host-side numpy; device work is a SINGLE
+    # jitted call (eager op-by-op dispatch at init cost minutes over
+    # remote-TPU tunnels).
     f1 = f1_0 - np.floor(f1_0)
     r_use = [f1 @ H0[0].T]
     if L == 2:
         r_use.append((f1 - dfrac0) @ H0[1].T)
     r_use = np.stack(r_use)                            # [L,N,3]
 
-    origin = jnp.zeros(3, dtype=dtype)
-    f1_j = jnp.asarray(f1.T, dtype=dtype)              # [3,N]
-    cid = cell_of_frac(cellgrid, f1_j[:, :, None], origin)[..., 0]
-    slot1, max_occ1 = bin_molecules(
-        cellgrid, cid[:, None].astype(jnp.int32)
-    )
-    if int(max_occ1[0]) > cellgrid.cap:
+    n1, n2, n3 = cellgrid.n
+    c1 = np.minimum((f1[:, 0] * n1).astype(np.int32), n1 - 1)
+    c2 = np.minimum((f1[:, 1] * n2).astype(np.int32), n2 - 1)
+    c3 = np.minimum((f1[:, 2] * n3).astype(np.int32), n3 - 1)
+    cid = (c1 * n2 + c2) * n3 + c3                     # [N]
+    order = np.argsort(cid, kind="stable")
+    rank = np.empty(N, dtype=np.int32)
+    occ_count = np.zeros(cellgrid.ncell, dtype=np.int32)
+    for i in order:
+        rank[i] = occ_count[cid[i]]
+        occ_count[cid[i]] += 1
+    max_occ = int(occ_count.max())
+    if max_occ > cellgrid.cap:
         raise ValueError(
-            f"cell occupancy {int(max_occ1[0])} exceeds capacity "
+            f"cell occupancy {max_occ} exceeds capacity "
             f"{cellgrid.cap}; increase cap"
         )
-    slot1 = slot1[:, 0]                                # [N]
+    slot_np = (cid * cellgrid.cap + rank).astype(np.int32)
 
-    # slabs, broadcast to W walkers
     r_slab0 = np.zeros((L, 3, cellgrid.nslot), dtype=np.float64)
     s2m0 = np.full(cellgrid.nslot, -1, dtype=np.int32)
-    slot_np = np.asarray(slot1)
     for l in range(L):
         r_slab0[l][:, slot_np] = r_use[l].T
     s2m0[slot_np] = np.arange(N, dtype=np.int32)
 
-    r = jnp.broadcast_to(
-        jnp.asarray(r_slab0, dtype=dtype)[..., None],
-        (L, 3, cellgrid.nslot, W),
+    @jax.jit
+    def _device_init(r_slab0_d, H0_d):
+        valid1 = jnp.asarray(s2m0 >= 0)[:, None]
+        h1 = H0_d[..., None]                           # [L,3,3,1]
+        e0, mom0 = [], []
+        for l in range(L):
+            e_l, m_l = slab_full_energy(
+                r_slab0_d[l][..., None], valid1, h1[l],
+                cellgrid, model,
+            )
+            e0.append(e_l)
+            mom0.append(m_l)
+        energy1 = jnp.concatenate(e0)                  # [L]
+        h = jnp.broadcast_to(h1, (L, 3, 3, W))
+        recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
+        vol = jnp.abs(jnp.stack(
+            [determinant3(h[l]) for l in range(L)]
+        ))
+        r = jnp.broadcast_to(
+            r_slab0_d[..., None], (L, 3, cellgrid.nslot, W)
+        )
+        energy = jnp.broadcast_to(energy1[:, None], (L, W))
+        moments = Moments(*(
+            jnp.broadcast_to(
+                jnp.stack([m[i] for m in mom0]),
+                (L, cellgrid.nslot, W),
+            )
+            for i in range(10)
+        ))
+        return r, h, recip, vol, energy, moments
+
+    r, h, recip, vol, energy, moments = _device_init(
+        jnp.asarray(r_slab0, dtype=dtype),
+        jnp.asarray(H0, dtype=dtype),
     )
     slot2mol = jnp.broadcast_to(
         jnp.asarray(s2m0)[:, None], (cellgrid.nslot, W)
     )
     mol2slot = jnp.broadcast_to(
-        jnp.asarray(slot_np.astype(np.int32))[:, None], (N, W)
+        jnp.asarray(slot_np)[:, None], (N, W)
     )
-    h = jnp.broadcast_to(
-        jnp.asarray(H0, dtype=dtype)[..., None], (L, 3, 3, W)
-    )
-    recip = jnp.stack([recip_matrix(h[l]) for l in range(L)])
-    vol = jnp.abs(jnp.stack([determinant3(h[l]) for l in range(L)]))
 
-    # energies + moments on a single-walker slab, then broadcast
-    valid1 = jnp.asarray(s2m0 >= 0)[:, None]
-    e0 = []
-    mom0 = []
-    for l in range(L):
-        e_l, m_l = slab_full_energy(
-            jnp.asarray(r_slab0[l], dtype=dtype)[..., None],
-            valid1,
-            jnp.asarray(H0[l], dtype=dtype)[..., None],
-            cellgrid, model,
-        )
-        e0.append(e_l[0])
-        mom0.append(Moments(*(f[:, 0] for f in m_l)))
-    energy = jnp.broadcast_to(
-        jnp.stack(e0)[:, None], (L, W)
-    ).astype(dtype)
-    moments = Moments(*(
-        jnp.broadcast_to(
-            jnp.stack([m[i] for m in mom0])[..., None],
-            (L, cellgrid.nslot, W),
-        ).astype(dtype)
-        for i in range(10)
-    ))
-
-    ref_enth = energy[:, 0]
+    energy_h = np.asarray(energy[:, 0], dtype=np.float64)
+    vol_h = np.asarray(vol[:, 0], dtype=np.float64)
+    ref_enth = energy_h.copy()
     if prm.mc_ensemble == "npt":
-        ref_enth = ref_enth + prm.pressure * vol[:, 0]
+        ref_enth = ref_enth + prm.pressure * vol_h
     if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
-        ref_enth = jnp.asarray(prm.input_ref_enthalpy[:L], dtype=dtype)
+        ref_enth = np.asarray(prm.input_ref_enthalpy[:L])
 
     if L == 2:
-        mu0 = (
-            energy[0] + prm.pressure * vol[0]
-            - energy[1] - prm.pressure * vol[1]
+        mu0_s = (
+            energy_h[0] + prm.pressure * vol_h[0]
+            - energy_h[1] - prm.pressure * vol_h[1]
         )
         if prm.leshift:
-            mu0 = mu0 - ref_enth[0] + ref_enth[1]
-        mu0 = mu0 * prm.beta - N * jnp.log(vol[0] / vol[1])
+            mu0_s = mu0_s - ref_enth[0] + ref_enth[1]
+        mu0_s = mu0_s * prm.beta - N * np.log(vol_h[0] / vol_h[1])
+        mu0 = jnp.full((W,), mu0_s, dtype=dtype)
     else:
         mu0 = jnp.zeros((W,), dtype=dtype)
+    ref_enth = jnp.asarray(ref_enth, dtype=dtype)
+    origin = jnp.zeros(3, dtype=dtype)
 
     # windows (identical logic to state.init_state)
     if prm.parallel_strategy == "dd" and L == 2 and n_windows > 1:

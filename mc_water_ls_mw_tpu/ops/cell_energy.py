@@ -80,6 +80,23 @@ def _shift_vectors(H, nb_off):
     return comps
 
 
+def _cell_take(arr, nb_cells, cap):
+    """Gather a 27-cell neighbourhood at CELL granularity.
+
+    arr [nslot, W] viewed as [ncell, cap, W]; nb_cells static [K, 27]
+    -> [K, 27*cap, W].  Whole-cell blocks keep each gathered row
+    cap*W wide (vs W-wide slot rows, which are tile-hostile on TPU -
+    this single change is worth an order of magnitude on the sub-step
+    gather time).
+    """
+    W = arr.shape[-1]
+    K = nb_cells.shape[0]
+    a = arr.reshape(-1, cap, W)
+    return jnp.take(
+        a, jnp.asarray(nb_cells.reshape(-1)), axis=0
+    ).reshape(K, 27 * cap, W)
+
+
 def _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
                      mover_slot, p, prm: SWParams) -> _SlabCand:
     """Candidate set of movers at positions ``p``.
@@ -90,8 +107,8 @@ def _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
     """
     K, C = nb_slots.shape
     cap = C // 27
-    take = lambda arr: jnp.take(arr, nb_slots.reshape(-1), axis=0) \
-        .reshape(K, C, -1)                                  # noqa: E731
+    nb_cells = np.asarray(nb_slots)[:, ::cap] // cap        # [K,27]
+    take = lambda arr: _cell_take(arr, nb_cells, cap)       # noqa: E731
     cx, cy, cz = take(rx), take(ry), take(rz)
     cval = take(valid)
 
@@ -176,8 +193,9 @@ def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
     co = _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
                           mover_slot, (p_old[0], p_old[1], p_old[2]),
                           prm)
-    take = lambda arr: jnp.take(arr, nb_slots.reshape(-1), axis=0) \
-        .reshape(K, C, -1)                                  # noqa: E731
+    cap = C // 27
+    nb_cells = np.asarray(nb_slots)[:, ::cap] // cap
+    take = lambda arr: _cell_take(arr, nb_cells, cap)       # noqa: E731
     mom_nb = Moments(*(take(f) for f in slab_mom))
     e3j_old = _slab_jcentred(co, mom_nb, prm)
     e_old = co.pair_sum + lam_eps * (co.e3i + e3j_old)
@@ -196,86 +214,140 @@ def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
     return e_old, e_new, co, cn
 
 
+# per-intermediate element budget for the full-energy kernel: the
+# [cc, cap, ng*cap, W] candidate tensors must fit comfortably in HBM
+# (~10 live f32 arrays of this size under XLA buffer reuse)
+_FULL_ENERGY_MAX_ELEMS = 1 << 24
+
+
+def _pick_chunking(ncell: int, cap: int, W: int,
+                   max_elems: int) -> tuple:
+    """(cell_chunk, ngroup): largest neighbour-cell group size
+    ngroup | 27 and cell count cc | ncell keeping the candidate
+    intermediate cc*cap*(ngroup*cap)*W under the element budget.
+    Degenerates to (1, 1) for pathologically large cap*W."""
+    ngroup = 1
+    for ng in (27, 9, 3):
+        if cap * (ng * cap) * W <= max_elems:
+            ngroup = ng
+            break
+    cc = 1
+    for c in range(min(ncell, 64), 0, -1):
+        if ncell % c == 0 and \
+                c * cap * (ngroup * cap) * W <= max_elems:
+            cc = c
+            break
+    return cc, ngroup
+
+
 def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
-                     cell_chunk: int = 8):
+                     cell_chunk: int | None = None):
     """One lattice: total energy + fresh per-slot moments.
 
     Slab counterpart of dense.full_energy_batch (compute_model_energy,
     molint.F90:407-499): per slot i, half the pair sum plus the
-    centre-angle moment formula.  Chunked over cells with lax.map to
-    bound the [chunk*cap, 27*cap, W] intermediate.
+    centre-angle moment formula.  Chunked over cells with lax.map and,
+    at large cap, over groups of the 27 neighbour cells, to bound the
+    [cc*cap, ng*cap, W] intermediates (memory-aware: the default
+    budget keeps every intermediate < ~70 MB regardless of cap/W).
 
     Returns (energy [W], Moments fields [nslot, W]).
     """
     ncell, cap = grid.ncell, grid.cap
-    assert ncell % cell_chunk == 0
-    all_cells = np.arange(ncell, dtype=np.int32)
-    nb_slots_all, nb_off_all = nb_slot_tables(grid, all_cells)
-    nb_slots_all = jnp.asarray(
-        nb_slots_all.reshape(ncell // cell_chunk, cell_chunk, -1)
-    )
-    nb_off_all = jnp.asarray(
-        nb_off_all.reshape(ncell // cell_chunk, cell_chunk, 27, 3)
-    )
     rx, ry, rz = slab_r[0], slab_r[1], slab_r[2]
     W = rx.shape[-1]
     dtype = rx.dtype
     lam_eps = prm.lam * prm.epsilon
 
+    if cell_chunk is None:
+        cell_chunk, ngroup = _pick_chunking(
+            ncell, cap, W, _FULL_ENERGY_MAX_ELEMS
+        )
+    else:
+        ngroup = 27
+    assert ncell % cell_chunk == 0 and 27 % ngroup == 0
+
+    all_cells = np.arange(ncell, dtype=np.int32)
+    nb_cells_all = jnp.asarray(
+        grid.nb_cell[all_cells].reshape(
+            ncell // cell_chunk, cell_chunk, 27
+        )
+    )
+    nb_off_all = jnp.asarray(
+        grid.nb_off[all_cells].astype(np.float64).reshape(
+            ncell // cell_chunk, cell_chunk, 27, 3
+        )
+    )
+
     def one_chunk(args):
-        nb_slots, nb_off, cell0 = args
+        nb_cells27, nb_off27, cell0 = args
         B = cell_chunk * cap
-        C = nb_slots.shape[-1]
         # centre slots of this chunk: contiguous [cell0*cap, ...)
         ctr = cell0 * cap + jnp.arange(B, dtype=jnp.int32)
         ctr_valid = jnp.take(valid, ctr, axis=0)              # [B,W]
         px = jnp.take(rx, ctr, axis=0)
         py = jnp.take(ry, ctr, axis=0)
         pz = jnp.take(rz, ctr, axis=0)
-
-        take = lambda arr: jnp.take(                        # noqa: E731
-            arr, nb_slots.reshape(-1), axis=0
-        ).reshape(cell_chunk, C, W)
-        cx, cy, cz = take(rx), take(ry), take(rz)
-        cval = take(valid)
-        shx, shy, shz = _shift_vectors(H, nb_off)           # [cc,27,W]
-        rep = lambda s: jnp.repeat(s, cap, axis=1)          # noqa: E731
-        cx = cx + rep(shx)
-        cy = cy + rep(shy)
-        cz = cz + rep(shz)
-
-        # reshape centres to [cc, cap, W] to match candidate chunks
         rs = lambda a: a.reshape(cell_chunk, cap, W)        # noqa: E731
-        dx = cx[:, None, :, :] - rs(px)[:, :, None, :]      # [cc,cap,C,W]
-        dy = cy[:, None, :, :] - rs(py)[:, :, None, :]
-        dz = cz[:, None, :, :] - rs(pz)[:, :, None, :]
-
-        slot_ids = nb_slots.reshape(cell_chunk, 1, C, 1)
+        pxr, pyr, pzr = rs(px), rs(py), rs(pz)
         ctr_ids = ctr.reshape(cell_chunk, cap, 1, 1)
-        not_self = slot_ids != ctr_ids
-        mask = (
-            cval[:, None, :, :] & not_self
-            & rs(ctr_valid)[:, :, None, :]
-        )
-        r2 = dx * dx + dy * dy + dz * dz
-        in_rc = (r2 < prm.rc2) & mask
-        r2s = jnp.where(in_rc, r2, 1.0)
-        inv = jax.lax.rsqrt(r2s)
-        rij = r2s * inv
+        cvalr = rs(ctr_valid)[:, :, None, :]
 
-        pair_half = 0.5 * jnp.sum(
-            _pair(r2s, rij, in_rc, prm), axis=2
-        )                                                    # [cc,cap,W]
-        w = _leg(rij, in_rc, prm)
-        ux, uy, uz = dx * inv, dy * inv, dz * inv
-        wux, wuy, wuz = w * ux, w * uy, w * uz
-        red = lambda a: jnp.sum(a, axis=2)                  # noqa: E731
-        mom = Moments(
-            red(w), red(wux), red(wuy), red(wuz),
-            red(wux * ux), red(wuy * uy), red(wuz * uz),
-            red(wux * uy), red(wux * uz), red(wuy * uz),
-        )
-        sumw2 = red(w * w)
+        shx27, shy27, shz27 = _shift_vectors(H, nb_off27)   # [cc,27,W]
+
+        pair_half = jnp.zeros((cell_chunk, cap, W), dtype=dtype)
+        acc = None
+        sumw2 = jnp.zeros((cell_chunk, cap, W), dtype=dtype)
+
+        for g0 in range(0, 27, ngroup):
+            nbc = nb_cells27[:, g0:g0 + ngroup]     # [cc, ng]
+            C = ngroup * cap
+            take = lambda arr: jnp.take(                    # noqa: E731
+                arr.reshape(-1, cap, W), nbc.reshape(-1), axis=0
+            ).reshape(cell_chunk, C, W)
+            cx, cy, cz = take(rx), take(ry), take(rz)
+            cval = take(valid)
+            rep = lambda s: jnp.repeat(                     # noqa: E731
+                s[:, g0:g0 + ngroup], cap, axis=1
+            )
+            cx = cx + rep(shx27)
+            cy = cy + rep(shy27)
+            cz = cz + rep(shz27)
+
+            dx = cx[:, None, :, :] - pxr[:, :, None, :]  # [cc,cap,C,W]
+            dy = cy[:, None, :, :] - pyr[:, :, None, :]
+            dz = cz[:, None, :, :] - pzr[:, :, None, :]
+
+            slot_ids = (
+                nbc[:, :, None] * cap
+                + jnp.arange(cap, dtype=jnp.int32)
+            ).reshape(cell_chunk, 1, C, 1)
+            not_self = slot_ids != ctr_ids
+            mask = cval[:, None, :, :] & not_self & cvalr
+            r2 = dx * dx + dy * dy + dz * dz
+            in_rc = (r2 < prm.rc2) & mask
+            r2s = jnp.where(in_rc, r2, 1.0)
+            inv = jax.lax.rsqrt(r2s)
+            rij = r2s * inv
+
+            pair_half = pair_half + 0.5 * jnp.sum(
+                _pair(r2s, rij, in_rc, prm), axis=2
+            )                                                # [cc,cap,W]
+            w = _leg(rij, in_rc, prm)
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+            wux, wuy, wuz = w * ux, w * uy, w * uz
+            red = lambda a: jnp.sum(a, axis=2)              # noqa: E731
+            part = Moments(
+                red(w), red(wux), red(wuy), red(wuz),
+                red(wux * ux), red(wuy * uy), red(wuz * uz),
+                red(wux * uy), red(wux * uz), red(wuy * uz),
+            )
+            acc = part if acc is None else Moments(*(
+                a + p for a, p in zip(acc, part)
+            ))
+            sumw2 = sumw2 + red(w * w)
+
+        mom = acc
         e3 = _e3_closed_form(mom, sumw2, prm.cos0)           # [cc,cap,W]
         e_chunk = jnp.sum(pair_half + lam_eps * e3, axis=(0, 1))
         return e_chunk, Moments(*(
@@ -284,7 +356,7 @@ def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
 
     cell0s = jnp.arange(0, ncell, cell_chunk, dtype=jnp.int32)
     e_chunks, mom_chunks = jax.lax.map(
-        one_chunk, (nb_slots_all, nb_off_all, cell0s)
+        one_chunk, (nb_cells_all, nb_off_all, cell0s)
     )
     energy = jnp.sum(e_chunks, axis=0).astype(dtype)
     moments = Moments(*(

@@ -1,0 +1,100 @@
+"""Large-N cell-engine benchmark / smoke run on the current device.
+
+Builds the Ih/Ic stacking pair (models/stacking.py), initialises the
+slab-layout walker ensemble, runs a few cycles, and prints phase
+timings plus aggregate moves/s.  Environment knobs:
+
+    LN_NX / LN_NY / LN_M   stacking geometry (N = 4*nx*ny*m)
+    LN_WALKERS             walker count (default 64)
+    LN_CYCLES              timed cycles (default 5)
+    LN_CAP                 slot capacity override (default auto)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mc_water_ls_mw_tpu.models.stacking import (
+    correspondence_mismatch,
+    stacking_switch_pair,
+)
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.cellengine import CellEngine, init_cell_state
+from mc_water_ls_mw_tpu.ops.cells import build_grid, choose_grid_shape
+from mc_water_ls_mw_tpu.constants import ANG_TO_BOHR, AUP_TO_ATM, HART_TO_EV
+
+
+def main():
+    nx = int(os.environ.get("LN_NX", "14"))
+    ny = int(os.environ.get("LN_NY", "8"))
+    m = int(os.environ.get("LN_M", "18"))
+    W = int(os.environ.get("LN_WALKERS", "64"))
+    cycles = int(os.environ.get("LN_CYCLES", "5"))
+
+    print("devices:", jax.devices())
+    t0 = time.time()
+    r0, H0 = stacking_switch_pair(nx, ny, m)
+    N = r0.shape[1]
+    mx, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mx)
+    # auto capacity: mean occupancy x 1.45, rounded up to a multiple
+    # of 8 (slack for density fluctuation within a binning epoch)
+    ncell = int(np.prod(shape))
+    cap_env = os.environ.get("LN_CAP")
+    cap = int(cap_env) if cap_env else int(
+        -(-int(N / ncell * 1.45) // 8) * 8
+    )
+    cg = build_grid(shape, cap)
+    print(f"N={N} grid={shape} cap={cap} W={W} "
+          f"K={cg.cells_per_color} build {time.time()-t0:.1f}s")
+
+    prm = RunParams(
+        nwater=N, num_lattices=2, temperature=200.0,
+        pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=0.25 * ANG_TO_BOHR, mc_dv_max=0.2 * ANG_TO_BOHR,
+        nbins=201, mu_min=-1200.0, mu_max=1200.0,
+        mc_vol_prob=1.0 / N, mc_switch_prob=0.1,
+        samplerun=False, eq_mc_cycles=1, list_update_int=5,
+        mpi_sync_int=10, latt_sync_int=10_000,
+        n_walkers=W, dtype="float32", fused="off",
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float32)
+
+    t0 = time.time()
+    st, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    jax.block_until_ready(st.energy)
+    t_init = time.time() - t0
+    e = np.asarray(st.energy[:, 0]) * HART_TO_EV / N
+    print(f"init {t_init:.1f}s  E/N eV: {e}")
+
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+
+    t0 = time.time()
+    st, _ = eng.run_cycles(st, 1)
+    jax.block_until_ready(st.energy)
+    print(f"first cycle (compile) {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    st, _ = eng.run_cycles(st, cycles)
+    jax.block_until_ready(st.energy)
+    dt = time.time() - t0
+    moves = N * W * cycles
+    acc = np.asarray(st.acc.sum(axis=1))
+    att = np.asarray(st.att.sum(axis=1))
+    print(f"{cycles} cycles {dt:.2f}s -> {moves/dt:,.0f} moves/s  "
+          f"acc/att trans={acc[0]}/{att[0]} vol={acc[1]}/{att[1]} "
+          f"sw={acc[2]}/{att[2]}")
+    print(f"E/N eV after: {np.asarray(st.energy[:, 0]) * HART_TO_EV / N}"
+          f"  overflow={int(np.asarray(st.occ_overflow).max())}")
+
+
+if __name__ == "__main__":
+    main()
