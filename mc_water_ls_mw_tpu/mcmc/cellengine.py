@@ -149,11 +149,6 @@ class CellAux(NamedTuple):
     mismatch: float           # max Cartesian mismatch bound (Bohr)
 
 
-def _slab_take(arr, idx):
-    """arr [nslot,W], idx [K,W] -> [K,W] (per-walker row take)."""
-    return jnp.take_along_axis(arr, idx, axis=0)
-
-
 def _slab_put(arr, idx, val, mask):
     """Per-walker scatter: arr[idx[k,w], w] = val[k,w] where mask."""
     def one(a, i, v, m):
@@ -162,13 +157,6 @@ def _slab_put(arr, idx, val, mask):
     return jax.vmap(one, in_axes=(1, 1, 1, 1), out_axes=1)(
         arr, idx, val, mask
     )
-
-
-def _scatter_add_mol(arr, mol, val):
-    """arr [N,W] += val [K,W] at rows mol [K,W] (per walker)."""
-    def one(a, i, v):
-        return a.at[i].add(v)
-    return jax.vmap(one, in_axes=(1, 1, 1), out_axes=1)(arr, mol, val)
 
 
 def _frac_of(recip_l, r_l):
@@ -238,8 +226,8 @@ class CellEngine(Engine):
     # one colour sub-step: K parallel movers, exact sequential chain
     # ------------------------------------------------------------------
 
-    def _substep(self, s: CellState, color: int, cycle, substep_id,
-                 codes_k, switch_ok):
+    def _substep(self, s: CellState, tpm_slab, color: int, cycle,
+                 substep_id, codes_k, switch_ok):
         prm, model, cg = self.prm, self.model, self.cellgrid
         L = s.r.shape[0]
         W = s.r.shape[-1]
@@ -271,15 +259,23 @@ class CellEngine(Engine):
         sel = jnp.argmax(score, axis=1).astype(jnp.int32)     # [K,W]
         has_mover = jnp.any(occ, axis=1)                      # [K,W]
         mover_slot = cells_j[:, None] * cap + sel             # [K,W]
+        # one-hot of the selected slot within its cell block: all
+        # mover reads/writes below are whole-cell [cap,W] block ops on
+        # the STATIC colour cells (dynamic per-walker scalar
+        # scatter/gather serialises on TPU)
+        oh_sel = (
+            jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+            == sel[:, None, :]
+        )                                                     # [K,cap,W]
+
+        r5 = s.r.reshape(L, 3, -1, cap, W)
+        blk_r = r5[:, :, cells_j]                         # [L,3,K,cap,W]
+        p_old = jnp.sum(
+            jnp.where(oh_sel[None, None], blk_r, 0.0), axis=3
+        )                                                     # [L,3,K,W]
         mover_mol = jnp.take_along_axis(
             occ_mol, sel[:, None, :], axis=1
         )[:, 0, :]                                            # [K,W]
-
-        p_old = jnp.stack([
-            jnp.stack([_slab_take(s.r[l, a], mover_slot)
-                       for a in range(3)])
-            for l in range(L)
-        ])                                                    # [L,3,K,W]
 
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
@@ -463,22 +459,27 @@ class CellEngine(Engine):
         )
 
         # ---- apply accepted movers to the slabs (independent, so
-        # parallel application equals the sequential composition)
+        # parallel application equals the sequential composition).
+        # All writes are [cap,W] block updates at the static colour
+        # cells.
         accf = accepts                                          # [K,W]
-        r = s.r
-        for l in range(L):
-            for a in range(3):
-                r = r.at[l, a].set(_slab_put(
-                    r[l, a], mover_slot, p_new[l, a], accf
-                ))
+        mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
+        nslot = s.r.shape[2]
+
+        dp = p_new - p_old                                  # [L,3,K,W]
+        blk_new = blk_r + jnp.where(
+            mask_acc[None, None], dp[:, :, :, None, :], 0.0
+        )
+        r = r5.at[:, :, cells_j].set(blk_new) \
+            .reshape(L, 3, nslot, W)
 
         # cell-block scatter of the movers' leg deltas into their
         # neighbourhoods (27 [cap,W] blocks per mover, not W-wide
-        # slot rows)
+        # slot rows), then block one-hot set of the movers' own
+        # moments
         nb_cells = jnp.asarray(
             np.asarray(nb_slots)[:, ::cap] // cap
         ).reshape(-1)                                  # [K*27]
-        nslot = s.r.shape[2]
         new_mom = []
         for l in range(L):
             _, _, co, cn = per[l]
@@ -489,22 +490,28 @@ class CellEngine(Engine):
             for fo, fn, fown, cur in zip(d_old, d_new, own,
                                          (f[l] for f in s.moments)):
                 dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
-                upd = cur.reshape(-1, cap, W).at[nb_cells].add(
+                upd_c = cur.reshape(-1, cap, W).at[nb_cells].add(
                     dlt.reshape(-1, cap, W)
-                ).reshape(nslot, W)
-                upd = _slab_put(upd, mover_slot, fown, accf)
-                fields.append(upd)
+                )
+                blk = jnp.where(
+                    mask_acc, fown[:, None, :], upd_c[cells_j]
+                )
+                fields.append(
+                    upd_c.at[cells_j].set(blk).reshape(nslot, W)
+                )
             new_mom.append(Moments(*fields))
         moments = _stack_moments(new_mom)
 
-        tpm = _scatter_add_mol(
-            s.trans_per_mol, jnp.maximum(mover_mol, 0),
-            (trans_type[:, None] & has_mover).astype(jnp.int32),
-        )
+        # per-slot trial counter (gathered to molecule order once per
+        # cycle by _one_cycle)
+        inc = (
+            trans_type[:, None, None] & has_mover[:, None, :] & oh_sel
+        ).astype(jnp.int32)
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[cells_j].add(
+            inc
+        ).reshape(nslot, W)
 
-        return small._replace(
-            r=r, moments=moments, trans_per_mol=tpm,
-        )
+        return small._replace(r=r, moments=moments), tpm_slab
 
     # ------------------------------------------------------------------
     # batched Wang-Landau update for K recorded trials
@@ -857,17 +864,30 @@ class CellEngine(Engine):
             switch_ok_scalar = jnp.asarray(True)
         switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
 
-        # sweeps of 8 colour sub-steps
-        def sweep_body(st, sweep):
+        # sweeps of 8 colour sub-steps; per-slot trial counts
+        # accumulate in slab layout and fold into trans_per_mol once
+        # per cycle (slot assignments are fixed between rebins)
+        tpm_slab0 = jnp.zeros(
+            (self.cellgrid.nslot, W), dtype=jnp.int32
+        )
+
+        def sweep_body(carry, sweep):
+            st, tslab = carry
             for color in range(8):
                 sid = sweep * 8 + color
                 codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
-                st = self._substep(st, color, cycle, sid, codes_k,
-                                   switch_ok)
-            return st, None
+                st, tslab = self._substep(
+                    st, tslab, color, cycle, sid, codes_k, switch_ok
+                )
+            return (st, tslab), None
 
-        s, _ = jax.lax.scan(
-            sweep_body, s, jnp.arange(self.sweeps_per_cycle)
+        (s, tpm_slab), _ = jax.lax.scan(
+            sweep_body, (s, tpm_slab0),
+            jnp.arange(self.sweeps_per_cycle)
+        )
+        s = s._replace(
+            trans_per_mol=s.trans_per_mol
+            + gather_from_slab(tpm_slab, s.mol2slot)
         )
 
         # scheduled volume moves, back-to-back (mc_volume)
@@ -998,6 +1018,49 @@ def init_cell_state(
         r_slab0[l][:, slot_np] = r_use[l].T
     s2m0[slot_np] = np.arange(N, dtype=np.int32)
 
+    # windows (identical logic to state.init_state)
+    if prm.parallel_strategy == "dd" and L == 2 and n_windows > 1:
+        wins = assign_windows(prm, grid, n_windows)
+        wid = np.arange(W) % n_windows
+        sb = np.array([wins[i][0] for i in wid], dtype=np.int32)
+        eb = np.array([wins[i][1] for i in wid], dtype=np.int32)
+        lo = np.array([wins[i][2] for i in wid])
+        hi = np.array([wins[i][3] for i in wid])
+        in_window = np.zeros(W, dtype=bool)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        ls0 = np.where(hi < 0.0, 0, ls0)
+        ls0 = np.where(lo > 0.0, 1, ls0)
+        nwin = n_windows
+    else:
+        wid = np.zeros(W, dtype=np.int32)
+        sb = np.zeros(W, dtype=np.int32)
+        eb = np.full(W, B - 1, dtype=np.int32)
+        lo = np.full(W, prm.mu_min)
+        hi = np.full(W, prm.mu_max)
+        in_window = np.ones(W, dtype=bool)
+        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
+        nwin = 1
+
+    weight0_np = (
+        np.zeros(B) if weight0 is None
+        else np.asarray(weight0, dtype=np.float64)
+    )
+    winmask_np = None
+    if prm.parallel_strategy == "dd" and nwin > 1:
+        bin_ids = np.arange(B)
+        winmask_np = (bin_ids[:, None] >= sb[None, :]) & (
+            bin_ids[:, None] <= eb[None, :]
+        )
+    log_norm = compute_log_unbiased_norm(prm, grid, weight0_np, W)
+    ref_override = None
+    if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
+        ref_override = np.asarray(
+            prm.input_ref_enthalpy[:L], dtype=np.float64
+        )
+
+    # the ENTIRE device-side construction is one jitted program:
+    # eager op-by-op dispatch here cost minutes over remote-TPU
+    # tunnels (every distinct small op pays a multi-second compile)
     @jax.jit
     def _device_init(r_slab0_d, H0_d):
         valid1 = jnp.asarray(s2m0 >= 0)[:, None]
@@ -1027,129 +1090,95 @@ def init_cell_state(
             )
             for i in range(10)
         ))
-        return r, h, recip, vol, energy, moments
 
-    r, h, recip, vol, energy, moments = _device_init(
+        vol1 = vol[:, 0]
+        ref_enth = energy1
+        if prm.mc_ensemble == "npt":
+            ref_enth = ref_enth + prm.pressure * vol1
+        if ref_override is not None:
+            ref_enth = jnp.asarray(ref_override, dtype=dtype)
+        if L == 2:
+            mu0_s = (
+                energy1[0] + prm.pressure * vol1[0]
+                - energy1[1] - prm.pressure * vol1[1]
+            )
+            if prm.leshift:
+                mu0_s = mu0_s - ref_enth[0] + ref_enth[1]
+            mu0_s = (
+                mu0_s * prm.beta - N * jnp.log(vol1[0] / vol1[1])
+            )
+            mu0 = jnp.broadcast_to(mu0_s.astype(dtype), (W,))
+        else:
+            mu0 = jnp.zeros((W,), dtype=dtype)
+
+        weight = jnp.broadcast_to(
+            jnp.asarray(weight0_np, dtype=dtype)[:, None], (B, W)
+        )
+        if winmask_np is not None:
+            weight = weight * jnp.asarray(winmask_np, dtype=dtype)
+
+        key = jax.random.PRNGKey(prm.seed)
+        shared_key, wkey = jax.random.split(key)
+        walker_keys = jax.random.split(wkey, W)
+
+        state = CellState(
+            r=r, h=h, recip=recip, volume=vol, energy=energy,
+            mu=mu0, ls=jnp.asarray(ls0), moments=moments,
+            slot2mol=jnp.broadcast_to(
+                jnp.asarray(s2m0)[:, None], (cellgrid.nslot, W)
+            ),
+            mol2slot=jnp.broadcast_to(
+                jnp.asarray(slot_np)[:, None], (N, W)
+            ),
+            origin=jnp.zeros(3, dtype=dtype),
+            occ_overflow=jnp.zeros((W,), dtype=jnp.int32),
+            weight=weight,
+            hist=jnp.zeros((B, W), dtype=dtype),
+            uhist=jnp.zeros((B, W), dtype=dtype),
+            f=jnp.full((W,), prm.wl_factor, dtype=dtype),
+            sumhist=jnp.zeros((W,), dtype=dtype),
+            invt_active=jnp.zeros((W,), dtype=bool),
+            firstcycle=jnp.ones((W,), dtype=bool),
+            histogram_reset=jnp.zeros((W,), dtype=bool),
+            snap_eta=jnp.broadcast_to(
+                jnp.asarray(weight0_np, dtype=dtype), (nwin, B)
+            ),
+            snap_hist=jnp.zeros((nwin, B), dtype=dtype),
+            snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
+            window_id=jnp.asarray(wid),
+            my_mu_min=jnp.asarray(lo, dtype=dtype),
+            my_mu_max=jnp.asarray(hi, dtype=dtype),
+            start_bin=jnp.asarray(sb),
+            end_bin=jnp.asarray(eb),
+            in_window=jnp.asarray(in_window),
+            max_trans=jnp.full((W,), prm.mc_max_trans, dtype=dtype),
+            dv_max=jnp.full((W,), prm.mc_dv_max, dtype=dtype),
+            att=jnp.zeros((3, W), dtype=jnp.int32),
+            acc=jnp.zeros((3, W), dtype=jnp.int32),
+            trans_per_mol=jnp.zeros((N, W), dtype=jnp.int32),
+            avg_energy=jnp.zeros((L, W), dtype=dtype),
+            min_dmu=jnp.full((W,), jnp.inf, dtype=dtype),
+            max_dmu=jnp.zeros((W,), dtype=dtype),
+            cycle=jnp.asarray(0, dtype=jnp.int32),
+            key=walker_keys,
+            shared_key=shared_key,
+        )
+        aux = EngineAux(
+            # shifts unused by the cell engine (audits run on the
+            # slab path); minimal placeholder for structural parity
+            shifts=jnp.zeros((1, 3), dtype=jnp.int32),
+            ref_h=jnp.asarray(H0, dtype=dtype),
+            ref_enthalpy=ref_enth.astype(dtype),
+            log_unbiased_norm=log_norm,
+        )
+        caux_d = CellAux(
+            dfrac0=jnp.asarray(dfrac0.T, dtype=dtype),
+            mismatch=mismatch,
+        )
+        return state, aux, caux_d
+
+    state, eaux, caux = _device_init(
         jnp.asarray(r_slab0, dtype=dtype),
         jnp.asarray(H0, dtype=dtype),
-    )
-    slot2mol = jnp.broadcast_to(
-        jnp.asarray(s2m0)[:, None], (cellgrid.nslot, W)
-    )
-    mol2slot = jnp.broadcast_to(
-        jnp.asarray(slot_np)[:, None], (N, W)
-    )
-
-    energy_h = np.asarray(energy[:, 0], dtype=np.float64)
-    vol_h = np.asarray(vol[:, 0], dtype=np.float64)
-    ref_enth = energy_h.copy()
-    if prm.mc_ensemble == "npt":
-        ref_enth = ref_enth + prm.pressure * vol_h
-    if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
-        ref_enth = np.asarray(prm.input_ref_enthalpy[:L])
-
-    if L == 2:
-        mu0_s = (
-            energy_h[0] + prm.pressure * vol_h[0]
-            - energy_h[1] - prm.pressure * vol_h[1]
-        )
-        if prm.leshift:
-            mu0_s = mu0_s - ref_enth[0] + ref_enth[1]
-        mu0_s = mu0_s * prm.beta - N * np.log(vol_h[0] / vol_h[1])
-        mu0 = jnp.full((W,), mu0_s, dtype=dtype)
-    else:
-        mu0 = jnp.zeros((W,), dtype=dtype)
-    ref_enth = jnp.asarray(ref_enth, dtype=dtype)
-    origin = jnp.zeros(3, dtype=dtype)
-
-    # windows (identical logic to state.init_state)
-    if prm.parallel_strategy == "dd" and L == 2 and n_windows > 1:
-        wins = assign_windows(prm, grid, n_windows)
-        wid = np.arange(W) % n_windows
-        sb = np.array([wins[i][0] for i in wid], dtype=np.int32)
-        eb = np.array([wins[i][1] for i in wid], dtype=np.int32)
-        lo = np.array([wins[i][2] for i in wid])
-        hi = np.array([wins[i][3] for i in wid])
-        in_window = np.zeros(W, dtype=bool)
-        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
-        ls0 = np.where(hi < 0.0, 0, ls0)
-        ls0 = np.where(lo > 0.0, 1, ls0)
-        nwin = n_windows
-    else:
-        wid = np.zeros(W, dtype=np.int32)
-        sb = np.zeros(W, dtype=np.int32)
-        eb = np.full(W, B - 1, dtype=np.int32)
-        lo = np.full(W, prm.mu_min)
-        hi = np.full(W, prm.mu_max)
-        in_window = np.ones(W, dtype=bool)
-        ls0 = np.full(W, prm.ls - 1, dtype=np.int32)
-        nwin = 1
-
-    if weight0 is None:
-        weight0 = np.zeros(B)
-    weight = jnp.broadcast_to(
-        jnp.asarray(weight0, dtype=dtype)[:, None], (B, W)
-    )
-    if prm.parallel_strategy == "dd" and nwin > 1:
-        bin_ids = np.arange(B)
-        winmask = (bin_ids[:, None] >= sb[None, :]) & (
-            bin_ids[:, None] <= eb[None, :]
-        )
-        weight = weight * jnp.asarray(winmask, dtype=dtype)
-
-    log_norm = compute_log_unbiased_norm(prm, grid, weight0, W)
-
-    key = jax.random.PRNGKey(prm.seed)
-    shared_key, wkey = jax.random.split(key)
-    walker_keys = jax.random.split(wkey, W)
-
-    state = CellState(
-        r=r, h=h, recip=recip, volume=vol, energy=energy,
-        mu=mu0.astype(dtype), ls=jnp.asarray(ls0), moments=moments,
-        slot2mol=slot2mol, mol2slot=mol2slot, origin=origin,
-        occ_overflow=jnp.zeros((W,), dtype=jnp.int32),
-        weight=weight,
-        hist=jnp.zeros((B, W), dtype=dtype),
-        uhist=jnp.zeros((B, W), dtype=dtype),
-        f=jnp.full((W,), prm.wl_factor, dtype=dtype),
-        sumhist=jnp.zeros((W,), dtype=dtype),
-        invt_active=jnp.zeros((W,), dtype=bool),
-        firstcycle=jnp.ones((W,), dtype=bool),
-        histogram_reset=jnp.zeros((W,), dtype=bool),
-        snap_eta=jnp.broadcast_to(
-            jnp.asarray(weight0, dtype=dtype), (nwin, B)
-        ),
-        snap_hist=jnp.zeros((nwin, B), dtype=dtype),
-        snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
-        window_id=jnp.asarray(wid),
-        my_mu_min=jnp.asarray(lo, dtype=dtype),
-        my_mu_max=jnp.asarray(hi, dtype=dtype),
-        start_bin=jnp.asarray(sb),
-        end_bin=jnp.asarray(eb),
-        in_window=jnp.asarray(in_window),
-        max_trans=jnp.full((W,), prm.mc_max_trans, dtype=dtype),
-        dv_max=jnp.full((W,), prm.mc_dv_max, dtype=dtype),
-        att=jnp.zeros((3, W), dtype=jnp.int32),
-        acc=jnp.zeros((3, W), dtype=jnp.int32),
-        trans_per_mol=jnp.zeros((N, W), dtype=jnp.int32),
-        avg_energy=jnp.zeros((L, W), dtype=dtype),
-        min_dmu=jnp.full((W,), jnp.inf, dtype=dtype),
-        max_dmu=jnp.zeros((W,), dtype=dtype),
-        cycle=jnp.asarray(0, dtype=jnp.int32),
-        key=walker_keys,
-        shared_key=shared_key,
-    )
-    # EngineAux: shifts unused by the cell engine (audits run on the
-    # slab path); keep the minimal general shift set for parity of
-    # the aux structure
-    eaux = EngineAux(
-        shifts=jnp.zeros((1, 3), dtype=jnp.int32),
-        ref_h=jnp.asarray(H0, dtype=dtype),
-        ref_enthalpy=ref_enth.astype(dtype),
-        log_unbiased_norm=log_norm,
-    )
-    caux = CellAux(
-        dfrac0=jnp.asarray(dfrac0.T, dtype=dtype),
-        mismatch=mismatch,
     )
     return state, eaux, caux

@@ -73,9 +73,10 @@ class TestSingleLattice:
         s = state._replace(cycle=jnp.asarray(1, jnp.int32))
         codes_k = jnp.zeros(eng.K, dtype=jnp.int32)   # all TRANS
         sw_ok = jnp.ones(prm.n_walkers, dtype=bool)
-        s2 = jax.jit(
+        tpm0 = jnp.zeros((cg.nslot, prm.n_walkers), dtype=jnp.int32)
+        s2, tpm = jax.jit(
             lambda st: eng._substep(
-                st, 0, jnp.asarray(2, jnp.int32),
+                st, tpm0, 0, jnp.asarray(2, jnp.int32),
                 jnp.asarray(0, jnp.int32), codes_k, sw_ok,
             )
         )(s)
