@@ -182,7 +182,11 @@ class Application:
         self.cellgrid = None
         if prm.largen in ("on", "auto") and prm.num_lattices <= 2:
             from .models.stacking import correspondence_mismatch
-            from .ops.cells import build_grid, choose_grid_shape
+            from .ops.cells import (
+                build_grid,
+                cap_for_positions,
+                choose_grid_shape,
+            )
 
             mismatch = 0.0
             if prm.num_lattices == 2:
@@ -197,17 +201,18 @@ class Application:
                 prm.largen == "on"
                 or prm.nwater >= prm.largen_threshold
             ):
-                ncell = int(np.prod(shape))
+                m_fine = 2
+                nfine = int(np.prod(shape)) * m_fine ** 3
                 cap = prm.cell_cap
                 if cap <= 0:
-                    cap = int(
-                        -(-int(prm.nwater / ncell * 1.35 + 8) // 8) * 8
-                    )
-                self.cellgrid = build_grid(shape, cap)
+                    cap = cap_for_positions(r0, H0, shape, m=m_fine)
+                self.cellgrid = build_grid(
+                    shape, cap, H0, self.model, mismatch, m=m_fine
+                )
                 logs.g(
-                    f"# Large-N cell engine: grid {shape} "
-                    f"({ncell} cells, cap {cap}), mismatch "
-                    f"{mismatch:.3f} Bohr"
+                    f"# Large-N cell engine: coarse grid {shape} x "
+                    f"fine {m_fine}^3 ({nfine} fine cells, cap {cap}),"
+                    f" mismatch {mismatch:.3f} Bohr"
                 )
 
         # decide device-mesh sharding BEFORE building the engine: the

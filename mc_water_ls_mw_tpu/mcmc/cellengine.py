@@ -6,14 +6,17 @@ serial per-rank chain with O(N^2) neighbour searches
 (mc_cycle:224-250, molint.F90:501-559) and cannot reach N >= 10^4.
 This engine recasts the chain for large boxes:
 
-* Space is partitioned by the 8-coloured fractional cell grid of
-  ops/cells.py (cell side > 2*rc + 2*mismatch).  One sub-step picks
-  ONE random molecule in every active-colour cell and proposes
-  translations for all of them AT ONCE.  Movers sit in distinct
-  same-colour cells, hence > 2*rc apart in both replicas, so their
-  local energies, Delta-E's and moment updates are EXACTLY independent
-  (a mover's Delta-E reaches at most 2*rc: rc to a neighbour j plus rc
-  from j to a wing molecule k).
+* Space is partitioned by the two-level mid-frame cell grid of
+  ops/cells.py: 8-coloured COARSE cells (side > 2*rc + mismatch in
+  the mid-replica frame) for the checkerboard, subdivided into FINE
+  cells carrying the slab storage and the static candidate-coverage
+  tables.  One sub-step picks ONE random molecule in every
+  active-colour coarse cell and proposes translations for all of them
+  AT ONCE.  Movers sit in distinct same-colour coarse cells, hence
+  > 2*rc apart in both replicas, so their local energies, Delta-E's
+  and moment updates are EXACTLY independent (a mover's Delta-E
+  reaches at most 2*rc: rc to a neighbour j plus rc from j to a wing
+  molecule k).
 
 * The accept/reject chain stays EXACT: energies are evaluated in
   parallel, but acceptance runs in a cheap sequential scan over the
@@ -23,13 +26,13 @@ This engine recasts the chain for large boxes:
   configuration equals evaluating it mid-chain, and the scan
   reproduces the serial Markov chain move for move.
 
-* A move that would cross its cell boundary is rejected (a
-  state-only-dependent hard wall: the reverse proposal faces the same
-  wall, so detailed balance is preserved), and the grid origin is
-  re-drawn at random + molecules re-binned every ``list_update_int``
-  cycles (the reference's Verlet-rebuild cadence, mc_cycle:218-222),
-  which restores ergodicity across cells - the standard checkerboard
-  construction of massively-parallel MC.
+* A move that would cross its coarse-cell boundary (in the mid
+  frame) is rejected (a state-only-dependent hard wall: the reverse
+  proposal faces the same wall, so detailed balance is preserved),
+  and the grid origin is re-drawn at random + molecules re-binned
+  every ``list_update_int`` cycles (the reference's Verlet-rebuild
+  cadence, mc_cycle:218-222), which restores ergodicity across cells
+  - the standard checkerboard construction of massively-parallel MC.
 
 * Everything else - Wang-Landau updates, eta lookups, lattice
   switches, delta-sync, mu-window dd mode, flatness/monitor/deltaG -
@@ -61,8 +64,8 @@ from ..ops.cells import (
     scatter_to_slab,
 )
 from ..ops.cell_energy import (
+    _cell_take,
     mover_energies,
-    nb_slot_tables,
     slab_full_energy,
 )
 from ..ops.dense import Moments
@@ -179,29 +182,31 @@ class CellEngine(Engine):
         super().__init__(prm, model, grid, aux, mesh=mesh)
         self.cellgrid = cellgrid
         self.cellaux = cellaux
-        # volume-move geometry guard: the grid stays valid only while
-        # every cell side exceeds 2*rc + 2*mismatch (hard wall;
-        # state-only-dependent, so detailed balance is preserved)
-        self.s_min_guard = 2.0 * model.rc + 2.0 * cellaux.mismatch
+        # volume-move geometry guard: the static coverage tables were
+        # built from the initial box geometry with shrink factor
+        # ``guard`` baked in; the volume move rejects any box whose
+        # perpendicular widths shrink below 1/guard of the initial
+        # ones (hard wall; state-only-dependent, so detailed balance
+        # is preserved)
+        self.w_guard = np.asarray(cellgrid.perp_w0) / cellgrid.guard
 
-        # static per-colour tables
+        # static per-colour tables: coarse cells, their fine blocks
+        # (mover selection) and their candidate coverage lists
         self.color_tables = []
-        cap = cellgrid.cap
         for col in range(8):
             cells_c = np.asarray(cellgrid.color_cells[col])
-            nb_slots, nb_off = nb_slot_tables(cellgrid, cells_c)
-            cell_slots = (
-                cells_c[:, None] * cap + np.arange(cap, dtype=np.int32)
-            )
-            self.color_tables.append(
-                (cells_c, nb_slots, nb_off, cell_slots)
-            )
+            self.color_tables.append((
+                cells_c,
+                cellgrid.block_cells[cells_c],      # [K, m^3]
+                cellgrid.cand_cells[cells_c],       # [K, CC]
+                cellgrid.cand_off[cells_c],         # [K, CC, 3]
+            ))
         self.K = cellgrid.cells_per_color
         self.sweeps_per_cycle = max(
-            1, int(round(prm.nwater / cellgrid.ncell))
+            1, int(round(prm.nwater / cellgrid.ncoarse))
         )
         self.trials_per_cycle = (
-            self.sweeps_per_cycle * cellgrid.ncell
+            self.sweeps_per_cycle * cellgrid.ncoarse
         )
 
     # ------------------------------------------------------------------
@@ -232,9 +237,13 @@ class CellEngine(Engine):
         L = s.r.shape[0]
         W = s.r.shape[-1]
         K, cap = self.K, cg.cap
+        m3 = cg.m ** 3
+        BS = m3 * cap                    # slots per coarse-cell block
         dtype = s.r.dtype
-        cells_c, nb_slots, nb_off, cell_slots = self.color_tables[color]
-        cells_j = jnp.asarray(cells_c)
+        (cells_c, block_cells_c, cand_cells_c,
+         cand_off_c) = self.color_tables[color]
+        cells_j = jnp.asarray(cells_c)              # coarse ids [K]
+        bc = jnp.asarray(block_cells_c)             # fine ids [K,m3]
 
         # per-walker uniforms for this sub-step in one threefry call
         u = jax.vmap(
@@ -242,34 +251,35 @@ class CellEngine(Engine):
                 jax.random.fold_in(
                     jax.random.fold_in(k, cycle), substep_id
                 ),
-                (K, cap + 6), dtype=dtype,
+                (K, BS + 6), dtype=dtype,
             ),
             out_axes=2,
-        )(s.key)                                     # [K,cap+6,W]
+        )(s.key)                                     # [K,BS+6,W]
 
-        # mover selection: uniform over the cell's occupants via
-        # argmax of iid uniforms masked to occupied slots
-        # (cell-granularity gather: [ncell,cap,W] blocks, not W-wide
-        # slot rows - see ops/cell_energy._cell_take)
-        occ_mol = jnp.take(
-            s.slot2mol.reshape(-1, cap, W), cells_j, axis=0
-        )                                                     # [K,cap,W]
+        # mover selection: uniform over the coarse cell's occupants
+        # via argmax of iid uniforms masked to occupied slots; all
+        # reads/writes are whole-fine-cell [cap,W] block ops at the
+        # STATIC block tables (dynamic per-walker scalar
+        # scatter/gather serialises on TPU)
+        occ_mol = _cell_take(s.slot2mol, block_cells_c, cap)
+        #                                            [K,BS,W]
         occ = occ_mol >= 0
-        score = jnp.where(occ, u[:, :cap, :], -1.0)
+        score = jnp.where(occ, u[:, :BS, :], -1.0)
         sel = jnp.argmax(score, axis=1).astype(jnp.int32)     # [K,W]
         has_mover = jnp.any(occ, axis=1)                      # [K,W]
-        mover_slot = cells_j[:, None] * cap + sel             # [K,W]
-        # one-hot of the selected slot within its cell block: all
-        # mover reads/writes below are whole-cell [cap,W] block ops on
-        # the STATIC colour cells (dynamic per-walker scalar
-        # scatter/gather serialises on TPU)
+        # mover's fine cell: static block table indexed by sel//cap
+        mover_fc = jnp.take_along_axis(
+            jnp.broadcast_to(bc[:, :, None], (K, m3, W)),
+            (sel // cap)[:, None, :], axis=1,
+        )[:, 0, :]                                            # [K,W]
+        mover_slot = mover_fc * cap + sel % cap               # [K,W]
         oh_sel = (
-            jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+            jnp.arange(BS, dtype=jnp.int32)[None, :, None]
             == sel[:, None, :]
-        )                                                     # [K,cap,W]
+        )                                                     # [K,BS,W]
 
         r5 = s.r.reshape(L, 3, -1, cap, W)
-        blk_r = r5[:, :, cells_j]                         # [L,3,K,cap,W]
+        blk_r = r5[:, :, bc].reshape(L, 3, K, BS, W)
         p_old = jnp.sum(
             jnp.where(oh_sel[None, None], blk_r, 0.0), axis=3
         )                                                     # [L,3,K,W]
@@ -280,14 +290,14 @@ class CellEngine(Engine):
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
         # (mc_water_translation, mc_moves.F90:1021-1067)
-        d0 = 2.0 * u[:, cap + 0, :] - 1.0                     # [K,W]
-        d1 = 2.0 * u[:, cap + 1, :] - 1.0
-        d2 = 2.0 * u[:, cap + 2, :] - 1.0
+        d0 = 2.0 * u[:, BS + 0, :] - 1.0                      # [K,W]
+        d1 = 2.0 * u[:, BS + 1, :] - 1.0
+        d2 = 2.0 * u[:, BS + 2, :] - 1.0
         inv_norm = jax.lax.rsqrt(
             jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
         )
         rmag = (
-            (2.0 * u[:, cap + 3, :] - 1.0)
+            (2.0 * u[:, BS + 3, :] - 1.0)
             * s.max_trans[None, :] * inv_norm
         )
         v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])      # [3,K,W]
@@ -302,11 +312,14 @@ class CellEngine(Engine):
         transvec = jnp.where(lat_act, v[None], tv_all)
         p_new = p_old + transvec
 
-        # cell-boundary wall: BOTH endpoints must resolve to this cell
-        # (symmetric under the reverse move, preserving balance even
-        # at f32 rounding edges)
-        f_old = _frac_of(s.recip[0], p_old[0])                # [3,K,W]
-        f_new = _frac_of(s.recip[0], p_new[0])
+        # coarse-cell-boundary wall in the MID frame: BOTH endpoints
+        # must resolve to this coarse cell (symmetric under the
+        # reverse move, preserving balance even at f32 rounding edges)
+        dmid = 0.5 * jnp.take(
+            self.cellaux.dfrac0, jnp.maximum(mover_mol, 0), axis=1
+        )                                                     # [3,K,W]
+        f_old = _frac_of(s.recip[0], p_old[0]) - dmid         # [3,K,W]
+        f_new = _frac_of(s.recip[0], p_new[0]) - dmid
         in_cell = (
             (cell_of_frac(cg, f_old, s.origin) == cells_j[:, None])
             & (cell_of_frac(cg, f_new, s.origin) == cells_j[:, None])
@@ -317,8 +330,8 @@ class CellEngine(Engine):
         per = [
             mover_energies(
                 s.r[l], Moments(*(f[l] for f in s.moments)), valid,
-                s.h[l], nb_slots, nb_off, mover_slot,
-                p_old[l], p_new[l], model,
+                s.h[l], cand_cells_c, cand_off_c, cg.cand_mask, cap,
+                mover_slot, p_old[l], p_new[l], model,
             )
             for l in range(L)
         ]
@@ -418,7 +431,7 @@ class CellEngine(Engine):
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
             trans_type, sw_try, has_mover, in_cell,
-            u[:, cap + 4, :], u[:, cap + 5, :],
+            u[:, BS + 4, :], u[:, BS + 5, :],
         )
         # fully unrolled: the body is a handful of [W]-sized ops, and
         # per-iteration loop overhead on the remote-TPU platform is
@@ -460,26 +473,25 @@ class CellEngine(Engine):
 
         # ---- apply accepted movers to the slabs (independent, so
         # parallel application equals the sequential composition).
-        # All writes are [cap,W] block updates at the static colour
-        # cells.
+        # All writes are fine-cell [cap,W] block updates at the static
+        # block/coverage tables.
         accf = accepts                                          # [K,W]
-        mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
+        mask_acc = accf[:, None, :] & oh_sel                 # [K,BS,W]
         nslot = s.r.shape[2]
 
         dp = p_new - p_old                                  # [L,3,K,W]
-        blk_new = blk_r + jnp.where(
+        blk_new = (blk_r + jnp.where(
             mask_acc[None, None], dp[:, :, :, None, :], 0.0
-        )
-        r = r5.at[:, :, cells_j].set(blk_new) \
+        )).reshape(L, 3, K, m3, cap, W)
+        r = r5.at[:, :, bc].set(blk_new) \
             .reshape(L, 3, nslot, W)
 
-        # cell-block scatter of the movers' leg deltas into their
-        # neighbourhoods (27 [cap,W] blocks per mover, not W-wide
-        # slot rows), then block one-hot set of the movers' own
-        # moments
-        nb_cells = jnp.asarray(
-            np.asarray(nb_slots)[:, ::cap] // cap
-        ).reshape(-1)                                  # [K*27]
+        # block scatter of the movers' leg deltas into their coverage
+        # fine cells (padded table entries carry zero deltas), then
+        # block one-hot set of the movers' own moments
+        cand_flat = jnp.asarray(
+            np.asarray(cand_cells_c).reshape(-1)
+        )                                               # [K*CC]
         new_mom = []
         for l in range(L):
             _, _, co, cn = per[l]
@@ -490,14 +502,17 @@ class CellEngine(Engine):
             for fo, fn, fown, cur in zip(d_old, d_new, own,
                                          (f[l] for f in s.moments)):
                 dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
-                upd_c = cur.reshape(-1, cap, W).at[nb_cells].add(
+                upd_c = cur.reshape(-1, cap, W).at[cand_flat].add(
                     dlt.reshape(-1, cap, W)
                 )
                 blk = jnp.where(
-                    mask_acc, fown[:, None, :], upd_c[cells_j]
+                    mask_acc, fown[:, None, :],
+                    upd_c[bc].reshape(K, BS, W),
                 )
                 fields.append(
-                    upd_c.at[cells_j].set(blk).reshape(nslot, W)
+                    upd_c.at[bc].set(
+                        blk.reshape(K, m3, cap, W)
+                    ).reshape(nslot, W)
                 )
             new_mom.append(Moments(*fields))
         moments = _stack_moments(new_mom)
@@ -507,8 +522,8 @@ class CellEngine(Engine):
         inc = (
             trans_type[:, None, None] & has_mover[:, None, :] & oh_sel
         ).astype(jnp.int32)
-        tpm_slab = tpm_slab.reshape(-1, cap, W).at[cells_j].add(
-            inc
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[bc].add(
+            inc.reshape(K, m3, cap, W)
         ).reshape(nslot, W)
 
         return small._replace(r=r, moments=moments), tpm_slab
@@ -648,9 +663,10 @@ class CellEngine(Engine):
             - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
         )
         ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
-        # grid-validity wall: every cell side must stay > 2rc+2m in
-        # both lattices (state-only-dependent hard wall)
-        ok = ok & (self._min_cell_side(h_new) > self.s_min_guard)
+        # grid-validity wall: perpendicular widths must stay within
+        # the coverage tables' shrink guard (state-only-dependent
+        # hard wall)
+        ok = ok & self._geometry_ok(h_new)
         if prm.num_lattices == 2:
             ok = ok & jnp.isfinite(mu_new)
         accept = ok & (u[:, 3] < jnp.exp(-diffkT))
@@ -686,11 +702,12 @@ class CellEngine(Engine):
         )
         return self._wl_update(s)
 
-    def _min_cell_side(self, h) -> jnp.ndarray:
-        """Min over lattices/axes of (perpendicular width / cells) [W]."""
-        n = jnp.asarray(self.cellgrid.n, dtype=h.dtype)
+    def _geometry_ok(self, h) -> jnp.ndarray:
+        """[W] bool: every perpendicular width of every lattice's box
+        stays above 1/guard of its initial value (the validity domain
+        of the static coverage tables, cells.build_grid)."""
         L = h.shape[0]
-        sides = []
+        ok = None
         for l in range(L):
             H = h[l]                                        # [3,3,W]
             vol = jnp.abs(determinant3(H))
@@ -700,8 +717,9 @@ class CellEngine(Engine):
                 cy = H[2, b] * H[0, c] - H[0, b] * H[2, c]
                 cz = H[0, b] * H[1, c] - H[1, b] * H[0, c]
                 w = vol * jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
-                sides.append(w / n[a])
-        return jnp.min(jnp.stack(sides), axis=0)
+                cond = w > self.w_guard[l, a]
+                ok = cond if ok is None else (ok & cond)
+        return ok
 
     # ------------------------------------------------------------------
     # rebin: new random grid origin (ergodicity across cells)
@@ -729,15 +747,16 @@ class CellEngine(Engine):
         okey = jax.random.fold_in(s.shared_key, s.cycle)
         origin = jax.random.uniform(okey, (3,), dtype=dtype)
 
-        # wrap lattice 1 into [origin, origin+1) fractional: the grid
-        # is periodic in g = f - origin, so stored images must wrap at
-        # the GRID boundary for the neighbour tables' +-1 box shifts
-        # to be the true periodic offsets; re-image lattice 2 to
-        # within the (invariant) correspondence mismatch of lattice 1.
-        # Both are lattice-vector shifts, leaving all energies
-        # unchanged.
+        # wrap so that the MID fractional position lands in
+        # [origin, origin+1): the grid is periodic in
+        # g = f_mid - origin, and stored images must wrap at the GRID
+        # boundary for the coverage tables' +-1 box shifts to be the
+        # true periodic offsets; re-image lattice 2 to within the
+        # (invariant) correspondence mismatch of lattice 1.  All
+        # shifts are lattice vectors, leaving energies unchanged.
+        dmid = 0.5 * self.cellaux.dfrac0[:, :, None]       # [3,N,1]
         f1 = _frac_of(s.recip[0], r_mol[0])
-        f1 = f1 - jnp.floor(f1 - origin[:, None, None])
+        f1 = f1 - jnp.floor(f1 - dmid - origin[:, None, None])
         r1 = _einsum("abw,bnw->anw", s.h[0], f1)
         if L == 2:
             f2 = _frac_of(s.recip[1], r_mol[1])
@@ -748,7 +767,7 @@ class CellEngine(Engine):
         else:
             r_mol = r1[None]
 
-        cid = cell_of_frac(cg, f1, origin)
+        cid = cell_of_frac(cg, f1 - dmid, origin, level="fine")
         slot, max_occ = bin_molecules(cg, cid)
         occ_overflow = jnp.maximum(
             s.occ_overflow, max_occ - cg.cap
@@ -983,24 +1002,27 @@ def init_cell_state(
         dfrac0 = np.zeros_like(f1_0)
         mismatch = 0.0
 
-    # initial binning (origin 0): wrap lattice 1, re-image lattice 2.
-    # All layout work is host-side numpy; device work is a SINGLE
-    # jitted call (eager op-by-op dispatch at init cost minutes over
-    # remote-TPU tunnels).
-    f1 = f1_0 - np.floor(f1_0)
+    # initial binning (origin 0) by the MID fractional position
+    # f_mid = f1 - dfrac0/2 on the FINE grid.  All layout work is
+    # host-side numpy; device work is a SINGLE jitted call (eager
+    # op-by-op dispatch at init cost minutes over remote-TPU tunnels).
+    fmid0 = f1_0 - 0.5 * dfrac0
+    nshift = np.floor(fmid0)
+    f1 = f1_0 - nshift
+    fmid = fmid0 - nshift                              # in [0,1)
     r_use = [f1 @ H0[0].T]
     if L == 2:
         r_use.append((f1 - dfrac0) @ H0[1].T)
     r_use = np.stack(r_use)                            # [L,N,3]
 
-    n1, n2, n3 = cellgrid.n
-    c1 = np.minimum((f1[:, 0] * n1).astype(np.int32), n1 - 1)
-    c2 = np.minimum((f1[:, 1] * n2).astype(np.int32), n2 - 1)
-    c3 = np.minimum((f1[:, 2] * n3).astype(np.int32), n3 - 1)
+    n1, n2, n3 = cellgrid.nf
+    c1 = np.minimum((fmid[:, 0] * n1).astype(np.int32), n1 - 1)
+    c2 = np.minimum((fmid[:, 1] * n2).astype(np.int32), n2 - 1)
+    c3 = np.minimum((fmid[:, 2] * n3).astype(np.int32), n3 - 1)
     cid = (c1 * n2 + c2) * n3 + c3                     # [N]
     order = np.argsort(cid, kind="stable")
     rank = np.empty(N, dtype=np.int32)
-    occ_count = np.zeros(cellgrid.ncell, dtype=np.int32)
+    occ_count = np.zeros(cellgrid.nfine, dtype=np.int32)
     for i in order:
         rank[i] = occ_count[cid[i]]
         occ_count[cid[i]] += 1

@@ -3,18 +3,19 @@
 Large-N counterpart of ops/dense.py (same moment-tensor algebra, same
 Hamiltonian - molint.F90:220-499): instead of a dense [S, N, W]
 candidate set per mover (O(N) per move), candidates come from the
-static 27-cell neighbourhood of the mover's cell in the padded slab
-layout of ops/cells.py (O(1) per move).  All slab accesses use
-STATIC slot-index tables precomputed from the grid topology, so XLA
-sees constant-index gathers; the only dynamic indexing is per-mover
-scalar rows ([K, W]-sized takes).
+static coverage tables of the two-level fine grid (ops/cells.py):
+for a batch of movers (one per same-colour coarse cell), the
+candidate set is the per-coarse-cell list of fine cells within
+r_cov = rc + mismatch of the coarse cube; for the full-cell energy,
+each fine cell's own coverage list.  All slab accesses gather
+whole-cell [cap, W] blocks at STATIC table indices - no per-walker
+dynamic gathers on the hot path.
 
-Periodic images: a neighbour cell that wraps the box contributes its
+Periodic images: a candidate cell that wraps the box contributes its
 occupants shifted by H @ off with off the static wrap offset
-(cells.build_grid).  Because the cell side exceeds rc + 2*mismatch,
-the 27-neighbourhood contains every interaction partner of the
-mover in BOTH lattices, each exactly once (ops/cells.py docstring),
-so no minimum-image folding is needed at all.
+(cells.build_grid).  The coverage tables contain every interaction
+partner in BOTH replicas, each exactly once, so no minimum-image
+folding is needed at all.
 """
 
 from __future__ import annotations
@@ -28,25 +29,25 @@ from .cells import CellGrid
 from .dense import Moments, _e3_closed_form, _leg, _pair
 
 
-def nb_slot_tables(grid: CellGrid, cells: np.ndarray):
-    """Static neighbourhood tables for a set of cells.
+def _cell_take(arr, cells, cap):
+    """Gather candidate fine cells at CELL granularity.
 
-    cells: [K] int32 cell ids (numpy).  Returns
-    (nb_slots [K, 27*cap] int32 slot indices,
-     nb_off   [K, 27, 3] float64 wrap offsets).
+    arr [nslot, W] viewed as [nfine, cap, W]; cells static [K, C]
+    -> [K, C*cap, W].  Whole-cell blocks keep each gathered row
+    cap*W wide (vs W-wide slot rows, which are tile-hostile on TPU).
     """
-    cap = grid.cap
-    nbc = grid.nb_cell[cells]                    # [K,27]
-    slots = (
-        nbc[:, :, None] * cap + np.arange(cap, dtype=np.int32)
-    ).reshape(len(cells), -1)                    # [K, 27*cap]
-    return slots.astype(np.int32), grid.nb_off[cells].astype(np.float64)
+    W = arr.shape[-1]
+    K = cells.shape[0]
+    a = arr.reshape(-1, cap, W)
+    return jnp.take(
+        a, jnp.asarray(np.asarray(cells).reshape(-1)), axis=0
+    ).reshape(K, -1, W)
 
 
 class _SlabCand:
-    """Candidate data of one mover batch against its neighbourhood.
+    """Candidate data of one mover batch against its coverage set.
 
-    All arrays [K, C, W] with C = 27*cap (or [K, W] reductions).
+    All arrays [K, C, W] with C = CC*cap (or [K, W] reductions).
     """
 
     __slots__ = ("pair_sum", "w", "ux", "uy", "uz", "e3i", "own",
@@ -63,64 +64,60 @@ class _SlabCand:
                        self.d_mxy, self.d_mxz, self.d_myz)
 
 
-def _shift_vectors(H, nb_off):
-    """H [3,3,W] x off [K,27,3] -> three [K,27,W] shift components."""
+def _shift_vectors(H, off):
+    """H [3,3,W] x off [K,CC,3] -> three [K,CC,W] shift components."""
+    off = jnp.asarray(off).astype(H.dtype)
     comps = []
     for a in range(3):
-        comps.append(jnp.einsum(
-            "kc,w->kcw",
-            jnp.asarray(nb_off[:, :, 0]), H[a, 0],
-        ) + jnp.einsum(
-            "kc,w->kcw",
-            jnp.asarray(nb_off[:, :, 1]), H[a, 1],
-        ) + jnp.einsum(
-            "kc,w->kcw",
-            jnp.asarray(nb_off[:, :, 2]), H[a, 2],
-        ))
+        comps.append(
+            jnp.einsum("kc,w->kcw", off[:, :, 0], H[a, 0])
+            + jnp.einsum("kc,w->kcw", off[:, :, 1], H[a, 1])
+            + jnp.einsum("kc,w->kcw", off[:, :, 2], H[a, 2])
+        )
     return comps
 
 
-def _cell_take(arr, nb_cells, cap):
-    """Gather a 27-cell neighbourhood at CELL granularity.
+def _gather_candidates(rx, ry, rz, valid, H, cand_cells, cand_off,
+                       cand_mask, cap, mover_slot):
+    """Shared candidate gather for the old/new mover positions.
 
-    arr [nslot, W] viewed as [ncell, cap, W]; nb_cells static [K, 27]
-    -> [K, 27*cap, W].  Whole-cell blocks keep each gathered row
-    cap*W wide (vs W-wide slot rows, which are tile-hostile on TPU -
-    this single change is worth an order of magnitude on the sub-step
-    gather time).
+    Returns (cx, cy, cz image-shifted coordinates [K,C,W],
+    mask [K,C,W]) - identical for both evaluation points of a trial
+    move, so gathered ONCE per lattice per sub-step.
     """
-    W = arr.shape[-1]
-    K = nb_cells.shape[0]
-    a = arr.reshape(-1, cap, W)
-    return jnp.take(
-        a, jnp.asarray(nb_cells.reshape(-1)), axis=0
-    ).reshape(K, 27 * cap, W)
-
-
-def _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
-                     mover_slot, p, prm: SWParams) -> _SlabCand:
-    """Candidate set of movers at positions ``p``.
-
-    rx/ry/rz: [nslot, W] slab coordinates; valid: [nslot, W] bool;
-    H: [3,3,W]; nb_slots: static [K, C]; nb_off: static [K, 27, 3];
-    mover_slot: [K, W] int32; p: (px,py,pz) each [K, W].
-    """
-    K, C = nb_slots.shape
-    cap = C // 27
-    nb_cells = np.asarray(nb_slots)[:, ::cap] // cap        # [K,27]
-    take = lambda arr: _cell_take(arr, nb_cells, cap)       # noqa: E731
+    take = lambda arr: _cell_take(arr, cand_cells, cap)     # noqa: E731
     cx, cy, cz = take(rx), take(ry), take(rz)
     cval = take(valid)
+    mask_slots = jnp.asarray(
+        np.repeat(np.asarray(cand_mask), cap)
+    )                                                       # [CC*cap]
+    cval = cval & mask_slots[None, :, None]
 
-    shx, shy, shz = _shift_vectors(H, nb_off)               # [K,27,W]
+    shx, shy, shz = _shift_vectors(H, cand_off)             # [K,CC,W]
     rep = lambda s: jnp.repeat(s, cap, axis=1)              # noqa: E731
-    px, py, pz = p
-    dx = cx + rep(shx) - px[:, None, :]
-    dy = cy + rep(shy) - py[:, None, :]
-    dz = cz + rep(shz) - pz[:, None, :]
+    cx = cx + rep(shx)
+    cy = cy + rep(shy)
+    cz = cz + rep(shz)
 
-    not_self = nb_slots[:, :, None] != mover_slot[:, None, :]
-    mask = cval & not_self
+    K = np.asarray(cand_cells).shape[0]
+    slot_ids = np.asarray(cand_cells)[:, :, None] * cap + np.arange(
+        cap, dtype=np.int32
+    )
+    slot_ids = jnp.asarray(slot_ids.reshape(K, -1))         # [K,C]
+    not_self = slot_ids[:, :, None] != mover_slot[:, None, :]
+    return cx, cy, cz, cval & not_self
+
+
+def _slab_candidates(cand, p, prm: SWParams) -> _SlabCand:
+    """Candidate energies/legs of movers at positions ``p``.
+
+    cand: output of _gather_candidates; p: (px,py,pz) each [K, W].
+    """
+    cx, cy, cz, mask = cand
+    px, py, pz = p
+    dx = cx - px[:, None, :]
+    dy = cy - py[:, None, :]
+    dz = cz - pz[:, None, :]
     r2 = dx * dx + dy * dy + dz * dz
     in_rc = (r2 < prm.rc2) & mask
     r2s = jnp.where(in_rc, r2, 1.0)
@@ -157,7 +154,7 @@ def _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
 def _slab_jcentred(c: _SlabCand, m: Moments, prm: SWParams):
     """Wing-angle sums i-j-k over slab candidates -> [K, W].
 
-    ``m``: gathered neighbourhood moments, fields [K, C, W]
+    ``m``: gathered coverage-set moments, fields [K, C, W]
     (ops/dense._jcentred with the slab candidate axis)."""
     c0 = prm.cos0
     ux, uy, uz = c.ux, c.uy, c.uz
@@ -173,13 +170,15 @@ def _slab_jcentred(c: _SlabCand, m: Moments, prm: SWParams):
     return jnp.sum(c.w * per, axis=1)
 
 
-def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
-                   nb_off, mover_slot, p_old, p_new, prm: SWParams):
+def mover_energies(slab_r, slab_mom: Moments, valid, H, cand_cells,
+                   cand_off, cand_mask, cap, mover_slot, p_old, p_new,
+                   prm: SWParams):
     """One lattice: old/new local energies of a batch of K movers.
 
     slab_r: [3, nslot, W]; slab_mom fields [nslot, W];
-    valid: [nslot, W]; H: [3,3,W]; nb_slots/nb_off static tables;
-    mover_slot: [K, W]; p_old/p_new: [3, K, W].
+    valid: [nslot, W]; H: [3,3,W]; cand_* static coverage tables for
+    the movers' coarse cells; mover_slot: [K, W]; p_old/p_new:
+    [3, K, W].
 
     Returns (e_old [K,W], e_new [K,W], cand_old, cand_new) - the
     candidate objects carry the leg data needed for post-accept
@@ -188,21 +187,16 @@ def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
     """
     lam_eps = prm.lam * prm.epsilon
     rx, ry, rz = slab_r[0], slab_r[1], slab_r[2]
-    K, C = nb_slots.shape
 
-    co = _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
-                          mover_slot, (p_old[0], p_old[1], p_old[2]),
-                          prm)
-    cap = C // 27
-    nb_cells = np.asarray(nb_slots)[:, ::cap] // cap
-    take = lambda arr: _cell_take(arr, nb_cells, cap)       # noqa: E731
+    cand = _gather_candidates(rx, ry, rz, valid, H, cand_cells,
+                              cand_off, cand_mask, cap, mover_slot)
+    co = _slab_candidates(cand, (p_old[0], p_old[1], p_old[2]), prm)
+    take = lambda arr: _cell_take(arr, cand_cells, cap)     # noqa: E731
     mom_nb = Moments(*(take(f) for f in slab_mom))
     e3j_old = _slab_jcentred(co, mom_nb, prm)
     e_old = co.pair_sum + lam_eps * (co.e3i + e3j_old)
 
-    cn = _slab_candidates(rx, ry, rz, valid, H, nb_slots, nb_off,
-                          mover_slot, (p_new[0], p_new[1], p_new[2]),
-                          prm)
+    cn = _slab_candidates(cand, (p_new[0], p_new[1], p_new[2]), prm)
     # world with the mover at p_new: every neighbour's moments
     # corrected by the mover's old/new leg contributions
     eff = Moments(*(
@@ -220,21 +214,16 @@ def mover_energies(slab_r, slab_mom: Moments, valid, H, nb_slots,
 _FULL_ENERGY_MAX_ELEMS = 1 << 24
 
 
-def _pick_chunking(ncell: int, cap: int, W: int,
+def _pick_chunking(nfine: int, CF: int, cap: int, W: int,
                    max_elems: int) -> tuple:
-    """(cell_chunk, ngroup): largest neighbour-cell group size
-    ngroup | 27 and cell count cc | ncell keeping the candidate
-    intermediate cc*cap*(ngroup*cap)*W under the element budget.
-    Degenerates to (1, 1) for pathologically large cap*W."""
-    ngroup = 1
-    for ng in (27, 9, 3):
-        if cap * (ng * cap) * W <= max_elems:
-            ngroup = ng
-            break
+    """(cell_chunk, ngroup): candidate-cell group size ngroup <= CF
+    and centre-cell count cc | nfine keeping the candidate
+    intermediate cc*cap*(ngroup*cap)*W under the element budget."""
+    per_cell = cap * cap * W
+    ngroup = max(1, min(CF, max_elems // max(per_cell, 1)))
     cc = 1
-    for c in range(min(ncell, 64), 0, -1):
-        if ncell % c == 0 and \
-                c * cap * (ngroup * cap) * W <= max_elems:
+    for c in range(min(nfine, 64), 0, -1):
+        if nfine % c == 0 and c * ngroup * per_cell <= max_elems:
             cc = c
             break
     return cc, ngroup
@@ -246,14 +235,15 @@ def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
 
     Slab counterpart of dense.full_energy_batch (compute_model_energy,
     molint.F90:407-499): per slot i, half the pair sum plus the
-    centre-angle moment formula.  Chunked over cells with lax.map and,
-    at large cap, over groups of the 27 neighbour cells, to bound the
-    [cc*cap, ng*cap, W] intermediates (memory-aware: the default
-    budget keeps every intermediate < ~70 MB regardless of cap/W).
+    centre-angle moment formula.  Centres are FINE cells, candidates
+    their static coverage lists; chunked over centre cells with
+    lax.map and over candidate-cell groups, bounding every
+    intermediate regardless of cap/W.
 
     Returns (energy [W], Moments fields [nslot, W]).
     """
-    ncell, cap = grid.ncell, grid.cap
+    nfine, cap = grid.nfine, grid.cap
+    CF = grid.full_cells.shape[1]
     rx, ry, rz = slab_r[0], slab_r[1], slab_r[2]
     W = rx.shape[-1]
     dtype = rx.dtype
@@ -261,28 +251,32 @@ def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
 
     if cell_chunk is None:
         cell_chunk, ngroup = _pick_chunking(
-            ncell, cap, W, _FULL_ENERGY_MAX_ELEMS
+            nfine, CF, cap, W, _FULL_ENERGY_MAX_ELEMS
         )
     else:
-        ngroup = 27
-    assert ncell % cell_chunk == 0 and 27 % ngroup == 0
+        ngroup = CF
+    assert nfine % cell_chunk == 0
 
-    all_cells = np.arange(ncell, dtype=np.int32)
-    nb_cells_all = jnp.asarray(
-        grid.nb_cell[all_cells].reshape(
-            ncell // cell_chunk, cell_chunk, 27
-        )
+    # pad the candidate axis to a multiple of ngroup (mask kills pads)
+    ngr = -(-CF // ngroup)
+    CFp = ngr * ngroup
+    fc = np.zeros((nfine, CFp), dtype=np.int32)
+    fo = np.zeros((nfine, CFp, 3), dtype=np.int32)
+    fm = np.zeros(CFp, dtype=bool)
+    fc[:, :CF] = grid.full_cells
+    fo[:, :CF] = grid.full_off
+    fm[:CF] = grid.full_mask
+
+    nchunk = nfine // cell_chunk
+    cells_all = jnp.asarray(fc.reshape(nchunk, cell_chunk, CFp))
+    off_all = jnp.asarray(
+        fo.astype(np.float64).reshape(nchunk, cell_chunk, CFp, 3)
     )
-    nb_off_all = jnp.asarray(
-        grid.nb_off[all_cells].astype(np.float64).reshape(
-            ncell // cell_chunk, cell_chunk, 27, 3
-        )
-    )
+    mask_g = fm.reshape(ngr, ngroup)
 
     def one_chunk(args):
-        nb_cells27, nb_off27, cell0 = args
+        cells27, off27, cell0 = args
         B = cell_chunk * cap
-        # centre slots of this chunk: contiguous [cell0*cap, ...)
         ctr = cell0 * cap + jnp.arange(B, dtype=jnp.int32)
         ctr_valid = jnp.take(valid, ctr, axis=0)              # [B,W]
         px = jnp.take(rx, ctr, axis=0)
@@ -293,20 +287,25 @@ def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
         ctr_ids = ctr.reshape(cell_chunk, cap, 1, 1)
         cvalr = rs(ctr_valid)[:, :, None, :]
 
-        shx27, shy27, shz27 = _shift_vectors(H, nb_off27)   # [cc,27,W]
+        shx27, shy27, shz27 = _shift_vectors(H, off27)   # [cc,CFp,W]
 
         pair_half = jnp.zeros((cell_chunk, cap, W), dtype=dtype)
         acc = None
         sumw2 = jnp.zeros((cell_chunk, cap, W), dtype=dtype)
 
-        for g0 in range(0, 27, ngroup):
-            nbc = nb_cells27[:, g0:g0 + ngroup]     # [cc, ng]
+        for gi in range(ngr):
+            if not mask_g[gi].any():
+                continue
+            g0 = gi * ngroup
+            nbc = cells27[:, g0:g0 + ngroup]     # [cc, ng]
             C = ngroup * cap
             take = lambda arr: jnp.take(                    # noqa: E731
                 arr.reshape(-1, cap, W), nbc.reshape(-1), axis=0
             ).reshape(cell_chunk, C, W)
             cx, cy, cz = take(rx), take(ry), take(rz)
             cval = take(valid)
+            gmask = jnp.asarray(np.repeat(mask_g[gi], cap))
+            cval = cval & gmask[None, :, None]
             rep = lambda s: jnp.repeat(                     # noqa: E731
                 s[:, g0:g0 + ngroup], cap, axis=1
             )
@@ -354,9 +353,9 @@ def slab_full_energy(slab_r, valid, H, grid: CellGrid, prm: SWParams,
             f.reshape(cell_chunk * cap, W) for f in mom
         ))
 
-    cell0s = jnp.arange(0, ncell, cell_chunk, dtype=jnp.int32)
+    cell0s = jnp.arange(0, nfine, cell_chunk, dtype=jnp.int32)
     e_chunks, mom_chunks = jax.lax.map(
-        one_chunk, (nb_cells_all, nb_off_all, cell0s)
+        one_chunk, (cells_all, off_all, cell0s)
     )
     energy = jnp.sum(e_chunks, axis=0).astype(dtype)
     moments = Moments(*(

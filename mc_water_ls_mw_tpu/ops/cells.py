@@ -1,40 +1,49 @@
-"""Fractional cell grid for the large-N parallel-sweep engine.
+"""Two-level fractional cell grid for the large-N parallel-sweep engine.
 
 New capability beyond the reference (SURVEY.md §7 step 8: the
 reference's neighbour search is brute-force O(N^2), molint.F90:501-559,
 single process only).  This module provides the spatial decomposition
-that makes N >= 10^4 lattice-switch sampling tractable on TPU:
+that makes N >= 10^4 lattice-switch sampling tractable on TPU.
 
-* The grid lives in FRACTIONAL coordinates of lattice 1.  Both coupled
-  replicas share every fractional displacement (mc_moves.F90:1042-1067,
-  1284-1350), so one grid serves both: with cell side
-  s >= 2*rc + 2*mismatch (see models/stacking.py on the invariant
-  correspondence mismatch), molecules in non-adjacent cells are
-  non-interacting in BOTH lattices, and a cell's 27-neighbourhood
-  contains every interaction partner of its occupants in BOTH lattices.
+Geometry lives in the MID-replica fractional frame: molecules are
+binned by f_mid = f1 - dfrac0/2, the average of the two replicas'
+(invariantly offset) fractional coordinates.  Both replicas share
+every fractional displacement (mc_moves.F90:1042-1067, 1284-1350), so
+f_mid moves exactly with the molecule, and each replica's Cartesian
+position sits within mismatch/2 of the mid position (models/stacking.py
+on the invariant correspondence mismatch) - halving the padding the
+lattice-1 frame would need.
 
-* Cells are 8-coloured (parity of the 3 cell indices; cell counts are
-  forced even so the colouring is wrap-consistent).  One molecule per
-  same-colour cell can be trial-moved concurrently: movers in distinct
-  same-colour cells are separated by at least one full cell, hence
-  > 2*rc apart in both lattices, so their Delta-E evaluations and
-  moment updates are exactly independent (cellengine.py runs the
-  accept/reject chain over the movers sequentially, which is then
-  EXACTLY the serial Markov chain).
+Two levels:
 
-* Occupancy layout: a padded slab of ncell*cap slots; slot s holds
-  molecule slot2mol[s] (or -1).  Neighbourhood topology (27 static
-  neighbour cells per cell + their periodic wrap offsets) is
-  precomputed host-side; all hot-path accesses are static slices of
-  the slab - no per-walker gathers.
+* COARSE cells (side > 2*rc + mismatch): the checkerboard unit.
+  Coarse cells are 8-coloured (parity of the 3 indices; counts forced
+  even).  One molecule per same-colour coarse cell is trial-moved per
+  sub-step; same-colour movers are >= one coarse cell apart in the
+  mid frame, hence > 2*rc apart in BOTH replicas, so their Delta-E
+  evaluations and moment updates are exactly independent.  A move
+  that would cross its coarse-cell boundary is rejected (a
+  state-only-dependent hard wall; the reverse proposal faces the same
+  wall, preserving detailed balance), and the grid origin is re-drawn
+  at random + molecules re-binned every ``list_update_int`` cycles,
+  restoring ergodicity across cells - the standard checkerboard
+  construction of massively-parallel MC.
 
-The grid origin is re-drawn at random and molecules re-binned every
-``cell_update_int`` cycles (the large-N analog of the reference's
-Verlet rebuild cadence, mc_cycle:218-222): moves crossing a cell
-boundary are rejected within a binning epoch (a state-only-dependent
-hard wall, preserving detailed balance), and the origin shift restores
-ergodicity across cells - the standard checkerboard-MC construction
-(massively parallel hard-particle MC literature).
+* FINE cells (coarse subdivided m x m x m): the candidate-search unit
+  and the slab-storage unit (nslot = nfine*cap slots; slot s holds
+  molecule slot2mol[s] or -1).  Static tables list, for every coarse
+  cell, the fine cells within r_cov = rc + mismatch of ANY point of
+  the coarse cube (every interaction partner of any mover in the
+  cell, in both replicas) - a several-fold smaller candidate set than
+  the coarse 27-neighbourhood, at identical all-static block-gather
+  cost.  A second table set covers each FINE cell for the full-cell
+  energy kernel.
+
+Tables are built from the INITIAL box geometry with a shrink guard:
+coverage radii are inflated by ``guard``, and the volume move rejects
+any box whose perpendicular widths shrink below 1/guard of the
+initial ones (cellengine), so the static tables stay valid for the
+whole run.
 """
 
 from __future__ import annotations
@@ -48,25 +57,46 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class CellGrid:
-    """Static cell-grid topology (host-side numpy, trace-time consts)."""
+    """Static two-level cell-grid topology (host numpy, trace consts)."""
 
-    n: tuple            # (n1, n2, n3) cells per axis, each even >= 4
-    cap: int            # slot capacity per cell
-    nb_cell: np.ndarray    # [ncell, 27] int32 neighbour cell ids
-    nb_off: np.ndarray     # [ncell, 27, 3] int32 periodic wrap offsets
-    color_cells: np.ndarray  # [8, ncell/8] int32 cell ids per colour
+    n: tuple              # coarse cells per axis, each even >= 4
+    m: int                # fine subdivisions per coarse axis
+    cap: int              # slot capacity per FINE cell
+    guard: float          # shrink-guard factor baked into the tables
+    perp_w0: np.ndarray   # [L,3] initial per-lattice box perp widths
+    block_cells: np.ndarray   # [ncoarse, m^3] fine ids per coarse cell
+    cand_cells: np.ndarray    # [ncoarse, CC] candidate fine ids
+    cand_off: np.ndarray      # [ncoarse, CC, 3] periodic wrap offsets
+    cand_mask: np.ndarray     # [CC] valid-entry mask (list padding)
+    full_cells: np.ndarray    # [nfine, CF] per-fine-cell coverage ids
+    full_off: np.ndarray      # [nfine, CF, 3]
+    full_mask: np.ndarray     # [CF]
+    color_cells: np.ndarray   # [8, ncoarse/8] coarse ids per colour
 
     @property
-    def ncell(self) -> int:
+    def nf(self) -> tuple:
+        return tuple(self.m * x for x in self.n)
+
+    @property
+    def ncoarse(self) -> int:
         return int(np.prod(self.n))
 
     @property
+    def nfine(self) -> int:
+        return int(np.prod(self.nf))
+
+    # legacy aliases used by the engine
+    @property
+    def ncell(self) -> int:
+        return self.ncoarse
+
+    @property
     def nslot(self) -> int:
-        return self.ncell * self.cap
+        return self.nfine * self.cap
 
     @property
     def cells_per_color(self) -> int:
-        return self.ncell // 8
+        return self.ncoarse // 8
 
 
 def perp_widths(H) -> np.ndarray:
@@ -80,22 +110,28 @@ def perp_widths(H) -> np.ndarray:
     return w
 
 
-def min_cell_side(model, mismatch: float, max_trans: float,
-                  margin: float = 1.02) -> float:
-    """Minimum admissible cell side: movers one cell apart must stay
-    non-interacting in both lattices (> 2*rc + 2*mismatch), with a
-    small margin absorbing volume-move box drift (backstopped by the
-    volume-move geometry guard in cellengine)."""
-    del max_trans  # movers cannot leave their cell, so no delta term
-    return margin * (2.0 * model.rc + 2.0 * mismatch)
+def coverage_radius(model, mismatch: float) -> float:
+    """Interaction-coverage radius in the mid frame: a partner within
+    rc of a molecule in EITHER replica lies within rc + mismatch of
+    its mid position (each replica's Cartesian position is within
+    mismatch/2 of mid)."""
+    return model.rc + mismatch
+
+
+def min_coarse_side(model, mismatch: float, margin: float) -> float:
+    """Checkerboard-independence bound in the mid frame: same-colour
+    movers one coarse cell apart are > 2*rc apart in both replicas
+    when the side exceeds 2*rc + mismatch."""
+    return margin * (2.0 * model.rc + mismatch)
 
 
 def choose_grid_shape(H_list, model, mismatch: float,
-                      max_trans: float = 0.0) -> tuple:
-    """Largest even cell counts (>= 4) satisfying the side bound for
-    every lattice's box.  Raises if the box is too small for the
-    parallel-sweep engine (use the dense engine instead)."""
-    s_min = min_cell_side(model, mismatch, max_trans)
+                      margin: float = 1.13) -> tuple:
+    """Largest even coarse counts (>= 4) satisfying the independence
+    bound for every lattice's box.  ``margin`` must cover the volume
+    shrink guard (build_grid guard default 1.08).  Raises if the box
+    is too small (use the dense engine instead)."""
+    s_min = min_coarse_side(model, mismatch, margin)
     w = np.min([perp_widths(H) for H in np.asarray(H_list)], axis=0)
     n = []
     for a in range(3):
@@ -112,54 +148,213 @@ def choose_grid_shape(H_list, model, mismatch: float,
     return tuple(n)
 
 
-def build_grid(n: tuple, cap: int) -> CellGrid:
-    """Precompute static neighbourhood topology for an (n1,n2,n3) grid."""
-    n1, n2, n3 = n
+def _offset_sets(n, m, w_fine, r_cov, orthorhombic):
+    """Fine-cell offset stencils (shared by every cell, by
+    translational symmetry).
+
+    Returns (block_offs [m^3,3], cand_offs [CC0,3], full_offs [CF0,3]):
+    fine-cell index offsets whose cube lies within r_cov of the coarse
+    cube [0,m)^3 (cand) or of the fine cube [0,1)^3 (full).  Distances
+    use the per-axis box-gap decomposition: Euclidean for orthorhombic
+    boxes, max-norm (a safe lower bound on distance) otherwise.
+    """
+    nf = [m * x for x in n]
+    reach = [
+        min(int(np.ceil(r_cov / w_fine[a])) + 1, nf[a] // 2)
+        for a in range(3)
+    ]
+
+    def covers(off, hi):
+        # per-axis Cartesian gap between fine cube [off, off+1) and
+        # the base cube [0, hi)
+        g = np.empty(3)
+        for a in range(3):
+            ga = max(0, off[a] - hi, -off[a] - 1)
+            g[a] = ga * w_fine[a]
+        if orthorhombic:
+            return float(np.sqrt((g * g).sum())) <= r_cov
+        return float(g.max()) <= r_cov
+
+    block_offs = np.array(
+        [[i, j, k] for i in range(m) for j in range(m)
+         for k in range(m)],
+        dtype=np.int32,
+    )
+    cand, full = [], []
+    for i in range(-reach[0], m + reach[0]):
+        for j in range(-reach[1], m + reach[1]):
+            for k in range(-reach[2], m + reach[2]):
+                off = (i, j, k)
+                if covers(off, m):
+                    cand.append(off)
+                if covers(off, 1):
+                    full.append(off)
+    return (
+        block_offs,
+        np.asarray(cand, dtype=np.int32),
+        np.asarray(full, dtype=np.int32),
+    )
+
+
+def _materialise(base_coords, offs, nf, pad_to=None):
+    """Turn per-cell offset stencils into id + wrap-offset tables.
+
+    base_coords: [M,3] fine coords of each base cell; offs: [C0,3].
+    Returns (cells [M,C] int32, wrap [M,C,3] int32, mask [C] bool)
+    with C = pad_to or C0 (padding uses cell 0, mask False).
+    """
+    n1, n2, n3 = nf
+    q = base_coords[:, None, :] + offs[None, :, :]       # [M,C0,3]
+    wrap = np.zeros_like(q)
+    for a, na in enumerate((n1, n2, n3)):
+        wrap[..., a] = np.where(
+            q[..., a] < 0, 1, np.where(q[..., a] >= na, -1, 0)
+        )
+    cells = (
+        (q[..., 0] % n1) * n2 + (q[..., 1] % n2)
+    ) * n3 + (q[..., 2] % n3)
+    # image convention: a neighbour stored past the far face
+    # contributes at r_stored - H (see nb wrap convention notes)
+    wrap = -wrap
+    C0 = offs.shape[0]
+    C = pad_to or C0
+    mask = np.zeros(C, dtype=bool)
+    mask[:C0] = True
+    if C > C0:
+        pad = np.zeros((cells.shape[0], C - C0), dtype=np.int32)
+        cells = np.concatenate([cells.astype(np.int32), pad], axis=1)
+        wrap = np.concatenate(
+            [wrap, np.zeros((wrap.shape[0], C - C0, 3), wrap.dtype)],
+            axis=1,
+        )
+    return cells.astype(np.int32), wrap.astype(np.int32), mask
+
+
+def build_grid(n: tuple, cap: int, H_list, model, mismatch: float,
+               m: int = 2, guard: float = 1.08) -> CellGrid:
+    """Build the two-level grid + static coverage tables.
+
+    n: coarse cell counts (even, >= 4); cap: slots per FINE cell;
+    H_list: [L,3,3] initial cell matrices (columns = box vectors);
+    guard: shrink-guard factor baked into the coverage radii (the
+    volume move must reject boxes shrunk below 1/guard).
+    """
+    n = tuple(int(x) for x in n)
     for na in n:
         if na < 4 or na % 2:
-            raise ValueError(f"cell counts must be even >= 4, got {n}")
-    ids = np.arange(n1 * n2 * n3, dtype=np.int32)
-    c1, rem = np.divmod(ids, n2 * n3)
-    c2, c3 = np.divmod(rem, n3)
-
-    offs = np.array(
-        [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
-         for k in (-1, 0, 1)],
-        dtype=np.int32,
-    )  # [27,3]
-    q1 = c1[:, None] + offs[None, :, 0]
-    q2 = c2[:, None] + offs[None, :, 1]
-    q3 = c3[:, None] + offs[None, :, 2]
-    # wrap offset: +1 where the neighbour wraps below 0, -1 above n-1
-    w1, w2, w3 = (
-        np.where(q < 0, 1, np.where(q >= na, -1, 0)).astype(np.int32)
-        for q, na in ((q1, n1), (q2, n2), (q3, n3))
+            raise ValueError(f"coarse counts must be even >= 4, got {n}")
+    H_arr = np.asarray(H_list, dtype=np.float64)
+    if H_arr.ndim == 2:
+        H_arr = H_arr[None]
+    perp_w0 = np.stack([perp_widths(H) for H in H_arr])   # [L,3]
+    nf = tuple(m * x for x in n)
+    # worst-case (smallest) fine sides over lattices, deflated by the
+    # shrink guard so tables remain valid for any admissible box
+    w_fine = perp_w0.min(axis=0) / np.asarray(nf) / guard
+    r_cov = coverage_radius(model, mismatch)
+    # orthorhombic iff all off-diagonals are (numerically) zero
+    ortho = all(
+        abs(H[a, b]) < 1e-9 * max(abs(H[0, 0]), abs(H[1, 1]),
+                                  abs(H[2, 2]))
+        for H in H_arr for a in range(3) for b in range(3) if a != b
     )
-    nb_cell = (
-        ((q1 % n1) * n2 + (q2 % n2)) * n3 + (q3 % n3)
-    ).astype(np.int32)
-    # wrap offset convention: r_candidate = r_stored - H @ w  fails;
-    # define image = r_stored + H @ off with off = -w? Keep explicit:
-    # a neighbour with q < 0 stores coordinates near the FAR face, so
-    # its image near this cell is r_stored - H (off = -1).
-    nb_off = np.stack([-w1, -w2, -w3], axis=-1)
+
+    block_offs, cand_offs, full_offs = _offset_sets(
+        n, m, w_fine, r_cov, ortho
+    )
+
+    n1, n2, n3 = n
+    ids_c = np.arange(n1 * n2 * n3, dtype=np.int32)
+    c1, rem = np.divmod(ids_c, n2 * n3)
+    c2, c3 = np.divmod(rem, n3)
+    base_c = np.stack([c1, c2, c3], axis=1) * m          # fine coords
+
+    block_cells, _, _ = _materialise(base_c, block_offs, nf)
+    cand_cells, cand_off, cand_mask = _materialise(
+        base_c, cand_offs, nf
+    )
+
+    nf1, nf2, nf3 = nf
+    ids_f = np.arange(nf1 * nf2 * nf3, dtype=np.int32)
+    f1c, remf = np.divmod(ids_f, nf2 * nf3)
+    f2c, f3c = np.divmod(remf, nf3)
+    base_f = np.stack([f1c, f2c, f3c], axis=1)
+    full_cells, full_off, full_mask = _materialise(
+        base_f, full_offs, nf
+    )
 
     color = ((c1 % 2) * 4 + (c2 % 2) * 2 + (c3 % 2)).astype(np.int32)
     color_cells = np.stack(
-        [ids[color == col] for col in range(8)]
+        [ids_c[color == col] for col in range(8)]
     ).astype(np.int32)
+
     return CellGrid(
-        n=tuple(int(x) for x in n), cap=int(cap),
-        nb_cell=nb_cell, nb_off=nb_off, color_cells=color_cells,
+        n=n, m=int(m), cap=int(cap), guard=float(guard),
+        perp_w0=perp_w0,
+        block_cells=block_cells,
+        cand_cells=cand_cells, cand_off=cand_off, cand_mask=cand_mask,
+        full_cells=full_cells, full_off=full_off, full_mask=full_mask,
+        color_cells=color_cells,
     )
 
 
-def cell_of_frac(grid: CellGrid, f, origin):
-    """Cell id of fractional coordinates f [3, ...] with grid origin
-    ``origin`` [3] (fractional).  Vectorised over trailing axes."""
-    n1, n2, n3 = grid.n
-    g = f - origin[:, None] if f.ndim == 2 else \
-        f - origin.reshape((3,) + (1,) * (f.ndim - 1))
+def auto_cap(nwater: int, grid_or_nfine, headroom: float = 1.35) -> int:
+    """Slot capacity per fine cell: mean occupancy x headroom, rounded
+    up to a multiple of 4 (density fluctuations within a binning epoch
+    are audited at runtime via occ_overflow)."""
+    nfine = (
+        grid_or_nfine if isinstance(grid_or_nfine, int)
+        else grid_or_nfine.nfine
+    )
+    mean = nwater / nfine
+    return max(4, int(-(-mean * headroom // 4) * 4))
+
+
+def cap_for_positions(r0, H0, n: tuple, m: int = 2,
+                      samples: int = 8, margin: float = 1.3) -> int:
+    """Slot capacity from the ACTUAL initial configuration: worst
+    fine-cell occupancy over sampled random grid origins (crystals
+    bin far less uniformly than the mean - lattice planes align with
+    cell boundaries), times a fluctuation margin, rounded up to a
+    multiple of 4.  r0 [L,N,3], H0 [L,3,3]; binning uses the
+    mid-replica fractional frame (f1 - dfrac0/2)."""
+    r0 = np.asarray(r0, dtype=np.float64)
+    H0 = np.asarray(H0, dtype=np.float64)
+    if r0.ndim == 2:
+        r0, H0 = r0[None], H0[None]
+    f1 = r0[0] @ np.linalg.inv(H0[0]).T
+    if r0.shape[0] == 2:
+        f2 = r0[1] @ np.linalg.inv(H0[1]).T
+        d = f1 - f2
+        d -= np.round(d)
+        fmid = f1 - 0.5 * d
+    else:
+        fmid = f1
+    fmid = fmid - np.floor(fmid)
+    nf = np.asarray([m * x for x in n])
+    rng = np.random.default_rng(0)
+    mx = 0
+    for si in range(samples):
+        origin = np.zeros(3) if si == 0 else rng.uniform(0, 1, 3)
+        g = fmid - origin
+        g -= np.floor(g)
+        c = [
+            np.minimum((g[:, a] * nf[a]).astype(np.int64), nf[a] - 1)
+            for a in range(3)
+        ]
+        cid = (c[0] * nf[1] + c[1]) * nf[2] + c[2]
+        mx = max(mx, int(np.bincount(
+            cid, minlength=int(nf.prod())
+        ).max()))
+    return max(4, int(-(-mx * margin // 4) * 4))
+
+
+def cell_of_frac(grid: CellGrid, f, origin, level: str = "coarse"):
+    """Cell id of mid-frame fractional coordinates f [3, ...] with
+    grid origin ``origin`` [3].  level: 'coarse' or 'fine'."""
+    dims = grid.n if level == "coarse" else grid.nf
+    n1, n2, n3 = dims
+    g = f - origin.reshape((3,) + (1,) * (f.ndim - 1))
     g = g - jnp.floor(g)
     c1 = jnp.minimum((g[0] * n1).astype(jnp.int32), n1 - 1)
     c2 = jnp.minimum((g[1] * n2).astype(jnp.int32), n2 - 1)
@@ -168,7 +363,7 @@ def cell_of_frac(grid: CellGrid, f, origin):
 
 
 def bin_molecules(grid: CellGrid, cell_id):
-    """Assign slab slots from per-molecule cell ids.
+    """Assign slab slots from per-molecule FINE cell ids.
 
     cell_id: [N, W] int32.  Returns (slot [N, W] int32 slab slot of
     each molecule, max_occ [W] int32 worst-case cell occupancy).  The

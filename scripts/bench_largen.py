@@ -27,7 +27,11 @@ from mc_water_ls_mw_tpu.models.sw import MW
 from mc_water_ls_mw_tpu.mcmc.config import RunParams
 from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
 from mc_water_ls_mw_tpu.mcmc.cellengine import CellEngine, init_cell_state
-from mc_water_ls_mw_tpu.ops.cells import build_grid, choose_grid_shape
+from mc_water_ls_mw_tpu.ops.cells import (
+    build_grid,
+    cap_for_positions,
+    choose_grid_shape,
+)
 from mc_water_ls_mw_tpu.constants import ANG_TO_BOHR, AUP_TO_ATM, HART_TO_EV
 
 
@@ -44,16 +48,12 @@ def main():
     N = r0.shape[1]
     mx, _ = correspondence_mismatch(r0, H0)
     shape = choose_grid_shape(H0, MW, mx)
-    # auto capacity: mean occupancy x 1.45, rounded up to a multiple
-    # of 8 (slack for density fluctuation within a binning epoch)
-    ncell = int(np.prod(shape))
     cap_env = os.environ.get("LN_CAP")
-    cap = int(cap_env) if cap_env else int(
-        -(-int(N / ncell * 1.45) // 8) * 8
-    )
-    cg = build_grid(shape, cap)
-    print(f"N={N} grid={shape} cap={cap} W={W} "
-          f"K={cg.cells_per_color} build {time.time()-t0:.1f}s")
+    cap = int(cap_env) if cap_env else cap_for_positions(r0, H0, shape)
+    cg = build_grid(shape, cap, H0, MW, mx)
+    print(f"N={N} coarse={shape} nfine={cg.nfine} cap={cap} W={W} "
+          f"K={cg.cells_per_color} CC={cg.cand_cells.shape[1]} "
+          f"CF={cg.full_cells.shape[1]} build {time.time()-t0:.1f}s")
 
     prm = RunParams(
         nwater=N, num_lattices=2, temperature=200.0,

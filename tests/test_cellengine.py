@@ -28,7 +28,11 @@ from mc_water_ls_mw_tpu.mcmc.cellengine import (
     CellEngine,
     init_cell_state,
 )
-from mc_water_ls_mw_tpu.ops.cells import build_grid, choose_grid_shape
+from mc_water_ls_mw_tpu.ops.cells import (
+    build_grid,
+    cap_for_positions,
+    choose_grid_shape,
+)
 from mc_water_ls_mw_tpu.ops.cell_energy import slab_full_energy
 
 
@@ -51,8 +55,11 @@ def _build(r0, H0, **kw):
     mismatch = 0.0
     if L == 2:
         mismatch, _ = correspondence_mismatch(r0, H0)
-    cg = build_grid(choose_grid_shape(H0, MW, mismatch),
-                    64 if L == 1 else 160)
+    shape = choose_grid_shape(H0, MW, mismatch)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape),
+        H0, MW, mismatch,
+    )
     state, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
     eng = CellEngine(prm, MW, grid, eaux, cg, caux)
     return prm, eng, state, cg

@@ -36,7 +36,6 @@ from mc_water_ls_mw_tpu.ops.cells import (
 )
 from mc_water_ls_mw_tpu.ops.cell_energy import (
     mover_energies,
-    nb_slot_tables,
     slab_full_energy,
 )
 from mc_water_ls_mw_tpu.ops.geometry import recip_matrix
@@ -117,28 +116,64 @@ class TestStacking:
 # cell grid
 # ----------------------------------------------------------------------
 
+def _demo_grid(n=(4, 4, 6), cap=8, side=30.0, mismatch=0.0):
+    H = np.diag([n[0] * side, n[1] * side, n[2] * side])
+    return build_grid(n, cap, [H], MW, mismatch), H
+
+
 class TestGrid:
-    def test_neighbour_reciprocity_and_distinctness(self):
-        g = build_grid((4, 4, 6), cap=8)
-        nb, off = g.nb_cell, g.nb_off
-        for c in [0, 5, g.ncell - 1]:
-            assert len(set(nb[c])) == 27
-            for k in range(27):
-                d, o = nb[c, k], off[c, k]
-                back = [
-                    k2 for k2 in range(27)
-                    if nb[d, k2] == c and np.array_equal(off[d, k2], -o)
-                ]
-                assert len(back) == 1
+    def test_block_partition_and_cand_superset(self):
+        g, _ = _demo_grid()
+        # every fine cell appears in exactly one coarse block
+        flat = np.sort(g.block_cells.reshape(-1))
+        assert np.array_equal(flat, np.arange(g.nfine))
+        # a coarse cell's candidate list contains its own block
+        for c in [0, 5, g.ncoarse - 1]:
+            cand = set(g.cand_cells[c][g.cand_mask].tolist())
+            assert set(g.block_cells[c].tolist()) <= cand
+
+    def test_coverage_tables_complete(self):
+        # every fine cell NOT in the candidate list of a coarse cell
+        # must be farther than r_cov from the whole coarse cube
+        # (exact Euclidean box-gap on an orthorhombic box)
+        from mc_water_ls_mw_tpu.ops.cells import coverage_radius
+
+        g, H = _demo_grid(mismatch=1.5)
+        r_cov = coverage_radius(MW, 1.5)
+        nf = np.asarray(g.nf)
+        w_f = perp_widths(H) / nf / g.guard
+        m = g.m
+        for c in [0, g.ncoarse - 1]:
+            cc = np.array(np.unravel_index(c, g.n)) * m
+            cand = set(g.cand_cells[c][g.cand_mask].tolist())
+            for fid in range(g.nfine):
+                fc = np.array(np.unravel_index(fid, tuple(nf)))
+                # periodic per-axis gap between fine cube [fc, fc+1)
+                # and coarse cube [cc, cc+m)
+                gaps = np.zeros(3)
+                for a in range(3):
+                    best = np.inf
+                    for wrap in (-nf[a], 0, nf[a]):
+                        x = fc[a] + wrap
+                        gap = max(0, x - (cc[a] + m), cc[a] - (x + 1))
+                        best = min(best, gap)
+                    gaps[a] = best * w_f[a]
+                dist = np.sqrt((gaps ** 2).sum())
+                if fid not in cand:
+                    assert dist > r_cov
 
     def test_same_color_cells_not_adjacent(self):
-        g = build_grid((4, 4, 4), cap=4)
+        g, _ = _demo_grid(n=(4, 4, 4), cap=4)
+        n = np.asarray(g.n)
         for col in range(8):
-            cells = set(g.color_cells[col].tolist())
-            for c in g.color_cells[col]:
-                # 27-neighbourhood contains no other same-colour cell
-                others = set(g.nb_cell[c].tolist()) & cells
-                assert others == {int(c)}
+            coords = np.stack(np.unravel_index(
+                g.color_cells[col], tuple(g.n)
+            ), axis=1)
+            for i in range(len(coords)):
+                for j in range(i + 1, len(coords)):
+                    d = np.abs(coords[i] - coords[j])
+                    d = np.minimum(d, n - d)
+                    assert d.max() >= 2   # never adjacent
 
     def test_grid_shape_bounds(self):
         r0, H0 = stacking_switch_pair(3, 2, 6)  # too small
@@ -152,11 +187,13 @@ class TestGrid:
         assert side >= 2.0 * MW.rc
 
     def test_binning_roundtrip(self):
-        g = build_grid((4, 4, 6), cap=24)
+        g, _ = _demo_grid(n=(4, 4, 6), cap=16)
         key = jax.random.PRNGKey(0)
         N, W = 700, 3
         f = jax.random.uniform(key, (3, N, W), dtype=jnp.float64)
-        cid = cell_of_frac(g, f, jnp.asarray([0.3, 0.1, 0.9]))
+        cid = cell_of_frac(
+            g, f, jnp.asarray([0.3, 0.1, 0.9]), level="fine"
+        )
         slot, max_occ = bin_molecules(g, cid)
         assert int(jnp.max(max_occ)) <= g.cap
         assert jnp.all(slot // g.cap == cid)
@@ -176,7 +213,7 @@ def slab_system():
     r, H = stacking_cell("AB" * 6, 10, 6)
     N = len(r)
     n = choose_grid_shape([H], MW, 0.0)
-    grid = build_grid(n, 64)
+    grid = build_grid(n, 16, [H], MW, 0.0)
     W = 2
     key = jax.random.PRNGKey(1)
     rx = jnp.transpose(
@@ -189,7 +226,7 @@ def slab_system():
     f = jnp.einsum("baw,bnw->anw", rec, rx) * (0.5 / jnp.pi)
     f = f - jnp.floor(f)
     rx = jnp.einsum("abw,bnw->anw", Hw, f)
-    cid = cell_of_frac(grid, f, jnp.zeros(3))
+    cid = cell_of_frac(grid, f, jnp.zeros(3), level="fine")
     slot, max_occ = bin_molecules(grid, cid)
     assert int(jnp.max(max_occ)) <= grid.cap
     slab_r = scatter_to_slab(rx, slot, grid.nslot)
@@ -215,7 +252,6 @@ class TestSlabEnergy:
         )
         e_slab, mom_slab = slab_full_energy(
             s["slab_r"], s["valid"], s["H"], s["grid"], MW,
-            cell_chunk=8,
         )
         np.testing.assert_allclose(
             np.asarray(e_slab), np.asarray(e_ref), rtol=0, atol=1e-9
@@ -233,18 +269,28 @@ class TestSlabEnergy:
             s["r"], s["H"], s["shifts"], MW, True
         )
         _, mom_slab = slab_full_energy(
-            s["slab_r"], s["valid"], s["H"], grid, MW, cell_chunk=8
+            s["slab_r"], s["valid"], s["H"], grid, MW
         )
         cells0 = grid.color_cells[3]
-        nb_slots, nb_off = nb_slot_tables(grid, cells0)
-        occ = s["valid"].reshape(grid.ncell, grid.cap, s["W"])
-        sel = jnp.argmax(occ[cells0], axis=1)
-        mover_slot = (
-            jnp.asarray(cells0)[:, None] * grid.cap + sel
-        )
+        cap = grid.cap
+        m3 = grid.m ** 3
+        blocks = grid.block_cells[cells0]           # [K, m3]
+        # first occupied slot within each coarse cell's fine blocks
+        occ_f = s["valid"].reshape(grid.nfine, cap, s["W"])
+        occ_b = jnp.asarray(occ_f)[jnp.asarray(blocks)] \
+            .reshape(len(cells0), m3 * cap, s["W"])
+        sel = jnp.argmax(occ_b, axis=1)
         assert bool(jnp.all(
-            jnp.take_along_axis(occ[cells0], sel[:, None, :], axis=1)
+            jnp.take_along_axis(occ_b, sel[:, None, :], axis=1)
         ))
+        blk = jnp.asarray(blocks)
+        mover_fc = jnp.take_along_axis(
+            jnp.broadcast_to(
+                blk[:, :, None], (len(cells0), m3, s["W"])
+            ),
+            (sel // cap)[:, None, :], axis=1,
+        )[:, 0, :]
+        mover_slot = mover_fc * cap + sel % cap
         p_old = jnp.stack(
             [_slab_take(s["slab_r"][a], mover_slot) for a in range(3)]
         )
@@ -252,8 +298,9 @@ class TestSlabEnergy:
             jax.random.PRNGKey(7), p_old.shape
         )
         e_old_s, e_new_s, _, _ = mover_energies(
-            s["slab_r"], mom_slab, s["valid"], s["H"], nb_slots,
-            nb_off, mover_slot, p_old, p_new, MW,
+            s["slab_r"], mom_slab, s["valid"], s["H"],
+            grid.cand_cells[cells0], grid.cand_off[cells0],
+            grid.cand_mask, cap, mover_slot, p_old, p_new, MW,
         )
         mol_of = scatter_to_slab(
             jnp.arange(s["N"], dtype=jnp.int32)[:, None]
