@@ -92,14 +92,28 @@ class _Cand(NamedTuple):
                               # from j's perspective, i.e. -u)
 
 
+# The cutoff test is made on r^2 while the screening denominator uses
+# the ROUNDED rij = r2s*rsqrt(r2s): for r^2 one ulp inside rc^2, f32
+# rij can round to exactly rc, making rij - rc == +0.0 and
+# exp(sigma/denom) = inf (observed poisoning a production run at
+# ~1-in-1e9 trial moves).  Clamp the denominator strictly negative:
+# at |denom| = 1e-5 Bohr the true factor is exp(-4.5e5) = 0, so the
+# clamp is physically exact.
+_DENOM_CLAMP = -1e-5
+
+
 def _leg(rij, in_rc, prm: SWParams):
-    denom = jnp.where(in_rc, rij - prm.rc, -1.0)
+    denom = jnp.minimum(
+        jnp.where(in_rc, rij - prm.rc, -1.0), _DENOM_CLAMP
+    )
     return jnp.where(in_rc, jnp.exp(prm.gamma * prm.sigma / denom), 0.0)
 
 
 def _pair(r2s, rij, in_rc, prm: SWParams):
     sig2 = prm.sigma * prm.sigma
-    denom = jnp.where(in_rc, rij - prm.rc, -1.0)
+    denom = jnp.minimum(
+        jnp.where(in_rc, rij - prm.rc, -1.0), _DENOM_CLAMP
+    )
     e = (
         prm.bigA * prm.epsilon
         * (prm.bigB * sig2 * sig2 / (r2s * r2s) - 1.0)

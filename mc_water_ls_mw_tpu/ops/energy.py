@@ -35,9 +35,16 @@ from ..models.sw import SWParams
 
 
 def _pair_term(r2_safe, rij, in_rc, prm: SWParams):
-    """A*eps*(B*(sigma/r)^4 - 1) * exp(sigma/(r - a*sigma)), masked."""
+    """A*eps*(B*(sigma/r)^4 - 1) * exp(sigma/(r - a*sigma)), masked.
+
+    Denominator clamped strictly negative: rounded rij can hit rc
+    exactly while r^2 < rc^2 (ops/dense._DENOM_CLAMP note)."""
+    from .dense import _DENOM_CLAMP
+
     sig2 = prm.sigma * prm.sigma
-    denom = jnp.where(in_rc, rij - prm.rc, -1.0)
+    denom = jnp.minimum(
+        jnp.where(in_rc, rij - prm.rc, -1.0), _DENOM_CLAMP
+    )
     expf = jnp.exp(prm.sigma / denom)
     frac = sig2 * sig2 / (r2_safe * r2_safe)
     e = prm.bigA * prm.epsilon * (prm.bigB * frac - 1.0) * expf
@@ -46,7 +53,11 @@ def _pair_term(r2_safe, rij, in_rc, prm: SWParams):
 
 def _leg_exp(rij, in_rc, prm: SWParams):
     """exp(gamma*sigma/(r - a*sigma)) per three-body leg, masked to 0."""
-    denom = jnp.where(in_rc, rij - prm.rc, -1.0)
+    from .dense import _DENOM_CLAMP
+
+    denom = jnp.minimum(
+        jnp.where(in_rc, rij - prm.rc, -1.0), _DENOM_CLAMP
+    )
     return jnp.where(in_rc, jnp.exp(prm.gamma * prm.sigma / denom), 0.0)
 
 

@@ -140,3 +140,32 @@ def test_folded_reduced_shifts_match_general(examples_dir):
                                            red, MW, True)
         assert float(en1 - eo1) == pytest.approx(float(en2 - eo2),
                                                  abs=1e-13)
+
+
+def test_cutoff_edge_pair_is_finite_f32():
+    """Regression: a pair whose f32 r^2 sits one ulp inside rc^2 can
+    round rij to EXACTLY rc, making the screening denominator +0.0 and
+    the pair energy -inf (observed poisoning a 4096-walker production
+    run at ~1-in-1e9 moves).  The strictly-negative denominator clamp
+    (ops/dense._DENOM_CLAMP) must keep every kernel finite."""
+    from mc_water_ls_mw_tpu.ops.dense import (
+        full_energy_batch,
+        reduced_shift_set,
+    )
+
+    H = np.eye(3) * 40.0
+    x = np.float32(MW.rc)             # separation == rc in f32
+    assert float(np.float32(x * x)) < MW.rc2   # yet inside the r^2 test
+    r = np.zeros((4, 3), dtype=np.float32)
+    r[1, 0] = x
+    r[2, 1] = 20.0                    # spectators far away
+    r[3, 2] = 20.0
+    r3 = jnp.asarray(r.T, dtype=jnp.float32)[:, :, None]
+    Hw = jnp.asarray(H, dtype=jnp.float32)[:, :, None]
+    sh = reduced_shift_set(H, MW)
+    for mic in (False, True):
+        e, mom = full_energy_batch(r3, Hw, jnp.asarray(sh), MW, mic)
+        assert np.isfinite(float(e[0]))
+        assert abs(float(e[0])) < 1e-6     # the edge pair contributes 0
+        for f in mom:
+            assert bool(jnp.all(jnp.isfinite(f)))
