@@ -570,6 +570,11 @@ class Engine:
         """
         snap_w = snap.T[:, window_id]                        # [B, W]
         delta = (arr - snap_w).T                             # [W, B]
+        # defense in depth: a single poisoned walker must never
+        # poison the SHARED arrays - its non-finite growth is dropped
+        # (per-move health gates should prevent this ever firing; see
+        # the f32 cutoff-edge incident in ops/dense._DENOM_CLAMP)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         tot = jax.ops.segment_sum(delta, window_id, num_segments=nwin)
         new_snap = snap + tot                                # [nwin, B]
         return new_snap.T[:, window_id], new_snap
