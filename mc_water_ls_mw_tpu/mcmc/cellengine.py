@@ -26,13 +26,17 @@ This engine recasts the chain for large boxes:
   configuration equals evaluating it mid-chain, and the scan
   reproduces the serial Markov chain move for move.
 
-* A move that would cross its coarse-cell boundary (in the mid
-  frame) is rejected (a state-only-dependent hard wall: the reverse
-  proposal faces the same wall, so detailed balance is preserved),
-  and the grid origin is re-drawn at random + molecules re-binned
-  every ``list_update_int`` cycles (the reference's Verlet-rebuild
-  cadence, mc_cycle:218-222), which restores ergodicity across cells
-  - the standard checkerboard construction of massively-parallel MC.
+* A move that would cross the mover's stored FINE-cell boundary (in
+  the mid frame) is rejected (a state-only-dependent hard wall: the
+  reverse proposal faces the same wall, so detailed balance is
+  preserved).  The wall sits at the fine cell because the coverage
+  tables reach partners through their stored fine slots: confining
+  every molecule to the fine cube it was binned into keeps the
+  static tables EXACT for the whole binning epoch.  The grid origin
+  is re-drawn at random + molecules re-binned every
+  ``list_update_int`` cycles (the reference's Verlet-rebuild cadence,
+  mc_cycle:218-222), which restores ergodicity across cells - the
+  standard checkerboard construction of massively-parallel MC.
 
 * Everything else - Wang-Landau updates, eta lookups, lattice
   switches, delta-sync, mu-window dd mode, flatness/monitor/deltaG -
@@ -242,7 +246,6 @@ class CellEngine(Engine):
         dtype = s.r.dtype
         (cells_c, block_cells_c, cand_cells_c,
          cand_off_c) = self.color_tables[color]
-        cells_j = jnp.asarray(cells_c)              # coarse ids [K]
         bc = jnp.asarray(block_cells_c)             # fine ids [K,m3]
 
         # per-walker uniforms for this sub-step in one threefry call
@@ -312,17 +315,24 @@ class CellEngine(Engine):
         transvec = jnp.where(lat_act, v[None], tv_all)
         p_new = p_old + transvec
 
-        # coarse-cell-boundary wall in the MID frame: BOTH endpoints
-        # must resolve to this coarse cell (symmetric under the
-        # reverse move, preserving balance even at f32 rounding edges)
+        # FINE-cell-boundary wall in the MID frame: BOTH endpoints
+        # must resolve to the mover's STORED fine cell (symmetric
+        # under the reverse move, preserving balance even at f32
+        # rounding edges).  The wall must be at the fine cell - the
+        # coverage tables reach partners through their stored fine
+        # slots, so every molecule has to stay inside the fine cube
+        # it was binned into or interacting partners would silently
+        # drop out of Delta-E between rebins.
         dmid = 0.5 * jnp.take(
             self.cellaux.dfrac0, jnp.maximum(mover_mol, 0), axis=1
         )                                                     # [3,K,W]
         f_old = _frac_of(s.recip[0], p_old[0]) - dmid         # [3,K,W]
         f_new = _frac_of(s.recip[0], p_new[0]) - dmid
         in_cell = (
-            (cell_of_frac(cg, f_old, s.origin) == cells_j[:, None])
-            & (cell_of_frac(cg, f_new, s.origin) == cells_j[:, None])
+            (cell_of_frac(cg, f_old, s.origin, level="fine")
+             == mover_fc)
+            & (cell_of_frac(cg, f_new, s.origin, level="fine")
+               == mover_fc)
         )
 
         # parallel Delta-E of all K movers in both lattices
@@ -743,8 +753,12 @@ class CellEngine(Engine):
             for f in s.moments
         ))
 
-        # new shared origin
-        okey = jax.random.fold_in(s.shared_key, s.cycle)
+        # new shared origin; the tag decouples this draw from the
+        # move-schedule stream, which also folds (shared_key, cycle) -
+        # without it the origin equals the schedule's first uniforms
+        okey = jax.random.fold_in(
+            jax.random.fold_in(s.shared_key, s.cycle), 0x0E161
+        )
         origin = jax.random.uniform(okey, (3,), dtype=dtype)
 
         # wrap so that the MID fractional position lands in

@@ -22,12 +22,14 @@ Two levels:
   sub-step; same-colour movers are >= one coarse cell apart in the
   mid frame, hence > 2*rc apart in BOTH replicas, so their Delta-E
   evaluations and moment updates are exactly independent.  A move
-  that would cross its coarse-cell boundary is rejected (a
-  state-only-dependent hard wall; the reverse proposal faces the same
-  wall, preserving detailed balance), and the grid origin is re-drawn
-  at random + molecules re-binned every ``list_update_int`` cycles,
-  restoring ergodicity across cells - the standard checkerboard
-  construction of massively-parallel MC.
+  that would cross the mover's stored FINE-cell boundary is rejected
+  (a state-only-dependent hard wall; the reverse proposal faces the
+  same wall, preserving detailed balance) - keeping every molecule
+  inside the fine cube it was binned into, so the static coverage
+  tables stay exact for the whole binning epoch.  The grid origin is
+  re-drawn at random + molecules re-binned every ``list_update_int``
+  cycles, restoring ergodicity across cells - the standard
+  checkerboard construction of massively-parallel MC.
 
 * FINE cells (coarse subdivided m x m x m): the candidate-search unit
   and the slab-storage unit (nslot = nfine*cap slots; slot s holds
@@ -148,15 +150,21 @@ def choose_grid_shape(H_list, model, mismatch: float,
     return tuple(n)
 
 
-def _offset_sets(n, m, w_fine, r_cov, orthorhombic):
+def _offset_sets(n, m, w_fine, r_cov):
     """Fine-cell offset stencils (shared by every cell, by
     translational symmetry).
 
     Returns (block_offs [m^3,3], cand_offs [CC0,3], full_offs [CF0,3]):
     fine-cell index offsets whose cube lies within r_cov of the coarse
-    cube [0,m)^3 (cand) or of the fine cube [0,1)^3 (full).  Distances
-    use the per-axis box-gap decomposition: Euclidean for orthorhombic
-    boxes, max-norm (a safe lower bound on distance) otherwise.
+    cube [0,m)^3 (cand) or of the fine cube [0,1)^3 (full).
+
+    A cell is EXCLUDED only when its max-norm per-axis gap exceeds
+    r_cov: the Cartesian distance between the cubes is >= gap_a * w_a
+    along EVERY axis for ANY cell matrix whose perpendicular widths
+    satisfy the runtime guard - including the sheared boxes the
+    anisotropic NPT volume move produces, where a per-axis Euclidean
+    combination would NOT be a valid lower bound.  (Slightly larger
+    tables than a Euclidean trim; rigor over corner-trimming.)
     """
     nf = [m * x for x in n]
     reach = [
@@ -171,8 +179,6 @@ def _offset_sets(n, m, w_fine, r_cov, orthorhombic):
         for a in range(3):
             ga = max(0, off[a] - hi, -off[a] - 1)
             g[a] = ga * w_fine[a]
-        if orthorhombic:
-            return float(np.sqrt((g * g).sum())) <= r_cov
         return float(g.max()) <= r_cov
 
     block_offs = np.array(
@@ -252,15 +258,8 @@ def build_grid(n: tuple, cap: int, H_list, model, mismatch: float,
     # shrink guard so tables remain valid for any admissible box
     w_fine = perp_w0.min(axis=0) / np.asarray(nf) / guard
     r_cov = coverage_radius(model, mismatch)
-    # orthorhombic iff all off-diagonals are (numerically) zero
-    ortho = all(
-        abs(H[a, b]) < 1e-9 * max(abs(H[0, 0]), abs(H[1, 1]),
-                                  abs(H[2, 2]))
-        for H in H_arr for a in range(3) for b in range(3) if a != b
-    )
-
     block_offs, cand_offs, full_offs = _offset_sets(
-        n, m, w_fine, r_cov, ortho
+        n, m, w_fine, r_cov
     )
 
     n1, n2, n3 = n
@@ -296,18 +295,6 @@ def build_grid(n: tuple, cap: int, H_list, model, mismatch: float,
         full_cells=full_cells, full_off=full_off, full_mask=full_mask,
         color_cells=color_cells,
     )
-
-
-def auto_cap(nwater: int, grid_or_nfine, headroom: float = 1.35) -> int:
-    """Slot capacity per fine cell: mean occupancy x headroom, rounded
-    up to a multiple of 4 (density fluctuations within a binning epoch
-    are audited at runtime via occ_overflow)."""
-    nfine = (
-        grid_or_nfine if isinstance(grid_or_nfine, int)
-        else grid_or_nfine.nfine
-    )
-    mean = nwater / nfine
-    return max(4, int(-(-mean * headroom // 4) * 4))
 
 
 def cap_for_positions(r0, H0, n: tuple, m: int = 2,

@@ -134,8 +134,10 @@ class TestGrid:
 
     def test_coverage_tables_complete(self):
         # every fine cell NOT in the candidate list of a coarse cell
-        # must be farther than r_cov from the whole coarse cube
-        # (exact Euclidean box-gap on an orthorhombic box)
+        # must have a guard-deflated per-axis gap exceeding r_cov on
+        # SOME axis (the max-norm criterion is a distance lower bound
+        # for arbitrary - including sheared - admissible boxes); the
+        # Euclidean distance is then also > r_cov for the initial box
         from mc_water_ls_mw_tpu.ops.cells import coverage_radius
 
         g, H = _demo_grid(mismatch=1.5)
@@ -158,9 +160,9 @@ class TestGrid:
                         gap = max(0, x - (cc[a] + m), cc[a] - (x + 1))
                         best = min(best, gap)
                     gaps[a] = best * w_f[a]
-                dist = np.sqrt((gaps ** 2).sum())
                 if fid not in cand:
-                    assert dist > r_cov
+                    assert gaps.max() > r_cov
+                    assert np.sqrt((gaps ** 2).sum()) > r_cov
 
     def test_same_color_cells_not_adjacent(self):
         g, _ = _demo_grid(n=(4, 4, 4), cap=4)
