@@ -612,105 +612,28 @@ class CellEngine(Engine):
         return s._replace(hist=hist, weight=weight, f=f, sumhist=sumh)
 
     # ------------------------------------------------------------------
-    # volume move (slab variant of Engine._volume)
+    # volume-move hooks (Engine._volume supplies the shared logic)
     # ------------------------------------------------------------------
 
-    def _volume(self, s: CellState, keys) -> CellState:
-        prm = self.prm
+    def _vol_rescale(self, s: CellState, h_new):
+        """Slab layout: rescale slot positions at fixed fractional
+        coordinates (slots and the fractional grid are untouched by
+        construction; there are no stored reference positions)."""
         L = s.r.shape[0]
-        W = s.r.shape[-1]
-        dtype = s.r.dtype
-
-        u = jax.vmap(lambda k: jax.random.uniform(k, (4,), dtype=dtype))(
-            keys
-        )
-        idim = jnp.minimum((u[:, 0] * 3).astype(jnp.int32), 2)
-        jdim = jnp.minimum((u[:, 1] * 3).astype(jnp.int32), 2)
-        delta = (2.0 * u[:, 2] - 1.0) * s.dv_max
-
-        ei = (jnp.arange(3)[:, None] == idim[None, :]).astype(dtype)
-        ej = (jnp.arange(3)[:, None] == jdim[None, :]).astype(dtype)
-        outer = ei[:, None, :] * ej[None, :, :]
-        sym = outer + jnp.swapaxes(outer, 0, 1) \
-            - outer * jnp.swapaxes(outer, 0, 1)
-        dh = sym * delta[None, None, :]
-
-        h_new = s.h + dh[None]
-        # rescale holding fractional coordinates fixed (slab slots and
-        # the fractional grid are untouched by construction)
-        frac = jnp.stack([_frac_of(s.recip[l], s.r[l])
-                          for l in range(L)])
+        frac = jnp.stack([
+            _frac_of(s.recip[l], s.r[l]) for l in range(L)
+        ])
         r_new = _einsum("labw,lbmw->lamw", h_new, frac)
-        recip_new = jnp.stack(
-            [recip_matrix(h_new[l]) for l in range(L)]
-        )
-        vol_new = jnp.abs(jnp.stack(
-            [determinant3(h_new[l]) for l in range(L)]
-        ))
+        return r_new, {}
 
-        e_new, mom_new = self._full_both(s, r_new, h_new)
-        dE = e_new - s.energy
+    def _vol_energy(self, s: CellState, r_new, h_new):
+        return self._full_both(s, r_new, h_new)
 
-        vol_ls_old = _take_lat(s.volume, s.ls)
-        vol_ls_new = _take_lat(vol_new, s.ls)
-        dE_ls = _take_lat(dE, s.ls)
-
-        if prm.num_lattices == 2:
-            mu_new = self._mu_scratch(e_new, vol_new)
-            eta_old = self._eta(s, s.mu)
-            eta_new = self._eta(s, mu_new)
-            deta = eta_new - eta_old
-            mu_reject = self._mu_scratch(s.energy, s.volume)
-        else:
-            mu_new = s.mu
-            deta = jnp.zeros((W,), dtype=dtype)
-            mu_reject = s.mu
-
-        diffkT = (
-            prm.beta * dE_ls
-            + deta
-            + prm.beta * prm.pressure * (vol_ls_new - vol_ls_old)
-            - prm.nwater * jnp.log(vol_ls_new / vol_ls_old)
-        )
-        ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
+    def _vol_extra_ok(self, h_new):
         # grid-validity wall: perpendicular widths must stay within
         # the coverage tables' shrink guard (state-only-dependent
         # hard wall)
-        ok = ok & self._geometry_ok(h_new)
-        if prm.num_lattices == 2:
-            ok = ok & jnp.isfinite(mu_new)
-        accept = ok & (u[:, 3] < jnp.exp(-diffkT))
-
-        if prm.num_lattices == 2:
-            admu = jnp.abs(mu_new - s.mu)
-            min_dmu = jnp.where(accept & (admu < s.min_dmu), admu,
-                                s.min_dmu)
-            max_dmu = jnp.where(accept & (admu > s.max_dmu), admu,
-                                s.max_dmu)
-            mu = jnp.where(accept, mu_new, mu_reject)
-        else:
-            min_dmu, max_dmu = s.min_dmu, s.max_dmu
-            mu = s.mu
-
-        a4 = accept[None, None, None, :]
-        a2 = accept[None, None, :]
-        moments = jax.tree.map(
-            lambda e, o: jnp.where(a2, e, o), mom_new, s.moments
-        )
-        s = s._replace(
-            r=jnp.where(a4, r_new, s.r),
-            h=jnp.where(a4, h_new, s.h),
-            recip=jnp.where(a4, recip_new, s.recip),
-            volume=jnp.where(accept[None, :], vol_new, s.volume),
-            energy=jnp.where(accept[None, :], e_new, s.energy),
-            mu=mu,
-            moments=moments,
-            att=s.att.at[VOL].add(1),
-            acc=s.acc.at[VOL].add(accept.astype(jnp.int32)),
-            min_dmu=min_dmu,
-            max_dmu=max_dmu,
-        )
-        return self._wl_update(s)
+        return self._geometry_ok(h_new)
 
     def _geometry_ok(self, h) -> jnp.ndarray:
         """[W] bool: every perpendicular width of every lattice's box
@@ -923,32 +846,10 @@ class CellEngine(Engine):
             + gather_from_slab(tpm_slab, s.mol2slot)
         )
 
-        # scheduled volume moves, back-to-back (mc_volume)
+        # scheduled volume moves, back-to-back (mc_volume; shared
+        # Engine._scheduled_volume_moves drives the hooks above)
         if prm.mc_ensemble == "npt" and prm.allow_vol:
-            nvol = jnp.sum(codes == VOL)
-
-            def vol_body(k, st):
-                keys = jax.vmap(
-                    lambda kk: jax.random.fold_in(
-                        jax.random.fold_in(kk, cycle), 100_003 + k
-                    )
-                )(st.key)
-                st = self._volume(st, keys)
-                if prm.num_lattices == 2 and prm.mc_always_switch:
-                    zeta2 = jax.vmap(
-                        lambda kk: jax.random.uniform(kk, (), dtype=dtype)
-                    )(jax.vmap(
-                        lambda kk: jax.random.fold_in(kk, 104729)
-                    )(keys))
-                    st = self._switch(st, zeta2, switch_ok)
-                return st
-
-            s = jax.lax.cond(
-                nvol > 0,
-                lambda st: jax.lax.fori_loop(0, nvol, vol_body, st),
-                lambda st: st,
-                s,
-            )
+            s = self._scheduled_volume_moves(s, codes, cycle, switch_ok)
 
         avg = s.avg_energy + s.energy
         if prm.mc_ensemble == "npt":

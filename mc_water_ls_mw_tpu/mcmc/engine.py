@@ -432,25 +432,17 @@ class Engine:
         dh = sym * delta[None, None, :]
 
         h_new = s.h + dh[None]                               # [L,3,3,W]
-        # rescale current and reference positions holding fractional
-        # coordinates fixed (mc_moves.F90:1284-1350)
-        inv2pi = 0.5 / jnp.pi
-        frac_r = _einsum("labw,lanw->lbnw", s.recip, s.r) * inv2pi
-        r_new = _einsum("labw,lbnw->lanw", h_new, frac_r)
-        frac_ref = _einsum("labw,lanw->lbnw", s.recip, s.ref_r) \
-            * inv2pi
-        ref_new = _einsum("labw,lbnw->lanw", h_new, frac_ref)
+        # rescale positions holding fractional coordinates fixed
+        # (mc_moves.F90:1284-1350); engine-specific layouts hook in
+        # via _vol_rescale/_vol_energy/_vol_extra_ok
+        r_new, extras = self._vol_rescale(s, h_new)
 
         recip_new = jnp.stack([recip_matrix(h_new[l]) for l in range(L)])
         vol_new = jnp.abs(
             jnp.stack([determinant3(h_new[l]) for l in range(L)])
         )
 
-        per = [
-            self._full_energy_mic(r_new[l], h_new[l]) for l in range(L)
-        ]
-        e_new = jnp.stack([p[0] for p in per])
-        mom_new = _stack_moments([p[1] for p in per])
+        e_new, mom_new = self._vol_energy(s, r_new, h_new)
         dE = e_new - s.energy
 
         vol_ls_old = _take_lat(s.volume, s.ls)
@@ -478,6 +470,9 @@ class Engine:
         # finite-state guard (see _translation) + cell-collapse guard:
         # a near-singular cell blows up the rescaled positions
         ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
+        extra_ok = self._vol_extra_ok(h_new)
+        if extra_ok is not None:
+            ok = ok & extra_ok
         if prm.num_lattices == 2:
             ok = ok & jnp.isfinite(mu_new)
         accept = ok & (u[:, 3] < jnp.exp(-diffkT))
@@ -502,7 +497,6 @@ class Engine:
         )
         s = s._replace(
             r=jnp.where(a4, r_new, s.r),
-            ref_r=jnp.where(a4, ref_new, s.ref_r),
             h=jnp.where(a4, h_new, s.h),
             recip=jnp.where(a4, recip_new, s.recip),
             volume=jnp.where(accept[None, :], vol_new, s.volume),
@@ -513,8 +507,70 @@ class Engine:
             acc=s.acc.at[VOL].add(accept.astype(jnp.int32)),
             min_dmu=min_dmu,
             max_dmu=max_dmu,
+            **{
+                k: jnp.where(a4, v, getattr(s, k))
+                for k, v in extras.items()
+            },
         )
         return self._wl_update(s)
+
+    def _vol_rescale(self, s: SamplerState, h_new):
+        """(r_new, extras): positions rescaled at fixed fractional
+        coordinates; extras maps extra state fields to their rescaled
+        values, applied on accept (the dense layout also rescales the
+        reference positions, mc_moves.F90:1310-1350)."""
+        inv2pi = 0.5 / jnp.pi
+        frac_r = _einsum("labw,lanw->lbnw", s.recip, s.r) * inv2pi
+        r_new = _einsum("labw,lbnw->lanw", h_new, frac_r)
+        frac_ref = _einsum("labw,lanw->lbnw", s.recip, s.ref_r) \
+            * inv2pi
+        ref_new = _einsum("labw,lbnw->lanw", h_new, frac_ref)
+        return r_new, {"ref_r": ref_new}
+
+    def _vol_energy(self, s: SamplerState, r_new, h_new):
+        L = s.r.shape[0]
+        per = [
+            self._full_energy_mic(r_new[l], h_new[l]) for l in range(L)
+        ]
+        return jnp.stack([p[0] for p in per]), _stack_moments(
+            [p[1] for p in per]
+        )
+
+    def _vol_extra_ok(self, h_new):
+        """Optional extra [W] acceptance wall (None = no constraint);
+        the cell engine uses this for its grid-validity guard."""
+        return None
+
+    def _scheduled_volume_moves(self, s, codes, cycle, switch_ok):
+        """Run this cycle's scheduled volume moves back-to-back
+        (mc_volume; hoisted out of the hot per-move loop - the
+        kernel-reordering note in _one_cycle)."""
+        prm = self.prm
+        dtype = self._dtype(s)
+        nvol = jnp.sum(codes == VOL)
+
+        def vol_body(k, st):
+            keys = jax.vmap(
+                lambda kk: jax.random.fold_in(
+                    jax.random.fold_in(kk, cycle), 100_003 + k
+                )
+            )(st.key)
+            st = self._volume(st, keys)
+            if prm.num_lattices == 2 and prm.mc_always_switch:
+                zeta2 = jax.vmap(
+                    lambda kk: jax.random.uniform(kk, (), dtype=dtype)
+                )(jax.vmap(
+                    lambda kk: jax.random.fold_in(kk, 104729)
+                )(keys))
+                st = self._switch(st, zeta2, switch_ok)
+            return st
+
+        return jax.lax.cond(
+            nvol > 0,
+            lambda st: jax.lax.fori_loop(0, nvol, vol_body, st),
+            lambda st: st,
+            s,
+        )
 
     def _switch(self, s: SamplerState, zeta, enabled) -> SamplerState:
         """Lattice switch (mc_lattice_switch, mc_moves.F90:1536-1594).
@@ -776,30 +832,7 @@ class Engine:
         # volume moves scheduled this cycle, executed back-to-back
         # (mc_volume, mc_moves.F90:1216-1534)
         if prm.mc_ensemble == "npt" and prm.allow_vol:
-            nvol = jnp.sum(codes == VOL)
-
-            def vol_body(k, st):
-                keys = jax.vmap(
-                    lambda kk: jax.random.fold_in(
-                        jax.random.fold_in(kk, cycle), 100_003 + k
-                    )
-                )(st.key)
-                st = self._volume(st, keys)
-                if prm.num_lattices == 2 and prm.mc_always_switch:
-                    zeta2 = jax.vmap(
-                        lambda kk: jax.random.uniform(kk, (), dtype=dtype)
-                    )(jax.vmap(
-                        lambda kk: jax.random.fold_in(kk, 104729)
-                    )(keys))
-                    st = self._switch(st, zeta2, switch_ok)
-                return st
-
-            s = jax.lax.cond(
-                nvol > 0,
-                lambda st: jax.lax.fori_loop(0, nvol, vol_body, st),
-                lambda st: st,
-                s,
-            )
+            s = self._scheduled_volume_moves(s, codes, cycle, switch_ok)
 
         # block-average energy accumulation (mc_cycle:252-255)
         avg = s.avg_energy + s.energy

@@ -145,6 +145,28 @@ class TestSwitchPair:
         assert int(s2.att[2, 0]) > 0             # switches attempted
         assert int(s2.acc[0, 0]) > 0             # translations accepted
 
+    def test_molecules_stay_in_stored_fine_cells(self, run_result):
+        """The static coverage tables are exact only while every
+        molecule remains inside the fine cube it was binned into; the
+        fine-cell wall must enforce that for the whole epoch."""
+        from mc_water_ls_mw_tpu.ops.cells import cell_of_frac
+        from mc_water_ls_mw_tpu.ops.geometry import recip_matrix
+
+        prm, eng, state, s2 = run_result
+        cg = eng.cellgrid
+        rec = recip_matrix(s2.h[0])
+        for w in range(prm.n_walkers):
+            slot = np.asarray(s2.mol2slot[:, w])
+            r1 = np.asarray(s2.r[0][:, slot, w])          # [3,N]
+            f1 = np.einsum("ba,bn->an", np.asarray(rec[..., w]),
+                           r1) / (2 * np.pi)
+            dmid = 0.5 * np.asarray(eng.cellaux.dfrac0)
+            fmid = jnp.asarray(f1 - dmid)
+            cid = np.asarray(cell_of_frac(
+                cg, fmid, s2.origin, level="fine"
+            ))
+            np.testing.assert_array_equal(cid, slot // cg.cap)
+
     def test_resync_preserves_mu_and_heals(self, run_result):
         prm, eng, state, s2 = run_result
         s4 = eng.resync_chains(s2)
