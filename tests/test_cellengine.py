@@ -36,7 +36,7 @@ from mc_water_ls_mw_tpu.ops.cells import (
 from mc_water_ls_mw_tpu.ops.cell_energy import slab_full_energy
 
 
-def _build(r0, H0, **kw):
+def _build(r0, H0, n_windows=1, **kw):
     N = r0.shape[1]
     L = r0.shape[0]
     base = dict(
@@ -60,7 +60,9 @@ def _build(r0, H0, **kw):
         shape, cap_for_positions(r0, H0, shape),
         H0, MW, mismatch,
     )
-    state, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    state, eaux, caux = init_cell_state(
+        prm, MW, r0, H0, grid, cg, n_windows=n_windows
+    )
     eng = CellEngine(prm, MW, grid, eaux, cg, caux)
     return prm, eng, state, cg
 
@@ -177,3 +179,41 @@ class TestSwitchPair:
             np.asarray(s4.mu), np.asarray(mu_scr), atol=1e-8
         )
         assert bool(jnp.all(jnp.isfinite(s4.energy)))
+
+
+class TestDDMode:
+    def test_mu_window_decomposition_runs(self):
+        """dd-mode (mu-window) integration on the cell engine: window
+        assignment, per-window weight masking, eta walls, and the
+        delta-sync per-window merge all inherited from Engine."""
+        r0, H0 = stacking_switch_pair(14, 8, 18)
+        prm, eng, state, cg = _build(
+            r0, H0, n_windows=2, parallel_strategy="dd",
+            n_walkers=4, mpi_sync_int=1, eq_mc_cycles=2,
+            wl_factor=0.05, mu_min=-500.0, mu_max=500.0,
+        )
+        wid = np.asarray(state.window_id)
+        assert set(wid.tolist()) == {0, 1}
+        sb = np.asarray(state.start_bin)
+        eb = np.asarray(state.end_bin)
+        # window 1 starts above bin 0, window 0 ends below the last
+        assert (sb[wid == 1] > 0).all()
+        assert (eb[wid == 0] < prm.nbins - 1).all()
+        # initial weights masked to each walker's window
+        w0 = np.asarray(state.weight)
+        bins = np.arange(prm.nbins)
+        for w in range(prm.n_walkers):
+            outside = (bins < sb[w]) | (bins > eb[w])
+            assert (w0[outside, w] == 0).all()
+
+        s2, _ = eng.run_cycles(state, 3)
+        assert bool(jnp.all(jnp.isfinite(s2.energy)))
+        assert int(s2.att[0].sum()) > 0
+        # walkers start near mu=0 (inside the overlap) and must be
+        # flagged in-window by the end of equilibration
+        assert bool(np.asarray(s2.in_window).all())
+        # WL weight accumulated only inside each walker's window
+        w2 = np.asarray(s2.weight)
+        for w in range(prm.n_walkers):
+            outside = (bins < sb[w]) | (bins > eb[w])
+            assert (w2[outside, w] == 0).all()
