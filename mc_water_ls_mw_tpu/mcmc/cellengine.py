@@ -248,28 +248,53 @@ class CellEngine(Engine):
          cand_off_c) = self.color_tables[color]
         bc = jnp.asarray(block_cells_c)             # fine ids [K,m3]
 
-        # per-walker uniforms for this sub-step in one threefry call
+        # per-walker uniforms for this sub-step in one threefry call:
+        # 2 selection + 6 move uniforms per mover (a one-uniform-per-
+        # slot argmax selection costs 30x more threefry work)
         u = jax.vmap(
             lambda k: jax.random.uniform(
                 jax.random.fold_in(
                     jax.random.fold_in(k, cycle), substep_id
                 ),
-                (K, BS + 6), dtype=dtype,
+                (K, 8), dtype=dtype,
             ),
             out_axes=2,
-        )(s.key)                                     # [K,BS+6,W]
+        )(s.key)                                     # [K,8,W]
 
-        # mover selection: uniform over the coarse cell's occupants
-        # via argmax of iid uniforms masked to occupied slots; all
-        # reads/writes are whole-fine-cell [cap,W] block ops at the
-        # STATIC block tables (dynamic per-walker scalar
-        # scatter/gather serialises on TPU)
+        # mover selection, uniform over the coarse cell's occupants:
+        # pick the fine block weighted by occupancy, then a rank
+        # within it (rank-packed slots are contiguous per fine cell
+        # and never move between rebins, so ranks [0, occ) are exactly
+        # the occupied slots).  All reads/writes are whole-fine-cell
+        # [cap,W] block ops at the STATIC block tables (dynamic
+        # per-walker scalar scatter/gather serialises on TPU).
         occ_mol = _cell_take(s.slot2mol, block_cells_c, cap)
         #                                            [K,BS,W]
         occ = occ_mol >= 0
-        score = jnp.where(occ, u[:, :BS, :], -1.0)
-        sel = jnp.argmax(score, axis=1).astype(jnp.int32)     # [K,W]
-        has_mover = jnp.any(occ, axis=1)                      # [K,W]
+        occ_fb = jnp.sum(
+            occ.reshape(K, m3, cap, W), axis=2, dtype=jnp.int32
+        )                                                     # [K,m3,W]
+        total = jnp.sum(occ_fb, axis=1)                       # [K,W]
+        target = u[:, 0, :] * total.astype(dtype)
+        cum = jnp.cumsum(occ_fb, axis=1).astype(dtype)
+        # the block whose [cum_{b-1}, cum_b) range contains target;
+        # target < total guarantees a NON-EMPTY block
+        blk = jnp.minimum(
+            jnp.sum(
+                (cum <= target[:, None, :]), axis=1,
+                dtype=jnp.int32,
+            ),
+            m3 - 1,
+        )                                                     # [K,W]
+        occ_sel = jnp.take_along_axis(
+            occ_fb, blk[:, None, :], axis=1
+        )[:, 0, :]                                            # [K,W]
+        rank = jnp.minimum(
+            (u[:, 1, :] * occ_sel.astype(dtype)).astype(jnp.int32),
+            jnp.maximum(occ_sel - 1, 0),
+        )
+        sel = blk * cap + rank                                # [K,W]
+        has_mover = total > 0                                 # [K,W]
         # mover's fine cell: static block table indexed by sel//cap
         mover_fc = jnp.take_along_axis(
             jnp.broadcast_to(bc[:, :, None], (K, m3, W)),
@@ -293,14 +318,14 @@ class CellEngine(Engine):
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
         # (mc_water_translation, mc_moves.F90:1021-1067)
-        d0 = 2.0 * u[:, BS + 0, :] - 1.0                      # [K,W]
-        d1 = 2.0 * u[:, BS + 1, :] - 1.0
-        d2 = 2.0 * u[:, BS + 2, :] - 1.0
+        d0 = 2.0 * u[:, 2, :] - 1.0                      # [K,W]
+        d1 = 2.0 * u[:, 3, :] - 1.0
+        d2 = 2.0 * u[:, 4, :] - 1.0
         inv_norm = jax.lax.rsqrt(
             jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
         )
         rmag = (
-            (2.0 * u[:, BS + 3, :] - 1.0)
+            (2.0 * u[:, 5, :] - 1.0)
             * s.max_trans[None, :] * inv_norm
         )
         v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])      # [3,K,W]
@@ -441,7 +466,7 @@ class CellEngine(Engine):
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
             trans_type, sw_try, has_mover, in_cell,
-            u[:, BS + 4, :], u[:, BS + 5, :],
+            u[:, 6, :], u[:, 7, :],
         )
         # fully unrolled: the body is a handful of [W]-sized ops, and
         # per-iteration loop overhead on the remote-TPU platform is
