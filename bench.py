@@ -1,17 +1,19 @@
 """Headline benchmark: aggregate MC moves/second on real TPU hardware.
 
 Runs the flagship workload - lattice-switch multicanonical sampling of
-the packaged 48-molecule mW ice Ih/Ic cells (examples/ice1_sample
-semantics: fixed converged weights, NPT, 200 K) - over a large vmapped
-walker ensemble in float32, and reports aggregate Monte-Carlo moves
-per second.
+mW ice Ih/Ic (N=216, the paper system of Quigley JCP 141, 121101) -
+over a large vmapped walker ensemble in float32 at the reference's
+production sync cadence (mpi_sync_int=250, userparams.f90), and
+reports aggregate Monte-Carlo moves per second.  A secondary N=48 row
+(the packaged examples/ice1_sample cells) is embedded in the same JSON
+object.
 
 Baseline (vs_baseline denominator): the driver-defined target is the
 8-rank MPI Fortran build (BASELINE.md).  No Fortran compiler exists in
 this image, so the denominator uses the documented estimate in
 BASELINE.md: 8 ranks x 0.5e6 moves/s/rank = 4.0e6 moves/s aggregate
-(typical single-core throughput of the reference's local-update kernel
-at N=48; see BASELINE.md for derivation).
+(typical single-core throughput of the reference's local-update kernel;
+see BASELINE.md for the derivation and sensitivity range).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -26,29 +28,12 @@ import time
 FORTRAN_8RANK_MOVES_PER_S = 4.0e6  # documented estimate, BASELINE.md
 
 
-def main():
-    walkers = int(os.environ.get("BENCH_WALKERS", "4096"))
-    cycles = int(os.environ.get("BENCH_CYCLES", "20"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
-    # headline system: the paper's N=216 cell pair (BASELINE.json
-    # metric "mW N=216 walkers"); BENCH_NWATER=48 selects the packaged
-    # reference cells instead
-    nwater = int(os.environ.get("BENCH_NWATER", "216"))
-
-    import jax
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __graft_entry__ as g
-
+def _run_case(g, jax, nwater, walkers, cycles, dtype, sync_int):
     prm, eng, state = g._setup(
-        n_walkers=walkers, dtype=dtype, nwater=nwater
+        n_walkers=walkers, dtype=dtype, nwater=nwater,
+        mpi_sync_int=sync_int,
     )
-    # realistic sync cadence for the measurement (the _setup default
-    # of 1 is for the dry-run collective check)
-    eng.prm = prm
-    n = prm.nwater
-
-    # compile + warm-up
+    # compile + warm-up (also amortises the first delta-sync)
     t0 = time.time()
     state, _ = eng.run_cycles(state, cycles)
     jax.block_until_ready(state)
@@ -59,20 +44,53 @@ def main():
     jax.block_until_ready(state)
     elapsed = time.time() - t0
 
-    moves = walkers * n * cycles
-    rate = moves / elapsed
-    print(json.dumps({
-        "metric": f"aggregate MC moves/sec (mW lattice-switch, N={n}, "
-                  f"{walkers} walkers, {dtype})",
-        "value": round(rate, 1),
-        "unit": "moves/s",
-        "vs_baseline": round(rate / FORTRAN_8RANK_MOVES_PER_S, 3),
+    rate = walkers * prm.nwater * cycles / elapsed
+    return {
+        "nwater": prm.nwater,
         "walkers": walkers,
+        "moves_per_s": round(rate, 1),
         "cycles_timed": cycles,
         "elapsed_s": round(elapsed, 3),
         "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    walkers = int(os.environ.get("BENCH_WALKERS", "4096"))
+    cycles = int(os.environ.get("BENCH_CYCLES", "100"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # production sync cadence (reference default mpi_sync_int=250,
+    # userparams.f90); BENCH_SYNC_INT=1 stresses the collective path
+    sync_int = int(os.environ.get("BENCH_SYNC_INT", "250"))
+    only_n = os.environ.get("BENCH_NWATER")  # optional single-row mode
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__ as g
+
+    systems = [int(only_n)] if only_n else [216, 48]
+    rows = [
+        _run_case(g, jax, n, walkers, cycles, dtype, sync_int)
+        for n in systems
+    ]
+
+    head = rows[0]
+    out = {
+        "metric": (
+            f"aggregate MC moves/sec (mW lattice-switch, "
+            f"N={head['nwater']}, {head['walkers']} walkers, {dtype}, "
+            f"sync_int={sync_int})"
+        ),
+        "value": head["moves_per_s"],
+        "unit": "moves/s",
+        "vs_baseline": round(
+            head["moves_per_s"] / FORTRAN_8RANK_MOVES_PER_S, 3
+        ),
         "device": str(jax.devices()[0]),
-    }))
+        "rows": rows,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
