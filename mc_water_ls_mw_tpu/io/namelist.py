@@ -122,6 +122,7 @@ _GROUPS = {
         "n_walkers", "n_windows", "neighbour_capacity", "dtype",
         "seed", "therm_walkers", "minu", "tile",
         "largen", "largen_threshold", "cell_cap", "relabel", "stack",
+        "nbr_table", "trans_wall",
     ],
 }
 

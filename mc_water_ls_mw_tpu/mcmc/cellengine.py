@@ -146,6 +146,7 @@ class CellState(NamedTuple):
     cycle: jnp.ndarray
     key: jnp.ndarray
     shared_key: jnp.ndarray
+    dropped: jnp.ndarray      # int32 scalar (see SamplerState)
 
 
 class CellAux(NamedTuple):
@@ -294,7 +295,6 @@ class CellEngine(Engine):
             jnp.maximum(occ_sel - 1, 0),
         )
         sel = blk * cap + rank                                # [K,W]
-        has_mover = total > 0                                 # [K,W]
         # mover's fine cell: static block table indexed by sel//cap
         mover_fc = jnp.take_along_axis(
             jnp.broadcast_to(bc[:, :, None], (K, m3, W)),
@@ -314,6 +314,12 @@ class CellEngine(Engine):
         mover_mol = jnp.take_along_axis(
             occ_mol, sel[:, None, :], axis=1
         )[:, 0, :]                                            # [K,W]
+        # trial is only real if the coarse cell is occupied AND the
+        # selected slot holds a molecule: in f32, u*total can round
+        # up to exactly total (round-to-even tie), clamping blk to
+        # the last fine block, which may be empty (mover_mol = -1) -
+        # a phantom trial there must never be enabled
+        has_mover = (total > 0) & (mover_mol >= 0)            # [K,W]
 
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
@@ -584,7 +590,15 @@ class CellEngine(Engine):
         B = grid.nbins
         dtype = s.r.dtype
 
-        active = enabled_t & (s.cycle >= prm.eq_mc_cycles)
+        # a walker whose slab overflowed capacity is corrupt (two
+        # molecules share a slot): keep its trials out of the SHARED
+        # WL arrays so delta-sync cannot spread the poison before the
+        # block-boundary audit aborts the run
+        active = (
+            enabled_t
+            & (s.cycle >= prm.eq_mc_cycles)
+            & (s.occ_overflow == 0)
+        )
         k = mu_to_bin(grid, mu_t)                          # [K,W]
         in_grid = (k >= 0) & (k < B)
         kc = jnp.clip(k, 0, B - 1)
@@ -1124,6 +1138,7 @@ def init_cell_state(
             cycle=jnp.asarray(0, dtype=jnp.int32),
             key=walker_keys,
             shared_key=shared_key,
+            dropped=jnp.asarray(0, dtype=jnp.int32),
         )
         aux = EngineAux(
             # shifts unused by the cell engine (audits run on the

@@ -97,6 +97,14 @@ class RunParams:
     dtype: str = "float32"       # compute dtype ('float64' = parity mode)
     fused: str = "auto"          # whole-cycle Pallas kernel: on/off/auto
                                  # (auto = on for TPU, off for CPU)
+    # static reference-lattice neighbour tables + shared molecule
+    # schedule + displacement wall (the candidate-reduction fast path;
+    # see ops/nbrtable.py).  'auto' = on when the geometry allows
+    # (MIC-unique box, N >= 96); 'off' = exact reference move
+    # semantics (per-walker molecule draw, no wall)
+    nbr_table: str = "auto"
+    trans_wall: float = 1.5      # displacement-from-reference hard
+                                 # wall in Bohr (table mode only)
     seed: int = 0                # RNG seed
     therm_walkers: int = 1       # walkers sampled into therm output
     minu: bool = False           # reference's #ifdef MINU variant

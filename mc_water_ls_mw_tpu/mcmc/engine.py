@@ -92,6 +92,11 @@ class Engine:
         # with a reduced residual shift set (1-3 candidates instead of
         # the full enumeration; ops/dense.py reduced_shift_set)
         self.fold_shifts = reduced_shift_set(aux.ref_h, model)
+        # candidate-reduction fast path (ops/nbrtable.py): static
+        # neighbour tables + shared molecule schedule + displacement
+        # wall, built by init_state when the geometry allows
+        self.tbl = getattr(aux, "nbr_tbl", None)
+        self.wall = float(getattr(aux, "wall", 0.0) or 0.0)
         # fused whole-cycle Pallas kernel (mcmc/fused.py): the hot
         # N-step inner loop with per-walker state resident in VMEM
         if prm.fused == "auto":
@@ -104,6 +109,16 @@ class Engine:
                 # the kernel's HBM moment-slab DMA slices along the
                 # walker axis, which Mosaic requires 128-lane aligned
                 self.use_fused = False
+                if prm.fused != "off":
+                    import warnings
+
+                    warnings.warn(
+                        f"fused cycle kernel disabled: {per_shard} "
+                        "walkers per device shard is not a multiple "
+                        "of 128 (the scan path is ~7x slower; pick "
+                        "n_walkers so W/devices % 128 == 0)",
+                        stacklevel=2,
+                    )
         if self.use_fused:
             from .fused import FusedCycle
             from ..ops.pallas_energy import FullEnergyPallas
@@ -188,8 +203,14 @@ class Engine:
             )
 
         wall = (mu < s.my_mu_min) | (mu > s.my_mu_max)
-        eta = jnp.where(wall, ETA_WALL, eta)
-        return jnp.where(s.in_window, eta, 0.0)
+        walled = jnp.where(wall, ETA_WALL, eta)
+        # before a walker has reached its dd window it samples under
+        # the WALL-LESS global curve: with zero (cold-start) weights
+        # this is the reference's unbiased approach (mc_moves.F90:913);
+        # with a warm-started global curve the landscape is flat, so
+        # walkers diffuse to far-tail windows the unbiased walk could
+        # never climb to (window seeding - see runs/n216_wl_dd)
+        return jnp.where(s.in_window, walled, eta)
 
     # ------------------------------------------------------------------
     # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
@@ -271,7 +292,7 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _translation(self, s: SamplerState, u,
-                     enabled=True) -> SamplerState:
+                     enabled=True, imol_shared=None) -> SamplerState:
         """Single-molecule translation in both replicas
         (mc_water_translation, mc_moves.F90:966-1213).
 
@@ -288,7 +309,14 @@ class Engine:
         W = s.r.shape[3]
         dtype = self._dtype(s)
 
-        imol = jnp.minimum((u[0] * N).astype(jnp.int32), N - 1)
+        if imol_shared is not None:
+            # shared molecule schedule (table mode, ops/nbrtable.py):
+            # all walkers move the same molecule this step
+            imol = jnp.broadcast_to(
+                jnp.asarray(imol_shared, jnp.int32), (W,)
+            )
+        else:
+            imol = jnp.minimum((u[0] * N).astype(jnp.int32), N - 1)
 
         # random direction x magnitude (mc_moves.F90:1021-1039)
         d0 = 2.0 * u[1] - 1.0
@@ -372,6 +400,21 @@ class Engine:
         ok = jnp.isfinite(diffkT)
         if prm.num_lattices == 2:
             ok = ok & jnp.isfinite(mu_new)
+        if self.wall > 0.0:
+            # displacement-from-reference hard wall (table mode,
+            # ops/nbrtable.py): reject any proposal taking a molecule
+            # farther than `wall` from its reference site in EITHER
+            # replica.  Reference site = H(t) . frac0 (reference
+            # positions hold their fractional coordinates through
+            # volume moves, mc_volume:1284-1350)
+            f0 = jnp.asarray(self.aux.frac0, dtype)          # [L,3,N]
+            f0_i = jnp.take(f0, imol, axis=2)                # [L,3,W]
+            ref_i = _einsum("labw,lbw->law", s.h, f0_i)
+            dwall = p_new - ref_i                            # [L,3,W]
+            ok = ok & jnp.all(
+                jnp.sum(dwall * dwall, axis=1) <= self.wall ** 2,
+                axis=0,
+            )
         accept = enabled & ok & (u[5] < jnp.exp(-diffkT))    # (1146)
         accf = accept.astype(dtype)
 
@@ -629,11 +672,15 @@ class Engine:
         # defense in depth: a single poisoned walker must never
         # poison the SHARED arrays - its non-finite growth is dropped
         # (per-move health gates should prevent this ever firing; see
-        # the f32 cutoff-edge incident in ops/dense._DENOM_CLAMP)
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        # the f32 cutoff-edge incident in ops/dense._DENOM_CLAMP).
+        # Drops are COUNTED so regression of the upstream gates is
+        # observable in the monitor block instead of silently masked.
+        finite = jnp.isfinite(delta)
+        n_bad = jnp.sum(~finite, dtype=jnp.int32)
+        delta = jnp.where(finite, delta, 0.0)
         tot = jax.ops.segment_sum(delta, window_id, num_segments=nwin)
         new_snap = snap + tot                                # [nwin, B]
-        return new_snap.T[:, window_id], new_snap
+        return new_snap.T[:, window_id], new_snap, n_bad
 
     def _sync_all(self, s: SamplerState) -> SamplerState:
         """Synchronise weights + histograms across walkers
@@ -642,7 +689,7 @@ class Engine:
         if prm.num_lattices != 2:
             return s
         nwin = s.snap_eta.shape[0]
-        weight, snap_eta = self._delta_merge(
+        weight, snap_eta, bad_w = self._delta_merge(
             s.weight, s.snap_eta, s.window_id, nwin
         )
         if not prm.samplerun:
@@ -663,18 +710,20 @@ class Engine:
             snap_eta = jax.ops.segment_min(
                 weight.T, s.window_id, num_segments=nwin
             )
-        hist, snap_hist = self._delta_merge(
+        hist, snap_hist, bad_h = self._delta_merge(
             s.hist, s.snap_hist, s.window_id, nwin
         )
         s = s._replace(
             weight=weight, hist=hist, snap_eta=snap_eta,
             snap_hist=snap_hist,
+            dropped=s.dropped + bad_w + bad_h,
         )
         if prm.samplerun:
-            uhist, snap_uhist = self._delta_merge(
+            uhist, snap_uhist, bad_u = self._delta_merge(
                 s.uhist, s.snap_uhist, s.window_id, nwin
             )
-            s = s._replace(uhist=uhist, snap_uhist=snap_uhist)
+            s = s._replace(uhist=uhist, snap_uhist=snap_uhist,
+                           dropped=s.dropped + bad_u)
         return s
 
     # ------------------------------------------------------------------
@@ -775,6 +824,15 @@ class Engine:
             xi < transP, TRANS,
             jnp.where(xi < volP, VOL, jnp.where(xi < swP, SWITCH, NOOP)),
         )
+        # shared molecule schedule (table mode): the per-step molecule
+        # index, common to all walkers, from its own shared substream
+        if self.tbl is not None:
+            mk = jax.random.fold_in(ck, 0x6d6f6c)
+            sched_mol = jax.random.randint(
+                mk, (N,), 0, N, dtype=jnp.int32
+            )
+        else:
+            sched_mol = None
 
         if prm.parallel_strategy == "dd":
             switch_ok_scalar = cycle >= prm.eq_mc_cycles
@@ -809,13 +867,19 @@ class Engine:
                 s, codes, cycle_u,
                 wl_active=cycle >= prm.eq_mc_cycles,
                 switch_ok=switch_ok_scalar,
+                sched_mol=sched_mol,
             )
         else:
             def step(carry, t):
                 st = carry
                 code = codes[t]
                 u = cycle_u[t]                           # [7,W]
-                st = self._translation(st, u, enabled=(code == TRANS))
+                st = self._translation(
+                    st, u, enabled=(code == TRANS),
+                    imol_shared=(
+                        None if sched_mol is None else sched_mol[t]
+                    ),
+                )
                 if prm.num_lattices == 2 and (
                     prm.mc_always_switch or prm.allow_switch
                 ):

@@ -102,6 +102,16 @@ class FusedCycle:
         # used by the equivalence tests
         self.interpret = jax.default_backend() == "cpu"
         self._samplerun = prm.samplerun and prm.num_lattices == 2
+        # candidate-reduction table mode (ops/nbrtable.py)
+        self.tbl = getattr(aux, "nbr_tbl", None)
+        if self.tbl is not None:
+            self.tbl_M = int(np.asarray(self.tbl).shape[-1])
+            self.tbl_flat = np.asarray(self.tbl, np.int32).reshape(-1)
+            self.frac0 = np.asarray(aux.frac0, np.float64)
+            self.wall = float(aux.wall)
+        # extra zeroed pad rows on the moments scratch absorb the
+        # sentinel-index writes of table mode
+        self.mom_pad = 8 if self.tbl is not None else 0
 
     # ------------------------------------------------------------------
     # kernel-side physics (mirrors ops/dense.py, S-axis unrolled)
@@ -272,8 +282,10 @@ class FusedCycle:
                 ),
             )
         wall = (mu < my_min) | (mu > my_max)
-        eta = jnp.where(wall, ETA_WALL, eta)
-        return jnp.where(in_window, eta, jnp.zeros_like(eta))
+        walled = jnp.where(wall, ETA_WALL, eta)
+        # pre-window walkers sample the wall-less global curve
+        # (window seeding; see engine._eta)
+        return jnp.where(in_window, walled, eta)
 
     def _eta_of(self, wgt, wf, wi, mu, binw, mub):
         return self._eta(
@@ -341,20 +353,12 @@ class FusedCycle:
         # per-update shifting ratchets in f32)
         wgt[...] = wgt[...] + oh * (incr * f)[None, :]
 
-    def _do_translation(self, h, recip, vol, r, mom, e, wgt, hist, uh,
-                        tpm, wf, wi, binw, mub, ut, enabled,
-                        wl_active, cyc_f):
-        """One masked translation step on refs (engine._translation;
-        mc_water_translation, mc_moves.F90:966-1213)."""
+    def _trial_vectors(self, ut, wf, wi, h, recip):
+        """Per-step random displacement + per-lattice trial vectors
+        (mc_moves.F90:1021-1067).  Returns (Hcs, transvec)."""
         prm = self.prm
-        L, N = prm.num_lattices, prm.nwater
-        dtype = wf.dtype
+        L = prm.num_lattices
         ls = wi[WI_LS]
-        mu = wf[WF_MU]
-
-        imol = jnp.minimum((ut[0] * N).astype(jnp.int32), N - 1)
-        one_i = _iota_eq(N, imol)                        # [N,W] bool
-        one_if = one_i.astype(dtype)
 
         d0 = 2.0 * ut[1] - 1.0
         d1 = 2.0 * ut[2] - 1.0
@@ -391,28 +395,17 @@ class FusedCycle:
                 )
             else:
                 transvec.append(list(v))
+        return Hcs, transvec
 
-        e_olds, e_news, effs = [], [], []
-        for l in range(L):
-            rx, ry, rz = r[l, 0], r[l, 1], r[l, 2]
-            p_old = (
-                jnp.sum(one_if * rx, axis=0),
-                jnp.sum(one_if * ry, axis=0),
-                jnp.sum(one_if * rz, axis=0),
-            )
-            p_new = (
-                p_old[0] + transvec[l][0],
-                p_old[1] + transvec[l][1],
-                p_old[2] + transvec[l][2],
-            )
-            mom_l = Moments(*(mom[fi, l] for fi in range(10)))
-            eo, en_, eff = self._local(
-                rx, ry, rz, Hcs[l], one_i, p_old, p_new, mom_l
-            )
-            e_olds.append(eo)
-            e_news.append(en_)
-            effs.append(eff)
-        dE = [e_news[l] - e_olds[l] for l in range(L)]
+    def _trans_decision(self, vol, e, wgt, wf, wi, binw, mub, dE, ut,
+                        enabled, extra_ok=None):
+        """Acceptance rule of the translation move incl. the MINU
+        variant (mc_moves.F90:1113-1146); shared between the dense and
+        table paths.  Returns (accept, mu_new, dmu, ls_next)."""
+        prm = self.prm
+        L = prm.num_lattices
+        ls = wi[WI_LS]
+        mu = wf[WF_MU]
 
         if L == 2:
             dmu = (dE[0] - dE[1]) * prm.beta
@@ -461,34 +454,34 @@ class FusedCycle:
         ok = jnp.isfinite(diffkT)
         if L == 2:
             ok = ok & jnp.isfinite(mu_new)
+        if extra_ok is not None:
+            ok = ok & extra_ok
         accept = enabled & ok & (ut[5] < jnp.exp(-diffkT))  # (1146)
-        acc_i = one_i & accept[None, :]
+        return accept, mu_new, dmu, ls_next
+
+    def _trans_bookkeeping(self, e, wgt, hist, uh, wf, wi, binw, mub,
+                           accept, mu_new, dmu, ls_next, dE, enabled,
+                           wl_active, cyc_f):
+        """Post-decision scalar-row updates + WL update, shared
+        between the dense and table paths (mc_moves.F90:1113,
+        1156-1159)."""
+        prm = self.prm
+        L = prm.num_lattices
+        mu = wf[WF_MU]
 
         for l in range(L):
-            for a in range(3):
-                cur = r[l, a]
-                r[l, a] = jnp.where(
-                    acc_i, cur + transvec[l][a][None, :], cur
-                )
             # where-based update: rejected overlap proposals can carry
             # non-finite dE (engine.py NaN-poisoning note)
             e[l, :] = jnp.where(accept, e[l] + dE[l], e[l])
-            for fi in range(10):
-                mom[fi, l] = jnp.where(
-                    accept[None, :], effs[l][fi], mom[fi, l]
-                )
         wf[WF_MU, :] = jnp.where(accept, mu_new, mu)
         if prm.minu and L == 2:
-            wi[WI_LS, :] = jnp.where(accept, ls_next, ls)
+            wi[WI_LS, :] = jnp.where(accept, ls_next, wi[WI_LS])
 
         # acceptance bookkeeping (mc_moves.F90:1156-1159)
         en_i = jnp.where(enabled, 1, 0).astype(jnp.int32)
         wi[WI_ATT + TRANS, :] = wi[WI_ATT + TRANS] + en_i
         wi[WI_ACC + TRANS, :] = (
             wi[WI_ACC + TRANS] + accept.astype(jnp.int32)
-        )
-        tpm[...] = tpm[...] + jnp.where(
-            enabled, one_i.astype(jnp.int32), 0
         )
         if L == 2:
             admu = jnp.abs(dmu)
@@ -503,6 +496,278 @@ class FusedCycle:
         self._wl_update(
             e, wgt, hist, uh, wf, wi, binw, mub, wl_active, cyc_f,
             enabled,
+        )
+
+    def _do_translation(self, h, recip, vol, r, mom, e, wgt, hist, uh,
+                        tpm, wf, wi, binw, mub, ut, enabled,
+                        wl_active, cyc_f):
+        """One masked translation step on refs (engine._translation;
+        mc_water_translation, mc_moves.F90:966-1213)."""
+        prm = self.prm
+        L, N = prm.num_lattices, prm.nwater
+        dtype = wf.dtype
+
+        imol = jnp.minimum((ut[0] * N).astype(jnp.int32), N - 1)
+        one_i = _iota_eq(N, imol)                        # [N,W] bool
+        one_if = one_i.astype(dtype)
+
+        Hcs, transvec = self._trial_vectors(ut, wf, wi, h, recip)
+
+        e_olds, e_news, effs = [], [], []
+        for l in range(L):
+            rx, ry, rz = r[l, 0], r[l, 1], r[l, 2]
+            p_old = (
+                jnp.sum(one_if * rx, axis=0),
+                jnp.sum(one_if * ry, axis=0),
+                jnp.sum(one_if * rz, axis=0),
+            )
+            p_new = (
+                p_old[0] + transvec[l][0],
+                p_old[1] + transvec[l][1],
+                p_old[2] + transvec[l][2],
+            )
+            mom_l = Moments(*(mom[fi, l] for fi in range(10)))
+            eo, en_, eff = self._local(
+                rx, ry, rz, Hcs[l], one_i, p_old, p_new, mom_l
+            )
+            e_olds.append(eo)
+            e_news.append(en_)
+            effs.append(eff)
+        dE = [e_news[l] - e_olds[l] for l in range(L)]
+
+        accept, mu_new, dmu, ls_next = self._trans_decision(
+            vol, e, wgt, wf, wi, binw, mub, dE, ut, enabled
+        )
+        acc_i = one_i & accept[None, :]
+
+        for l in range(L):
+            for a in range(3):
+                cur = r[l, a]
+                r[l, a] = jnp.where(
+                    acc_i, cur + transvec[l][a][None, :], cur
+                )
+            for fi in range(10):
+                mom[fi, l] = jnp.where(
+                    accept[None, :], effs[l][fi], mom[fi, l]
+                )
+        tpm[...] = tpm[...] + jnp.where(
+            enabled, one_i.astype(jnp.int32), 0
+        )
+
+        self._trans_bookkeeping(
+            e, wgt, hist, uh, wf, wi, binw, mub, accept, mu_new, dmu,
+            ls_next, dE, enabled, wl_active, cyc_f,
+        )
+
+    # ------------------------------------------------------------------
+    # table-mode translation (ops/nbrtable.py candidate reduction):
+    # per-step work scales with the ~28 static reference-lattice
+    # neighbours instead of all N molecules - the cost model of the
+    # reference's Verlet-list kernel (molint.F90:220-404) restored
+    # ------------------------------------------------------------------
+
+    def _cand_tbl(self, cx, cy, cz, validf, Hc, p):
+        """Candidate terms over gathered rows [M,W] (single MIC
+        image; table mode requires a MIC-unique box).
+
+        ``validf``: [M,1] 0/1 multiplier for the padded table slots
+        (a float, not bool - Mosaic only broadcasts minor dims of
+        32-bit types).  Invalid slots gather a CLAMPED real row, so
+        their terms are computed then multiplied away; the r2 floor
+        guards the one case where the clamped row is the centre
+        itself (r2 = 0 -> rsqrt = inf, and inf * 0 = NaN)."""
+        m = self.model
+        px, py, pz = p
+        dx, dy, dz = _mic_fold(
+            cx - px[None, :], cy - py[None, :], cz - pz[None, :], Hc
+        )
+        r2 = dx * dx + dy * dy + dz * dz
+        in_rc = (r2 < m.rc2) & (r2 > 1e-8)
+        r2s = jnp.where(in_rc, r2, 1.0)
+        inv = lax.rsqrt(r2s)
+        rij = r2s * inv
+        pair_sum = jnp.sum(
+            _pair(r2s, rij, in_rc, m) * validf, axis=0
+        )
+        w = _leg(rij, in_rc, m) * validf
+        ux, uy, uz = dx * inv, dy * inv, dz * inv
+        wux, wuy, wuz = w * ux, w * uy, w * uz
+        # per-candidate delta for partner j (m* sign from j's view)
+        delta = Moments(
+            w, -wux, -wuy, -wuz,
+            wux * ux, wuy * uy, wuz * uz,
+            wux * uy, wux * uz, wuy * uz,
+        )
+        own = Moments(
+            w.sum(0), wux.sum(0), wuy.sum(0), wuz.sum(0),
+            delta.mxx.sum(0), delta.myy.sum(0), delta.mzz.sum(0),
+            delta.mxy.sum(0), delta.mxz.sum(0), delta.myz.sum(0),
+        )
+        e3i = _e3_closed_form(own, (w * w).sum(0), m.cos0)
+        return pair_sum, (w, ux, uy, uz), delta, own, e3i
+
+    def _jcent_rows(self, leg, mm: Moments):
+        """Wing-angle sums i-j-k with candidate moments mm [M,W]."""
+        c0 = self.model.cos0
+        w, ux, uy, uz = leg
+        quad = (
+            ux * ux * mm.mxx + uy * uy * mm.myy + uz * uz * mm.mzz
+            + 2.0 * (ux * uy * mm.mxy + ux * uz * mm.mxz
+                     + uy * uz * mm.myz)
+        )
+        lin = ux * mm.mx + uy * mm.my + uz * mm.mz
+        per = (
+            quad + 2.0 * c0 * lin + c0 * c0 * mm.s1
+            - (1.0 - c0) ** 2 * w
+        )
+        return jnp.sum(w * per, axis=0)
+
+    def _local_tbl(self, cand_r, validf, Hc, p_old, p_new, mm_cand):
+        """Old/new local energies from gathered candidates; returns
+        (e_old, e_new, updated candidate moments [M,W], centre's own
+        new moments [W])."""
+        lam_eps = self.model.lam * self.model.epsilon
+        cx, cy, cz = cand_r
+        pair_o, leg_o, del_o, _own_o, e3i_o = self._cand_tbl(
+            cx, cy, cz, validf, Hc, p_old
+        )
+        e3j_o = self._jcent_rows(leg_o, mm_cand)
+        e_old = pair_o + lam_eps * (e3i_o + e3j_o)
+
+        pair_n, leg_n, del_n, own_n, e3i_n = self._cand_tbl(
+            cx, cy, cz, validf, Hc, p_new
+        )
+        mm_eff = Moments(*(
+            st - do + dn
+            for st, do, dn in zip(mm_cand, del_o, del_n)
+        ))
+        e3j_n = self._jcent_rows(leg_n, mm_eff)
+        e_new = pair_n + lam_eps * (e3i_n + e3j_n)
+        return e_old, e_new, mm_eff, own_n
+
+    def _do_translation_tbl(self, h, recip, vol, r, mom, e, wgt, hist,
+                            uh, tpm, wf, wi, binw, mub, ut, enabled,
+                            wl_active, cyc_f, imol, tbl, frac0):
+        """Table-mode translation: the moved molecule is the SHARED
+        scalar ``imol`` (sched stream), its candidates the static
+        table rows, and proposals beyond the displacement wall are
+        rejected (ops/nbrtable.py)."""
+        prm = self.prm
+        L, N, M = prm.num_lattices, prm.nwater, self.tbl_M
+        dtype = wf.dtype
+
+        Hcs, transvec = self._trial_vectors(ut, wf, wi, h, recip)
+
+        # candidate indices for this step (SMEM scalars); sentinel N
+        # points at the zeroed pad row of the moments scratch
+        idx = [
+            [tbl[(l * N + imol) * M + m] for m in range(M)]
+            for l in range(L)
+        ]
+
+        e_olds, e_news = [], []
+        effs, owns, p_olds, p_news = [], [], [], []
+        idx_a, valids, cands = [], [], []
+        in_wall = None
+        for l in range(L):
+            # all index arithmetic on the raw SMEM scalars (the scalar
+            # core); validity as a 0/1 float column (Mosaic handles
+            # neither bool scalars in vregs nor bool minor-dim
+            # broadcasts)
+            validf = jnp.stack(
+                [(j < N).astype(jnp.int32) for j in idx[l]]
+            ).astype(dtype)[:, None]                      # [M,1]
+            idx_r = [jnp.minimum(j, N - 1) for j in idx[l]]
+            idx_a.append(idx[l])
+            valids.append(idx[l])
+
+            p_old = tuple(
+                r[l, a, pl.ds(imol, 1), :][0] for a in range(3)
+            )
+            p_new = tuple(
+                p_old[a] + transvec[l][a] for a in range(3)
+            )
+            p_olds.append(p_old)
+            p_news.append(p_new)
+
+            cand_r = tuple(
+                jnp.concatenate(
+                    [r[l, a, pl.ds(idx_r[m], 1), :] for m in range(M)],
+                    axis=0,
+                )
+                for a in range(3)
+            )                                             # 3 x [M,W]
+            mm_cand = Moments(*(
+                jnp.concatenate(
+                    [mom[fi, l, pl.ds(idx[l][m], 1), :]
+                     for m in range(M)],
+                    axis=0,
+                )
+                for fi in range(10)
+            ))                                            # [M,W] fields
+
+            eo, en_, mm_eff, own_n = self._local_tbl(
+                cand_r, validf, Hcs[l], p_old, p_new, mm_cand
+            )
+            e_olds.append(eo)
+            e_news.append(en_)
+            effs.append(mm_eff)
+            owns.append(own_n)
+            cands.append(mm_cand)
+
+            # displacement wall: reference site = H . frac0 (SMEM
+            # scalars; reference positions keep their fractional
+            # coordinates through volume moves, mc_volume:1284-1350)
+            f0 = [frac0[(l * 3 + a) * N + imol] for a in range(3)]
+            dw2 = None
+            for a in range(3):
+                ref_a = sum(Hcs[l][a][b] * f0[b] for b in range(3))
+                da = p_new[a] - ref_a
+                dw2 = da * da if dw2 is None else dw2 + da * da
+            ok_l = dw2 <= self.wall * self.wall
+            in_wall = ok_l if in_wall is None else (in_wall & ok_l)
+
+        dE = [e_news[l] - e_olds[l] for l in range(L)]
+
+        accept, mu_new, dmu, ls_next = self._trans_decision(
+            vol, e, wgt, wf, wi, binw, mub, dE, ut, enabled,
+            extra_ok=in_wall,
+        )
+
+        for l in range(L):
+            # centre's position + own moments (single-row stores)
+            for a in range(3):
+                r[l, a, pl.ds(imol, 1), :] = jnp.where(
+                    accept, p_news[l][a], p_olds[l][a]
+                )[None, :]
+            cen = Moments(*(
+                mom[fi, l, pl.ds(imol, 1), :][0] for fi in range(10)
+            ))
+            for fi in range(10):
+                mom[fi, l, pl.ds(imol, 1), :] = jnp.where(
+                    accept, owns[l][fi], cen[fi]
+                )[None, :]
+            # candidate moment rows: updated on accept, re-stored as
+            # gathered otherwise; invalid entries write their (zero)
+            # pad-row values back to the pad row - harmless.  Table
+            # entries are unique per (lattice, molecule), so the M
+            # stores touch M distinct rows
+            for m in range(M):
+                upd = accept & (valids[l][m] < N)   # scalar-core bool
+                for fi in range(10):
+                    mom[fi, l, pl.ds(idx_a[l][m], 1), :] = jnp.where(
+                        upd, effs[l][fi][m], cands[l][fi][m]
+                    )[None, :]
+
+        tpm_cur = tpm[pl.ds(imol, 1), :]
+        en_i = jnp.where(enabled, 1, 0).astype(jnp.int32)
+        tpm[pl.ds(imol, 1), :] = tpm_cur + jnp.broadcast_to(
+            en_i, tpm_cur.shape
+        )
+
+        self._trans_bookkeeping(
+            e, wgt, hist, uh, wf, wi, binw, mub, accept, mu_new, dmu,
+            ls_next, dE, enabled, wl_active, cyc_f,
         )
 
     def _do_switch(self, vol, e, wf, wi, zeta, enabled):
@@ -548,10 +813,17 @@ class FusedCycle:
     def _kernel(self, *refs):
         prm = self.prm
         N = prm.nwater
+        tblmode = self.tbl is not None
         n_rw = 7 if self._samplerun else 6   # r,mom,e,wgt,hist,(uh),tpm + wf,wi
         n_rw = n_rw + 2
-        (codes, flags, h, recip, vol, u, binw_r, mub_r), rest = \
-            refs[:8], refs[8:]
+        if tblmode:
+            (codes, flags, sched, tblr, frac0r,
+             h, recip, vol, u, binw_r, mub_r), rest = \
+                refs[:11], refs[11:]
+        else:
+            (codes, flags, h, recip, vol, u, binw_r, mub_r), rest = \
+                refs[:8], refs[8:]
+            sched = tblr = frac0r = None
         ins = rest[:n_rw]
         outs = rest[n_rw:2 * n_rw]
         mom_vmem, dma_sem = rest[2 * n_rw:]
@@ -569,7 +841,9 @@ class FusedCycle:
         WBl = mom_vmem.shape[-1]
         woff = pl.program_id(0) * WBl
         mom_in_dma = pltpu.make_async_copy(
-            ins[1].at[:, :, :, pl.ds(woff, WBl)], mom_vmem, dma_sem
+            ins[1].at[:, :, :, pl.ds(woff, WBl)],
+            mom_vmem.at[:, :, :N, :] if self.mom_pad else mom_vmem,
+            dma_sem,
         )
         mom_in_dma.start()
 
@@ -578,6 +852,12 @@ class FusedCycle:
                 dst[...] = src[...]
         mom_in_dma.wait()
         mom = mom_vmem
+        if self.mom_pad:
+            # zero the pad rows: sentinel-index gathers read them and
+            # 0 * garbage = NaN would poison the wing sums
+            mom[:, :, N:, :] = jnp.zeros(
+                mom.shape[:2] + (self.mom_pad, WBl), mom.dtype
+            )
 
         binw = binw_r[...]                               # [B,1]
         mub = mub_r[...]
@@ -592,10 +872,17 @@ class FusedCycle:
         def step(t, carry):
             code = codes[t]
             ut = u[t]                                    # [RNG_SLOTS, W]
-            self._do_translation(
-                h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf, wi,
-                binw, mub, ut, code == TRANS, wl_active, cyc_f,
-            )
+            if tblmode:
+                self._do_translation_tbl(
+                    h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf,
+                    wi, binw, mub, ut, code == TRANS, wl_active,
+                    cyc_f, sched[t], tblr, frac0r,
+                )
+            else:
+                self._do_translation(
+                    h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf,
+                    wi, binw, mub, ut, code == TRANS, wl_active, cyc_f,
+                )
             if do_switch:
                 sw_en = code == SWITCH
                 if prm.mc_always_switch:
@@ -608,7 +895,8 @@ class FusedCycle:
         lax.fori_loop(0, N, step, 0)
 
         mom_out_dma = pltpu.make_async_copy(
-            mom_vmem, mom_hbm_o.at[:, :, :, pl.ds(woff, WBl)], dma_sem
+            mom_vmem.at[:, :, :N, :] if self.mom_pad else mom_vmem,
+            mom_hbm_o.at[:, :, :, pl.ds(woff, WBl)], dma_sem
         )
         mom_out_dma.start()
         mom_out_dma.wait()
@@ -632,13 +920,15 @@ class FusedCycle:
                 return wb
         return W
 
-    def __call__(self, s, codes, cycle_u, wl_active, switch_ok):
+    def __call__(self, s, codes, cycle_u, wl_active, switch_ok,
+                 sched_mol=None):
         """Run one full cycle's translation/switch/WL steps.
 
         s:        SamplerState
         codes:    [N] int32 shared move-type schedule
         cycle_u:  [N, 7, W] pre-drawn uniforms (same as scan path)
         wl_active, switch_ok: traced bool scalars
+        sched_mol: [N] int32 shared molecule schedule (table mode)
         """
         prm, grid = self.prm, self.grid
         L, _, N, W = s.r.shape
@@ -673,9 +963,22 @@ class FusedCycle:
         ro_ins = [s.h, s.recip, s.volume, cycle_u, binw, mub]
         n_ro = len(ro_ins)
 
+        tblmode = self.tbl is not None
+        if tblmode:
+            assert sched_mol is not None, "table mode needs sched_mol"
+            prefetch = [
+                sched_mol.astype(jnp.int32),
+                jnp.asarray(self.tbl_flat),
+                jnp.asarray(self.frac0.reshape(-1), dtype=dtype),
+            ]
+        else:
+            prefetch = []
+        n_pf = 2 + len(prefetch)
+
         def invoke(codes_i, flags_i, *arrs):
             """Build + run the pallas_call from the (possibly per-shard)
             operand shapes."""
+            pf, arrs = arrs[:n_pf - 2], arrs[n_pf - 2:]
             ro, rw = arrs[:n_ro], arrs[n_ro:]
             Wl = rw[0].shape[-1]
             WBl = self._pick_wb(Wl)
@@ -712,15 +1015,17 @@ class FusedCycle:
                 + [rwspec(k, a) for k, a in enumerate(rw)]
             )
             mom_arr = rw[1]
+            mom_scr = (
+                mom_arr.shape[:2]
+                + (mom_arr.shape[2] + self.mom_pad, WBl)
+            )
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=n_pf,
                 grid=(Wl // WBl,),
                 in_specs=in_specs,
                 out_specs=[rwspec(k, a) for k, a in enumerate(rw)],
                 scratch_shapes=[
-                    pltpu.VMEM(
-                        tuple(mom_arr.shape[:-1]) + (WBl,), mom_arr.dtype
-                    ),
+                    pltpu.VMEM(mom_scr, mom_arr.dtype),
                     pltpu.SemaphoreType.DMA(()),
                 ],
             )
@@ -731,7 +1036,7 @@ class FusedCycle:
                     jax.ShapeDtypeStruct(a.shape, a.dtype) for a in rw
                 ],
                 interpret=self.interpret,
-            )(codes_i, flags_i, *ro, *rw)
+            )(codes_i, flags_i, *pf, *ro, *rw)
 
         if self.mesh is not None:
             from jax import shard_map
@@ -748,6 +1053,7 @@ class FusedCycle:
                 mesh=self.mesh,
                 in_specs=(
                     rep, rep,
+                    *(rep for _ in prefetch),
                     *(pspec(a) for a in ro_ins[:4]), rep, rep,
                     *(pspec(a) for a in rw_ins),
                 ),
@@ -755,7 +1061,9 @@ class FusedCycle:
                 check_vma=False,
             )
 
-        outs = invoke(codes.astype(jnp.int32), flags, *ro_ins, *rw_ins)
+        outs = invoke(
+            codes.astype(jnp.int32), flags, *prefetch, *ro_ins, *rw_ins
+        )
 
         if self._samplerun:
             r, mom_o, energy, weight, hist, uhist, tpm, wf_o, wi_o = outs

@@ -98,6 +98,11 @@ class SamplerState(NamedTuple):
     key: jnp.ndarray          # [W,2] uint32 per-walker RNG
     shared_key: jnp.ndarray   # [2] uint32 (move-type schedule stream)
 
+    # observability: total non-finite per-walker delta entries zeroed
+    # by the delta-sync defence (engine._delta_merge) - should stay 0;
+    # surfaced in the monitor block so silent drops are visible
+    dropped: jnp.ndarray      # int32 scalar
+
 
 class EngineAux(NamedTuple):
     """Init-time derived constants closed over by the engine."""
@@ -107,6 +112,12 @@ class EngineAux(NamedTuple):
                                #   chain-sync anchor, model ref_hmatrix)
     ref_enthalpy: jnp.ndarray  # [L] (main.f90:146-150)
     log_unbiased_norm: float   # (mc_init:778-806)
+
+    # candidate-reduction fast path (ops/nbrtable.py); None/0 = off
+    nbr_tbl: np.ndarray | None = None  # [L,N,M] int32, sentinel N
+    frac0: np.ndarray | None = None    # [L,3,N] static reference
+                                       #   fractional coordinates
+    wall: float = 0.0                  # displacement wall (Bohr)
 
 
 def assign_windows(prm: RunParams, grid: BinGrid, n_windows: int):
@@ -249,14 +260,14 @@ def init_state(
     weight = jnp.broadcast_to(
         jnp.asarray(weight0, dtype=dtype)[:, None], (B, W)
     )
-    if prm.parallel_strategy == "dd" and nwin > 1:
-        # keep only each window's portion of warm-start weights
-        # (mc_init:808-814)
-        bin_ids = np.arange(B)
-        winmask = (bin_ids[:, None] >= sb[None, :]) & (
-            bin_ids[:, None] <= eb[None, :]
-        )
-        weight = weight * jnp.asarray(winmask, dtype=dtype)
+    # NOTE: the reference masks warm-start weights to each rank's
+    # window (mc_init:808-814).  Here the FULL global curve is kept in
+    # every walker: WL updates only ever touch in-window bins (the
+    # eta wall confines the walker), and the unmasked curve is what
+    # lets pre-window walkers diffuse across a flat landscape to
+    # far-tail windows during equilibration (window seeding,
+    # engine._eta).  With a cold start (weights zero) this is
+    # identical to the reference.
 
     log_norm = compute_log_unbiased_norm(prm, grid, weight0, W)
 
@@ -304,11 +315,42 @@ def init_state(
         cycle=jnp.asarray(0, dtype=jnp.int32),
         key=walker_keys,
         shared_key=shared_key,
+        dropped=jnp.asarray(0, dtype=jnp.int32),
     )
+    # candidate-reduction fast path: static neighbour tables + wall
+    # (ops/nbrtable.py), when the geometry allows it
+    from ..ops.dense import reduced_shift_set
+    from ..ops.nbrtable import build_nbr_tables, mic_unique
+
+    nbr_tbl, frac0, wall = None, None, 0.0
+    want_tbl = prm.nbr_table == "on" or (
+        prm.nbr_table == "auto" and N >= 96
+    )
+    if want_tbl and prm.trans_wall > 0.0:
+        r0n, H0n = np.asarray(r0, np.float64), np.asarray(H0, np.float64)
+        mic_ok = mic_unique(H0n, model) and (
+            len(reduced_shift_set(H0n, model)) == 1
+        )
+        if mic_ok:
+            wall = float(prm.trans_wall)
+            nbr_tbl = build_nbr_tables(r0n, H0n, model, wall)
+            frac0 = np.stack([
+                r0n[l] @ np.linalg.inv(H0n[l]).T for l in range(L)
+            ]).transpose(0, 2, 1)                       # [L,3,N]
+        elif prm.nbr_table == "on":
+            raise ValueError(
+                "nbr_table='on' requires a MIC-unique box (all "
+                "perpendicular widths > 2*rc) with a single residual "
+                "image shift; use nbr_table='auto' or 'off'"
+            )
+
     aux = EngineAux(
         shifts=shifts,
         ref_h=H0,
         ref_enthalpy=ref_enth.astype(dtype),
         log_unbiased_norm=log_norm,
+        nbr_tbl=nbr_tbl,
+        frac0=frac0,
+        wall=wall,
     )
     return state, aux

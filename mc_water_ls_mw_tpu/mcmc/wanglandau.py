@@ -104,6 +104,13 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
             logs.my(f"# Overlap bins spanned per move: min "
                     f"{mn.min() * span:12.6f} max {mx.max() * span:12.6f}")
 
+    # delta-sync health: entries zeroed by the non-finite guard
+    # (engine._delta_merge) indicate a poisoned walker upstream
+    n_drop = int(np.asarray(state.dropped))
+    if n_drop > 0:
+        logs.my(f"# WARNING: delta-sync dropped {n_drop} non-finite "
+                "weight/histogram entries (poisoned walker?)")
+
     # energy drift audit + heal (mc_monitor_stats:1781-1792)
     state, drift = eng.audit_energy(state)
     drift = np.asarray(drift) * HART_TO_EV                   # [L,W]

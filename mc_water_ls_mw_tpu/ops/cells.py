@@ -298,7 +298,7 @@ def build_grid(n: tuple, cap: int, H_list, model, mismatch: float,
 
 
 def cap_for_positions(r0, H0, n: tuple, m: int = 2,
-                      samples: int = 8, margin: float = 1.3) -> int:
+                      samples: int = 32, margin: float = 1.3) -> int:
     """Slot capacity from the ACTUAL initial configuration: worst
     fine-cell occupancy over sampled random grid origins (crystals
     bin far less uniformly than the mean - lattice planes align with
@@ -333,7 +333,13 @@ def cap_for_positions(r0, H0, n: tuple, m: int = 2,
         mx = max(mx, int(np.bincount(
             cid, minlength=int(nf.prod())
         ).max()))
-    return max(4, int(-(-mx * margin // 4) * 4))
+    # next multiple of 4 STRICTLY above margin*max_occ + 1: a long run
+    # with thermal disorder plus an unlucky rebin origin must degrade
+    # gracefully (occupancy drifts above the crystal's) rather than
+    # kill a multi-day run at the overflow audit; cell_cap in the &tpu
+    # namelist remains the explicit recovery knob
+    need = int(np.floor(mx * margin)) + 2
+    return max(4, -(-need // 4) * 4)
 
 
 def cell_of_frac(grid: CellGrid, f, origin, level: str = "coarse"):
