@@ -37,6 +37,24 @@ def restart_available(directory=".") -> bool:
     return any(os.path.exists(p) for p in checkpoint_paths(directory))
 
 
+def state_fingerprint(state) -> str:
+    """Layout fingerprint of a state pytree: engine kind + every
+    field's (name, shape, dtype).  Shapes pin nbins / n_walkers /
+    nwater / num_lattices implicitly; the kind separates the dense
+    SamplerState from the large-N CellState slab layout.  A restore
+    is positional by leaf index, so any layout drift MUST be refused
+    rather than mis-loaded."""
+    fields = [
+        [name, list(np.shape(leaf)), str(np.asarray(leaf).dtype)]
+        for name, leaf in zip(type(state)._fields, state)
+    ]
+    import json
+
+    return json.dumps(
+        {"kind": type(state).__name__, "fields": fields}
+    )
+
+
 class CheckpointWriter:
     """Alternating-slot writer (mc_checkpoint_write:336-350)."""
 
@@ -47,6 +65,9 @@ class CheckpointWriter:
     def write(self, state: SamplerState):
         leaves, treedef = jax.tree.flatten(state)
         arrays = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays["__fingerprint__"] = np.frombuffer(
+            state_fingerprint(state).encode(), dtype=np.uint8
+        )
         path = _slot_path(self.directory, self.slot)
         # atomic within the slot: write then rename
         fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
@@ -59,14 +80,28 @@ class CheckpointWriter:
 
 def load_checkpoint(template: SamplerState, directory="."):
     """Probe both slots, restore the newer readable one
-    (mc_checkpoint_load:417-448).  Returns (state, cycle) or None."""
+    (mc_checkpoint_load:417-448).  Returns (state, cycle) or None.
+
+    A slot whose stored fingerprint disagrees with the template's
+    (different nbins / n_walkers / nwater / engine kind / dtype) is an
+    incompatible run configuration: refused with a clear error instead
+    of a cryptic positional mis-load."""
     leaves_t, treedef = jax.tree.flatten(template)
+    want_fp = state_fingerprint(template)
     candidates = []
+    mismatches = []
     for path in checkpoint_paths(directory):
         if not os.path.exists(path):
             continue
         try:
             with np.load(path) as data:
+                if "__fingerprint__" in data:
+                    got_fp = bytes(
+                        data["__fingerprint__"].tobytes()
+                    ).decode()
+                    if got_fp != want_fp:
+                        mismatches.append((path, got_fp))
+                        continue
                 leaves = [data[f"leaf{i}"] for i in range(len(leaves_t))]
             state = jax.tree.unflatten(treedef, [
                 np.asarray(l) for l in leaves
@@ -75,6 +110,16 @@ def load_checkpoint(template: SamplerState, directory="."):
         except Exception:
             continue
     if not candidates:
+        if mismatches:
+            path, got_fp = mismatches[-1]
+            raise RuntimeError(
+                f"checkpoint {path} was written by an incompatible "
+                f"run configuration and cannot be restored.\n"
+                f"  expected: {want_fp}\n  found:    {got_fp}\n"
+                "Remove the checkpoint files to start fresh, or "
+                "restore the original nbins/n_walkers/nwater/engine "
+                "settings."
+            )
         return None
     candidates.sort(key=lambda c: c[0])
     cycle, path, state = candidates[-1]

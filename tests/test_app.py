@@ -62,6 +62,71 @@ def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
     assert "delta G" in log
 
 
+def test_sample_dd_end_to_end(tmp_path, examples_dir):
+    """ice1_sample_dd through the full driver: dd mu-window
+    decomposition on the dense engine, stitched curve output
+    (comms_join_eta / comms_join_uhist semantics,
+    examples/ice1_sample_dd/ice.input final namelist)."""
+    inp = _stage(tmp_path, examples_dir, "ice1_sample_dd")
+    cwd = os.getcwd()
+    try:
+        run_input_file(
+            inp,
+            overrides={**OVR, "n_walkers": 8, "n_windows": 4},
+            max_cycles=50,
+        )
+    finally:
+        os.chdir(cwd)
+    # stitched full-grid unbiased histogram: every bin present, finite
+    uh = np.loadtxt(tmp_path / "unbiased_histogram.dat")
+    assert uh.shape[0] == 101
+    assert np.isfinite(uh).all()
+    # per-window histogram curves (reference writes per-rank windows)
+    for w in range(4):
+        assert (tmp_path / f"histogram_{w:03d}.dat").exists()
+    log = (tmp_path / "mc.log").read_text()
+    assert "delta G" in log
+
+
+def test_gen_weights_dd_end_to_end(tmp_path, examples_dir):
+    """ice1_gen_weights_dd: WL weight refinement with per-window
+    flatness + overlap-matched stitching of the merged eta curve."""
+    inp = _stage(tmp_path, examples_dir, "ice1_gen_weights_dd")
+    cwd = os.getcwd()
+    try:
+        run_input_file(
+            inp,
+            overrides={**OVR, "n_walkers": 8, "n_windows": 4},
+            max_cycles=50,
+        )
+    finally:
+        os.chdir(cwd)
+    from mc_water_ls_mw_tpu.io.writers import read_eta_weights
+
+    f, w = read_eta_weights(str(tmp_path / "eta_weights.dat"))
+    w = np.asarray(w)
+    assert len(w) == 101
+    assert np.isfinite(w).all()
+    assert w.max() > 0                    # weights grew in-window
+
+
+def test_checkpoint_fingerprint_mismatch(tmp_path, examples_dir):
+    """A checkpoint from an incompatible configuration must be
+    REFUSED with a clear error, not positionally mis-loaded
+    (io/checkpoint.py fingerprint)."""
+    inp = _stage(tmp_path, examples_dir, "ice1_sample")
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides={**OVR}, max_cycles=20)
+        # restart with a different walker count -> layout mismatch
+        with pytest.raises(RuntimeError, match="incompatible"):
+            run_input_file(
+                inp, overrides={**OVR, "n_walkers": 8}, max_cycles=20
+            )
+    finally:
+        os.chdir(cwd)
+
+
 def test_gen_weights_run(tmp_path, examples_dir):
     inp = _stage(tmp_path, examples_dir, "ice1_gen_weights")
     cwd = os.getcwd()
