@@ -73,6 +73,7 @@ from ..ops.cell_energy import (
     slab_full_energy,
 )
 from ..ops.dense import Moments
+from ..ops.dsfloat import DS, ds_value, ds_zeros
 from ..ops.geometry import determinant3, recip_matrix
 from .bins import BinGrid, mu_to_bin
 from .config import RunParams
@@ -114,7 +115,8 @@ class CellState(NamedTuple):
     origin: jnp.ndarray       # [3] fractional grid origin (shared)
     occ_overflow: jnp.ndarray  # [W] int32 max(occupancy-cap) observed
 
-    # multicanonical state (same as SamplerState)
+    # multicanonical state (same delta-split layout as SamplerState:
+    # per-walker growth since sync + double-single master totals)
     weight: jnp.ndarray
     hist: jnp.ndarray
     uhist: jnp.ndarray
@@ -123,9 +125,9 @@ class CellState(NamedTuple):
     invt_active: jnp.ndarray
     firstcycle: jnp.ndarray
     histogram_reset: jnp.ndarray
-    snap_eta: jnp.ndarray
-    snap_hist: jnp.ndarray
-    snap_uhist: jnp.ndarray
+    master_eta: DS
+    master_hist: DS
+    master_uhist: DS
     window_id: jnp.ndarray
     my_mu_min: jnp.ndarray
     my_mu_max: jnp.ndarray
@@ -573,6 +575,14 @@ class CellEngine(Engine):
     # batched Wang-Landau update for K recorded trials
     # ------------------------------------------------------------------
 
+    def _wl_healthy(self, s) -> jnp.ndarray:
+        """Volume moves run the inherited Engine._wl_update; extend
+        its health gate with the slab-overflow audit so a corrupt
+        walker (two molecules sharing a slot after an overflowing
+        rebin) never contributes to the SHARED WL arrays before the
+        block-boundary abort (see _wl_update_batch)."""
+        return super()._wl_healthy(s) & (s.occ_overflow == 0)
+
     def _wl_update_batch(self, s: CellState, mu_t, enabled_t):
         """mc_update_wl_bins (mc_moves.F90:1597-1689) applied to the K
         trials of one colour sub-step in a single batched scatter.
@@ -629,11 +639,13 @@ class CellEngine(Engine):
         any_upd = jnp.any(upd > 0, axis=0)
         if prm.wl_swetnam:
             # Swetnam RMS-flatness f recomputed once per sub-step from
-            # the post-batch histogram (mc_moves.F90:1636-1653)
+            # the post-batch TOTAL histogram (delta + master base;
+            # mc_moves.F90:1636-1653)
             sumh = s.sumhist + jnp.sum(upd, axis=0)
+            hist_tot = hist + ds_value(s.master_hist)[s.window_id].T
             binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
-                hist * grid.binwidth[:, None]
+                hist_tot * grid.binwidth[:, None]
                 / jnp.maximum(sumh, 1.0)[None, :]
                 - binfrac[:, None]
             )
@@ -1021,12 +1033,6 @@ def init_cell_state(
         np.zeros(B) if weight0 is None
         else np.asarray(weight0, dtype=np.float64)
     )
-    winmask_np = None
-    if prm.parallel_strategy == "dd" and nwin > 1:
-        bin_ids = np.arange(B)
-        winmask_np = (bin_ids[:, None] >= sb[None, :]) & (
-            bin_ids[:, None] <= eb[None, :]
-        )
     log_norm = compute_log_unbiased_norm(prm, grid, weight0_np, W)
     ref_override = None
     if any(abs(x) > 1e-300 for x in prm.input_ref_enthalpy[:L]):
@@ -1087,11 +1093,15 @@ def init_cell_state(
         else:
             mu0 = jnp.zeros((W,), dtype=dtype)
 
-        weight = jnp.broadcast_to(
-            jnp.asarray(weight0_np, dtype=dtype)[:, None], (B, W)
+        # warm-start weights load into the master rows (full global
+        # curve in every row - window seeding, see state.init_state);
+        # per-walker arrays hold only growth since the last sync
+        master_eta = DS(
+            jnp.broadcast_to(
+                jnp.asarray(weight0_np, dtype=dtype), (nwin, B)
+            ),
+            jnp.zeros((nwin, B), dtype=dtype),
         )
-        if winmask_np is not None:
-            weight = weight * jnp.asarray(winmask_np, dtype=dtype)
 
         key = jax.random.PRNGKey(prm.seed)
         shared_key, wkey = jax.random.split(key)
@@ -1108,7 +1118,7 @@ def init_cell_state(
             ),
             origin=jnp.zeros(3, dtype=dtype),
             occ_overflow=jnp.zeros((W,), dtype=jnp.int32),
-            weight=weight,
+            weight=jnp.zeros((B, W), dtype=dtype),
             hist=jnp.zeros((B, W), dtype=dtype),
             uhist=jnp.zeros((B, W), dtype=dtype),
             f=jnp.full((W,), prm.wl_factor, dtype=dtype),
@@ -1116,11 +1126,9 @@ def init_cell_state(
             invt_active=jnp.zeros((W,), dtype=bool),
             firstcycle=jnp.ones((W,), dtype=bool),
             histogram_reset=jnp.zeros((W,), dtype=bool),
-            snap_eta=jnp.broadcast_to(
-                jnp.asarray(weight0_np, dtype=dtype), (nwin, B)
-            ),
-            snap_hist=jnp.zeros((nwin, B), dtype=dtype),
-            snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
+            master_eta=master_eta,
+            master_hist=ds_zeros((nwin, B), dtype=dtype),
+            master_uhist=ds_zeros((nwin, B), dtype=dtype),
             window_id=jnp.asarray(wid),
             my_mu_min=jnp.asarray(lo, dtype=dtype),
             my_mu_max=jnp.asarray(hi, dtype=dtype),

@@ -51,6 +51,7 @@ from ..ops.dense import (
     local_energies_batch,
     reduced_shift_set,
 )
+from ..ops.dsfloat import ds_add, ds_sub, ds_value, ds_where
 from .bins import ETA_WALL, BinGrid, mu_to_bin
 from .config import RunParams
 from .state import EngineAux, SamplerState
@@ -131,6 +132,9 @@ class Engine:
             self.pallas_full_energy = FullEnergyPallas(
                 model, self.fold_shifts, mesh=mesh
             )
+        # injectable RNG stream (None = production threefry); see
+        # set_recorded_stream
+        self.rec = None
         # jitted entry points
         self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
         self.sync_all = jax.jit(self._sync_all)
@@ -140,6 +144,34 @@ class Engine:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def set_recorded_stream(self, codes, u):
+        """Drive the chain from a RECORDED uniform stream instead of
+        threefry - the cross-implementation parity oracle mode
+        (SURVEY.md §7 step 4; BASELINE.json north star 'energies match
+        ... under identical RNG streams'; the stream being replayed
+        mimics the role of the reference's random_uniform_random,
+        random.f90:87-102).
+
+        codes: [C, N] int32 per-cycle move-type codes (TRANS/SWITCH/
+               NOOP; recorded VOL moves are not supported - volume
+               moves draw extra shape uniforms internally)
+        u:     [C, N, 7] per-move uniforms
+               (imol, dir x3, magnitude, accept, switch)
+
+        Every walker consumes the same stream, so this mode is meant
+        for W=1 chains replayed against an independent implementation
+        (tests/oracle.py mc_chain).  Cycles beyond C wrap around.
+        Call before the first run_cycles (the flag is a compile-time
+        constant).
+        """
+        codes = jnp.asarray(codes, jnp.int32)
+        u = jnp.asarray(u)
+        assert codes.ndim == 2 and u.ndim == 3 and u.shape[2] == 7
+        assert codes.shape == u.shape[:2]
+        assert not bool((codes == VOL).any()), \
+            "recorded VOL moves unsupported"
+        self.rec = (codes, u)
 
     def _dtype(self, s: SamplerState):
         return s.r.dtype
@@ -166,12 +198,24 @@ class Engine:
             mu = mu - self.aux.ref_enthalpy[0] + self.aux.ref_enthalpy[1]
         return mu * prm.beta - prm.nwater * jnp.log(volume[0] / volume[1])
 
+    def _weight_total(self, s: SamplerState):
+        """Per-walker view of the CURRENT weight curve: merged master
+        (per-window double-single rows, ops/dsfloat.py) + this
+        walker's growth since the last sync.  [B, W]."""
+        base = ds_value(s.master_eta)                  # [nwin, B]
+        return s.weight + base[s.window_id].T
+
+    def _hist_total(self, s: SamplerState):
+        """Same view for the visits histogram (Swetnam f)."""
+        base = ds_value(s.master_hist)
+        return s.hist + base[s.window_id].T
+
     def _eta(self, s: SamplerState, mu):
         """Multicanonical weight eta(mu) per walker (batched form of
         bins.eta_weight; reference mc_moves.F90:893-964)."""
         prm, grid = self.prm, self.grid
         B = grid.nbins
-        weight = s.weight                              # [B, W]
+        weight = self._weight_total(s)                 # [B, W]
         k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)    # [W]
 
         if not prm.eta_interp:
@@ -216,6 +260,12 @@ class Engine:
     # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
     # ------------------------------------------------------------------
 
+    def _wl_healthy(self, s) -> jnp.ndarray:
+        """[W] bool gate for writes into the SHARED WL arrays; engine
+        layouts extend it (the cell engine adds its slab-overflow
+        audit so corrupt walkers never reach the merged masters)."""
+        return jnp.all(jnp.isfinite(s.energy), axis=0)
+
     def _wl_update(self, s: SamplerState, enabled=True) -> SamplerState:
         prm, grid = self.prm, self.grid
         if prm.num_lattices != 2:
@@ -229,7 +279,7 @@ class Engine:
         # health gate: a walker with non-finite energies must not
         # write into the SHARED WL arrays (it would pump weight at its
         # stale mu bin until the merge poisons every walker)
-        healthy = jnp.all(jnp.isfinite(s.energy), axis=0)
+        healthy = self._wl_healthy(s)
         k = mu_to_bin(grid, s.mu)
         in_grid = (k >= 0) & (k < B)                       # (1619)
         kc = jnp.clip(k, 0, B - 1)
@@ -257,11 +307,13 @@ class Engine:
         f = s.f
         sumh = s.sumhist
         if prm.wl_swetnam:
-            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653)
+            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653), from
+            # the TOTAL histogram view (master + own delta)
             sumh = s.sumhist + upd
+            hist_tot = hist + ds_value(s.master_hist)[s.window_id].T
             binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
-                hist * grid.binwidth[:, None]
+                hist_tot * grid.binwidth[:, None]
                 / jnp.maximum(sumh, 1.0)[None, :]
                 - binfrac[:, None]
             )
@@ -659,70 +711,82 @@ class Engine:
     # delta-sync collectives (comms_mpi.f90:244-530)
     # ------------------------------------------------------------------
 
-    def _delta_merge(self, arr, snap, window_id, nwin):
+    def _delta_merge(self, delta, master, window_id, nwin):
         """Delta-allreduce over walkers sharing a mu-window.
 
-        arr: [B, W]; snap: [nwin, B].  Each walker contributes only its
-        growth since the last sync (comms_allreduce_eta,
-        comms_mpi.f90:256-270); the sum over the sharded walker axis
-        becomes a cross-chip collective under a mesh.
+        delta: [B, W] per-walker growth since the last sync (the
+        per-walker array IS the delta in the delta-split layout);
+        master: DS [nwin, B] double-single running totals
+        (ops/dsfloat.py).  The sum over the sharded walker axis becomes
+        a cross-chip collective under a mesh (comms_allreduce_eta,
+        comms_mpi.f90:256-270).
         """
-        snap_w = snap.T[:, window_id]                        # [B, W]
-        delta = (arr - snap_w).T                             # [W, B]
+        d = delta.T                                          # [W, B]
         # defense in depth: a single poisoned walker must never
         # poison the SHARED arrays - its non-finite growth is dropped
         # (per-move health gates should prevent this ever firing; see
         # the f32 cutoff-edge incident in ops/dense._DENOM_CLAMP).
         # Drops are COUNTED so regression of the upstream gates is
         # observable in the monitor block instead of silently masked.
-        finite = jnp.isfinite(delta)
+        finite = jnp.isfinite(d)
         n_bad = jnp.sum(~finite, dtype=jnp.int32)
-        delta = jnp.where(finite, delta, 0.0)
-        tot = jax.ops.segment_sum(delta, window_id, num_segments=nwin)
-        new_snap = snap + tot                                # [nwin, B]
-        return new_snap.T[:, window_id], new_snap, n_bad
+        d = jnp.where(finite, d, 0.0)
+        tot = jax.ops.segment_sum(d, window_id, num_segments=nwin)
+        return ds_add(master, tot), n_bad
+
+    def _window_mask(self, s: SamplerState):
+        """Static [nwin, B] in-window bin mask, derived from the
+        per-walker window bounds (all walkers of a window share them)."""
+        nwin = s.master_eta.hi.shape[0]
+        B = self.grid.nbins
+        sbw = jax.ops.segment_min(
+            s.start_bin, s.window_id, num_segments=nwin
+        )
+        ebw = jax.ops.segment_max(
+            s.end_bin, s.window_id, num_segments=nwin
+        )
+        bin_ids = jnp.arange(B)[None, :]
+        return (bin_ids >= sbw[:, None]) & (bin_ids <= ebw[:, None])
 
     def _sync_all(self, s: SamplerState) -> SamplerState:
         """Synchronise weights + histograms across walkers
-        (mc_cycle:258-278)."""
+        (mc_cycle:258-278): fold every walker's growth into the
+        double-single master rows, re-zero the per-walker deltas."""
         prm = self.prm
         if prm.num_lattices != 2:
             return s
-        nwin = s.snap_eta.shape[0]
-        weight, snap_eta, bad_w = self._delta_merge(
-            s.weight, s.snap_eta, s.window_id, nwin
+        nwin = s.master_eta.hi.shape[0]
+        m_eta, bad_w = self._delta_merge(
+            s.weight, s.master_eta, s.window_id, nwin
         )
         if not prm.samplerun:
             # Re-zero the merged window minimum (uniform in-window
-            # shift: statistically neutral, eta differences unchanged).
-            # Without this the per-walker min-shifts of the WL update
-            # (mc_moves.F90:1680-1685) enter the delta sums and the
-            # merged baseline amplifies by ~(W-1) every sync once all
-            # bins are visited - harmless at the reference's 8 ranks
-            # in f64, divergent at 10^3-10^4 walkers in f32.
-            B = self.grid.nbins
-            bin_ids = jnp.arange(B)[:, None]
-            winmask = (bin_ids >= s.start_bin[None, :]) & (
-                bin_ids <= s.end_bin[None, :]
+            # shift: statistically neutral, eta differences unchanged;
+            # mc_moves.F90:1680-1685 deferred to syncs - see the
+            # _wl_update note).  Exact in double-single; out-of-window
+            # bins (the warm-start seeding curve) stay untouched.
+            winmask = self._window_mask(s)               # [nwin, B]
+            val = ds_value(m_eta)
+            minv = jnp.min(
+                jnp.where(winmask, val, jnp.inf), axis=1, keepdims=True
             )
-            minv = jnp.min(jnp.where(winmask, weight, jnp.inf), axis=0)
-            weight = jnp.where(winmask, weight - minv[None, :], weight)
-            snap_eta = jax.ops.segment_min(
-                weight.T, s.window_id, num_segments=nwin
-            )
-        hist, snap_hist, bad_h = self._delta_merge(
-            s.hist, s.snap_hist, s.window_id, nwin
+            minv = jnp.where(jnp.isfinite(minv), minv, 0.0)
+            m_eta = ds_where(winmask, ds_sub(m_eta, minv), m_eta)
+        m_hist, bad_h = self._delta_merge(
+            s.hist, s.master_hist, s.window_id, nwin
         )
         s = s._replace(
-            weight=weight, hist=hist, snap_eta=snap_eta,
-            snap_hist=snap_hist,
+            weight=jnp.zeros_like(s.weight),
+            hist=jnp.zeros_like(s.hist),
+            master_eta=m_eta, master_hist=m_hist,
             dropped=s.dropped + bad_w + bad_h,
         )
         if prm.samplerun:
-            uhist, snap_uhist, bad_u = self._delta_merge(
-                s.uhist, s.snap_uhist, s.window_id, nwin
+            m_uhist, bad_u = self._delta_merge(
+                s.uhist, s.master_uhist, s.window_id, nwin
             )
-            s = s._replace(uhist=uhist, snap_uhist=snap_uhist,
+            s = s._replace(uhist=jnp.zeros_like(s.uhist),
+                           master_uhist=m_uhist,
                            dropped=s.dropped + bad_u)
         return s
 
@@ -818,19 +882,39 @@ class Engine:
 
         # move-type schedule for this cycle: shared stream
         ck = jax.random.fold_in(s.shared_key, cycle)
-        xi = jax.random.uniform(ck, (N,), dtype=dtype)
-        transP, volP, swP = self.probs
-        codes = jnp.where(
-            xi < transP, TRANS,
-            jnp.where(xi < volP, VOL, jnp.where(xi < swP, SWITCH, NOOP)),
-        )
+        if self.rec is not None:
+            # injectable recorded stream (set_recorded_stream): the
+            # per-cycle schedule comes from the recorded codes array,
+            # indexed by the (traced) cycle counter
+            rec_codes, rec_u = self.rec
+            ci = jnp.mod(cycle - 1, rec_codes.shape[0])
+            codes = jnp.take(rec_codes, ci, axis=0)          # [N]
+        else:
+            xi = jax.random.uniform(ck, (N,), dtype=dtype)
+            transP, volP, swP = self.probs
+            codes = jnp.where(
+                xi < transP, TRANS,
+                jnp.where(xi < volP, VOL,
+                          jnp.where(xi < swP, SWITCH, NOOP)),
+            )
         # shared molecule schedule (table mode): the per-step molecule
         # index, common to all walkers, from its own shared substream
         if self.tbl is not None:
-            mk = jax.random.fold_in(ck, 0x6d6f6c)
-            sched_mol = jax.random.randint(
-                mk, (N,), 0, N, dtype=jnp.int32
-            )
+            if self.rec is not None:
+                # recorded mode: the molecule pick comes from the
+                # recorded imol slot so the scan path (imol_shared) and
+                # a replaying oracle agree move-for-move
+                sched_mol = jnp.minimum(
+                    (jnp.take(rec_u, ci, axis=0)[:, 0] * N).astype(
+                        jnp.int32
+                    ),
+                    N - 1,
+                )
+            else:
+                mk = jax.random.fold_in(ck, 0x6d6f6c)
+                sched_mol = jax.random.randint(
+                    mk, (N,), 0, N, dtype=jnp.int32
+                )
         else:
             sched_mol = None
 
@@ -852,12 +936,21 @@ class Engine:
         # the whole cycle's per-walker uniforms in one threefry call:
         # [N, 7, W] (slots: imol, direction x3, magnitude, accept,
         # switch); per-step small RNG kernels are dispatch-bound
-        cycle_u = jax.vmap(
-            lambda k: jax.random.uniform(
-                jax.random.fold_in(k, cycle), (N, 7), dtype=dtype
-            ),
-            out_axes=2,
-        )(s.key)                                         # [N,7,W]
+        if self.rec is not None:
+            # recorded stream: every walker consumes the SAME per-move
+            # uniforms (the parity-oracle mode is meant for W=1;
+            # BASELINE.json 'identical RNG streams')
+            cycle_u = jnp.broadcast_to(
+                jnp.take(rec_u, ci, axis=0).astype(dtype)[:, :, None],
+                (N, 7, W),
+            )
+        else:
+            cycle_u = jax.vmap(
+                lambda k: jax.random.uniform(
+                    jax.random.fold_in(k, cycle), (N, 7), dtype=dtype
+                ),
+                out_axes=2,
+            )(s.key)                                     # [N,7,W]
 
         if self.use_fused:
             # the whole N-step hot loop in one Pallas kernel with the

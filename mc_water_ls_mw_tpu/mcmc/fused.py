@@ -50,6 +50,7 @@ from ..ops.dense import (
     _mic_fold,
     _pair,
 )
+from ..ops.dsfloat import ds_value
 from .bins import ETA_WALL, BinGrid, mu_to_bin
 from .config import RunParams
 
@@ -102,6 +103,15 @@ class FusedCycle:
         # used by the equivalence tests
         self.interpret = jax.default_backend() == "cpu"
         self._samplerun = prm.samplerun and prm.num_lattices == 2
+        # delta-split WL layout (ops/dsfloat.py): the kernel needs the
+        # read-only master-total base slabs for eta lookups (always,
+        # with two lattices) and for the Swetnam flatness term
+        self._need_bw = prm.num_lattices == 2
+        self._need_bh = (
+            prm.num_lattices == 2
+            and prm.wl_swetnam
+            and not prm.samplerun
+        )
         # candidate-reduction table mode (ops/nbrtable.py)
         self.tbl = getattr(aux, "nbr_tbl", None)
         if self.tbl is not None:
@@ -287,14 +297,19 @@ class FusedCycle:
         # (window seeding; see engine._eta)
         return jnp.where(in_window, walled, eta)
 
-    def _eta_of(self, wgt, wf, wi, mu, binw, mub):
+    def _eta_of(self, wgt, basew, wf, wi, mu, binw, mub):
+        # TOTAL weight view: per-walker delta slab + the read-only
+        # master base (delta-split layout, ops/dsfloat.py / engine
+        # _weight_total).  Increments land on the small delta slab;
+        # the base is frozen for the whole cycle (masters only move at
+        # delta-syncs, which happen outside the kernel).
         return self._eta(
-            wgt[...], mu, wf[WF_MU_MIN], wf[WF_MU_MAX],
+            wgt[...] + basew[...], mu, wf[WF_MU_MIN], wf[WF_MU_MAX],
             wi[WI_START], wi[WI_END], wi[WI_INWIN] != 0, binw, mub,
         )
 
-    def _wl_update(self, e, wgt, hist, uh, wf, wi, binw, mub,
-                   wl_active, cyc_f, enabled):
+    def _wl_update(self, e, wgt, basew, hist, baseh, uh, wf, wi, binw,
+                   mub, wl_active, cyc_f, enabled):
         """Per-move WL update on refs (engine._wl_update;
         mc_update_wl_bins, mc_moves.F90:1597-1689)."""
         prm, grid = self.prm, self.grid
@@ -322,7 +337,7 @@ class FusedCycle:
         if self._samplerun:
             # unbiased histogram, frozen weights (1625-1632); mask
             # BEFORE the exp (eta wall would poison via exp(1e30)*0)
-            eta_val = self._eta_of(wgt, wf, wi, mu, binw, mub)
+            eta_val = self._eta_of(wgt, basew, wf, wi, mu, binw, mub)
             arg = jnp.where(upd > 0, eta_val - self.log_norm, -1.0)
             u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
             uh[...] = uh[...] + oh * u_incr[None, :]
@@ -330,10 +345,11 @@ class FusedCycle:
 
         f = wf[WF_F]
         if prm.wl_swetnam:
-            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653)
+            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653), from
+            # the TOTAL histogram view (delta slab + master base)
             sumh = wf[WF_SUMHIST] + upd
             wf[WF_SUMHIST, :] = sumh
-            h_now = hist[...]
+            h_now = hist[...] + baseh[...]
             binfrac = binw / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
                 h_now * binw / jnp.maximum(sumh, 1.0)[None, :] - binfrac
@@ -397,8 +413,8 @@ class FusedCycle:
                 transvec.append(list(v))
         return Hcs, transvec
 
-    def _trans_decision(self, vol, e, wgt, wf, wi, binw, mub, dE, ut,
-                        enabled, extra_ok=None):
+    def _trans_decision(self, vol, e, wgt, basew, wf, wi, binw, mub,
+                        dE, ut, enabled, extra_ok=None):
         """Acceptance rule of the translation move incl. the MINU
         variant (mc_moves.F90:1113-1146); shared between the dense and
         table paths.  Returns (accept, mu_new, dmu, ls_next)."""
@@ -410,8 +426,9 @@ class FusedCycle:
         if L == 2:
             dmu = (dE[0] - dE[1]) * prm.beta
             mu_new = mu + dmu                            # (1113)
-            eta_old = self._eta_of(wgt, wf, wi, mu, binw, mub)
-            eta_new = self._eta_of(wgt, wf, wi, mu_new, binw, mub)
+            eta_old = self._eta_of(wgt, basew, wf, wi, mu, binw, mub)
+            eta_new = self._eta_of(wgt, basew, wf, wi, mu_new, binw,
+                                   mub)
             dE_ls = jnp.where(ls == 0, dE[0], dE[1])
             diffkT = prm.beta * dE_ls + eta_new - eta_old  # (1116)
         else:
@@ -459,9 +476,9 @@ class FusedCycle:
         accept = enabled & ok & (ut[5] < jnp.exp(-diffkT))  # (1146)
         return accept, mu_new, dmu, ls_next
 
-    def _trans_bookkeeping(self, e, wgt, hist, uh, wf, wi, binw, mub,
-                           accept, mu_new, dmu, ls_next, dE, enabled,
-                           wl_active, cyc_f):
+    def _trans_bookkeeping(self, e, wgt, basew, hist, baseh, uh, wf,
+                           wi, binw, mub, accept, mu_new, dmu, ls_next,
+                           dE, enabled, wl_active, cyc_f):
         """Post-decision scalar-row updates + WL update, shared
         between the dense and table paths (mc_moves.F90:1113,
         1156-1159)."""
@@ -494,13 +511,13 @@ class FusedCycle:
             )
 
         self._wl_update(
-            e, wgt, hist, uh, wf, wi, binw, mub, wl_active, cyc_f,
-            enabled,
+            e, wgt, basew, hist, baseh, uh, wf, wi, binw, mub,
+            wl_active, cyc_f, enabled,
         )
 
-    def _do_translation(self, h, recip, vol, r, mom, e, wgt, hist, uh,
-                        tpm, wf, wi, binw, mub, ut, enabled,
-                        wl_active, cyc_f):
+    def _do_translation(self, h, recip, vol, r, mom, e, wgt, basew,
+                        hist, baseh, uh, tpm, wf, wi, binw, mub, ut,
+                        enabled, wl_active, cyc_f):
         """One masked translation step on refs (engine._translation;
         mc_water_translation, mc_moves.F90:966-1213)."""
         prm = self.prm
@@ -536,7 +553,7 @@ class FusedCycle:
         dE = [e_news[l] - e_olds[l] for l in range(L)]
 
         accept, mu_new, dmu, ls_next = self._trans_decision(
-            vol, e, wgt, wf, wi, binw, mub, dE, ut, enabled
+            vol, e, wgt, basew, wf, wi, binw, mub, dE, ut, enabled
         )
         acc_i = one_i & accept[None, :]
 
@@ -555,8 +572,8 @@ class FusedCycle:
         )
 
         self._trans_bookkeeping(
-            e, wgt, hist, uh, wf, wi, binw, mub, accept, mu_new, dmu,
-            ls_next, dE, enabled, wl_active, cyc_f,
+            e, wgt, basew, hist, baseh, uh, wf, wi, binw, mub, accept,
+            mu_new, dmu, ls_next, dE, enabled, wl_active, cyc_f,
         )
 
     # ------------------------------------------------------------------
@@ -645,9 +662,10 @@ class FusedCycle:
         e_new = pair_n + lam_eps * (e3i_n + e3j_n)
         return e_old, e_new, mm_eff, own_n
 
-    def _do_translation_tbl(self, h, recip, vol, r, mom, e, wgt, hist,
-                            uh, tpm, wf, wi, binw, mub, ut, enabled,
-                            wl_active, cyc_f, imol, tbl, frac0):
+    def _do_translation_tbl(self, h, recip, vol, r, mom, e, wgt, basew,
+                            hist, baseh, uh, tpm, wf, wi, binw, mub,
+                            ut, enabled, wl_active, cyc_f, imol, tbl,
+                            frac0):
         """Table-mode translation: the moved molecule is the SHARED
         scalar ``imol`` (sched stream), its candidates the static
         table rows, and proposals beyond the displacement wall are
@@ -730,7 +748,7 @@ class FusedCycle:
         dE = [e_news[l] - e_olds[l] for l in range(L)]
 
         accept, mu_new, dmu, ls_next = self._trans_decision(
-            vol, e, wgt, wf, wi, binw, mub, dE, ut, enabled,
+            vol, e, wgt, basew, wf, wi, binw, mub, dE, ut, enabled,
             extra_ok=in_wall,
         )
 
@@ -766,8 +784,8 @@ class FusedCycle:
         )
 
         self._trans_bookkeeping(
-            e, wgt, hist, uh, wf, wi, binw, mub, accept, mu_new, dmu,
-            ls_next, dE, enabled, wl_active, cyc_f,
+            e, wgt, basew, hist, baseh, uh, wf, wi, binw, mub, accept,
+            mu_new, dmu, ls_next, dE, enabled, wl_active, cyc_f,
         )
 
     def _do_switch(self, vol, e, wf, wi, zeta, enabled):
@@ -816,14 +834,18 @@ class FusedCycle:
         tblmode = self.tbl is not None
         n_rw = 7 if self._samplerun else 6   # r,mom,e,wgt,hist,(uh),tpm + wf,wi
         n_rw = n_rw + 2
+        n_pre = 5 if tblmode else 2
+        n_ro = 6 + int(self._need_bw) + int(self._need_bh)
+        head, rest = refs[:n_pre + n_ro], refs[n_pre + n_ro:]
         if tblmode:
-            (codes, flags, sched, tblr, frac0r,
-             h, recip, vol, u, binw_r, mub_r), rest = \
-                refs[:11], refs[11:]
+            codes, flags, sched, tblr, frac0r = head[:5]
         else:
-            (codes, flags, h, recip, vol, u, binw_r, mub_r), rest = \
-                refs[:8], refs[8:]
+            codes, flags = head[:2]
             sched = tblr = frac0r = None
+        ro = head[n_pre:]
+        h, recip, vol, u, binw_r, mub_r = ro[:6]
+        basew = ro[6] if self._need_bw else None
+        baseh = ro[7] if self._need_bh else None
         ins = rest[:n_rw]
         outs = rest[n_rw:2 * n_rw]
         mom_vmem, dma_sem = rest[2 * n_rw:]
@@ -874,14 +896,15 @@ class FusedCycle:
             ut = u[t]                                    # [RNG_SLOTS, W]
             if tblmode:
                 self._do_translation_tbl(
-                    h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf,
-                    wi, binw, mub, ut, code == TRANS, wl_active,
-                    cyc_f, sched[t], tblr, frac0r,
+                    h, recip, vol, r, mom, e, wgt, basew, hist, baseh,
+                    uh, tpm, wf, wi, binw, mub, ut, code == TRANS,
+                    wl_active, cyc_f, sched[t], tblr, frac0r,
                 )
             else:
                 self._do_translation(
-                    h, recip, vol, r, mom, e, wgt, hist, uh, tpm, wf,
-                    wi, binw, mub, ut, code == TRANS, wl_active, cyc_f,
+                    h, recip, vol, r, mom, e, wgt, basew, hist, baseh,
+                    uh, tpm, wf, wi, binw, mub, ut, code == TRANS,
+                    wl_active, cyc_f,
                 )
             if do_switch:
                 sw_en = code == SWITCH
@@ -961,6 +984,16 @@ class FusedCycle:
             rw_ins.append(s.uhist)
         rw_ins += [s.trans_per_mol, wf, wi]
         ro_ins = [s.h, s.recip, s.volume, cycle_u, binw, mub]
+        if self._need_bw:
+            # read-only master-total base slabs, gathered per walker
+            # (delta-split WL layout; engine._weight_total)
+            ro_ins.append(
+                ds_value(s.master_eta)[s.window_id].T.astype(dtype)
+            )
+        if self._need_bh:
+            ro_ins.append(
+                ds_value(s.master_hist)[s.window_id].T.astype(dtype)
+            )
         n_ro = len(ro_ins)
 
         tblmode = self.tbl is not None
@@ -1012,6 +1045,7 @@ class FusedCycle:
             in_specs = (
                 [wspec(a) for a in ro[:4]]
                 + [cspec(ro[4]), cspec(ro[5])]
+                + [wspec(a) for a in ro[6:]]   # base slabs [B,W]
                 + [rwspec(k, a) for k, a in enumerate(rw)]
             )
             mom_arr = rw[1]
@@ -1055,6 +1089,7 @@ class FusedCycle:
                     rep, rep,
                     *(rep for _ in prefetch),
                     *(pspec(a) for a in ro_ins[:4]), rep, rep,
+                    *(pspec(a) for a in ro_ins[6:]),
                     *(pspec(a) for a in rw_ins),
                 ),
                 out_specs=tuple(pspec(a) for a in rw_ins),

@@ -32,6 +32,7 @@ from ..ops.geometry import (
     recip_matrix,
 )
 from ..ops.dense import Moments
+from ..ops.dsfloat import DS, ds_zeros
 from .bins import BinGrid
 from .config import RunParams
 
@@ -57,21 +58,29 @@ class SamplerState(NamedTuple):
     # replacement for the reference's Verlet lists (ops/dense.py)
     moments: Moments          # ten fields, each [L,N,W]
 
-    # multicanonical state (mc_moves.F90:65-71)
-    weight: jnp.ndarray       # [B,W]
-    hist: jnp.ndarray         # [B,W]
-    uhist: jnp.ndarray        # [B,W]
+    # multicanonical state (mc_moves.F90:65-71).  DELTA-SPLIT layout:
+    # the per-walker [B,W] arrays hold only the GROWTH since the last
+    # delta-sync (zeroed at every merge), so increments always land on
+    # small, f32-resolvable accumulators; the running totals live in
+    # the per-window double-single masters below.  Round 1 stored full
+    # running totals here and the N=216 production run saturated at
+    # the f32 ULP ceiling (see ops/dsfloat.py).
+    weight: jnp.ndarray       # [B,W] WL weight growth since sync
+    hist: jnp.ndarray         # [B,W] histogram growth since sync
+    uhist: jnp.ndarray        # [B,W] unbiased-hist growth since sync
     f: jnp.ndarray            # [W] Wang-Landau modification factor
     sumhist: jnp.ndarray      # [W] (Swetnam accumulator)
     invt_active: jnp.ndarray  # [W] bool
     firstcycle: jnp.ndarray   # [W] bool (f never yet halved)
     histogram_reset: jnp.ndarray  # [W] bool (first-pass reset done)
 
-    # delta-sync snapshots, one per mu-window
-    # (comms_mpi.f90 eta/hist/uhist_last_sync)
-    snap_eta: jnp.ndarray     # [nwin,B]
-    snap_hist: jnp.ndarray    # [nwin,B]
-    snap_uhist: jnp.ndarray   # [nwin,B]
+    # merged MASTER totals, one row per mu-window, double-single f32
+    # (~48 mantissa bits; ops/dsfloat.py) - the role of the reference's
+    # f64 shared arrays + *_last_sync snapshots (comms_mpi.f90:244-530)
+    # collapsed into one: the per-walker arrays ARE the deltas
+    master_eta: DS            # [nwin,B] x2
+    master_hist: DS           # [nwin,B] x2
+    master_uhist: DS          # [nwin,B] x2
 
     # dd windows (mc_moves.F90:107-112); in 'mw' mode these span the
     # whole grid for every walker
@@ -257,17 +266,22 @@ def init_state(
 
     if weight0 is None:
         weight0 = np.zeros(B)
-    weight = jnp.broadcast_to(
-        jnp.asarray(weight0, dtype=dtype)[:, None], (B, W)
-    )
+    # Warm-start weights load into the MASTER rows; per-walker arrays
+    # start at zero (they hold only growth since the last sync).
     # NOTE: the reference masks warm-start weights to each rank's
-    # window (mc_init:808-814).  Here the FULL global curve is kept in
-    # every walker: WL updates only ever touch in-window bins (the
+    # window (mc_init:808-814).  Here every master row keeps the FULL
+    # global curve: WL updates only ever touch in-window bins (the
     # eta wall confines the walker), and the unmasked curve is what
     # lets pre-window walkers diffuse across a flat landscape to
     # far-tail windows during equilibration (window seeding,
     # engine._eta).  With a cold start (weights zero) this is
     # identical to the reference.
+    master_eta = DS(
+        jnp.broadcast_to(
+            jnp.asarray(weight0, dtype=dtype), (nwin, B)
+        ),
+        jnp.zeros((nwin, B), dtype=dtype),
+    )
 
     log_norm = compute_log_unbiased_norm(prm, grid, weight0, W)
 
@@ -285,7 +299,7 @@ def init_state(
         mu=mu0.astype(dtype),
         ls=jnp.asarray(ls0),
         moments=moments,
-        weight=weight,
+        weight=jnp.zeros((B, W), dtype=dtype),
         hist=jnp.zeros((B, W), dtype=dtype),
         uhist=jnp.zeros((B, W), dtype=dtype),
         f=jnp.full((W,), prm.wl_factor, dtype=dtype),
@@ -293,11 +307,9 @@ def init_state(
         invt_active=jnp.zeros((W,), dtype=bool),
         firstcycle=jnp.ones((W,), dtype=bool),
         histogram_reset=jnp.zeros((W,), dtype=bool),
-        snap_eta=jnp.broadcast_to(
-            jnp.asarray(weight0, dtype=dtype), (nwin, B)
-        ),
-        snap_hist=jnp.zeros((nwin, B), dtype=dtype),
-        snap_uhist=jnp.zeros((nwin, B), dtype=dtype),
+        master_eta=master_eta,
+        master_hist=ds_zeros((nwin, B), dtype=dtype),
+        master_uhist=ds_zeros((nwin, B), dtype=dtype),
         window_id=jnp.asarray(wid),
         my_mu_min=jnp.asarray(lo, dtype=dtype),
         my_mu_max=jnp.asarray(hi, dtype=dtype),

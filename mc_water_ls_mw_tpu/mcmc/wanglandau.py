@@ -18,7 +18,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import BOHR_TO_ANG, HART_TO_EV, HART_TO_KJPM, KB
-from ..parallel.windows import join_eta, join_uhist, per_window_curves
+from ..ops.dsfloat import ds_from64, ds_value64
+from ..parallel.windows import join_eta, join_uhist
 from ..io import writers
 from .bins import BinGrid
 from .config import RunParams
@@ -27,7 +28,17 @@ from .state import SamplerState
 
 
 def _nwin(state: SamplerState) -> int:
-    return state.snap_eta.shape[0]
+    return state.master_eta.hi.shape[0]
+
+
+def _window_bounds(state: SamplerState, nwin: int):
+    """Per-window (start_bin, end_bin) from the first walker of each
+    window (all walkers of a window share them)."""
+    wid = np.asarray(state.window_id)
+    sb = np.asarray(state.start_bin)
+    eb = np.asarray(state.end_bin)
+    first = np.array([np.nonzero(wid == w)[0][0] for w in range(nwin)])
+    return sb[first], eb[first]
 
 
 def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
@@ -130,31 +141,31 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
         max_dmu=jnp.zeros_like(state.max_dmu),
     )
 
-    # curve dumps (mc_monitor_stats:1813-1929)
+    # curve dumps (mc_monitor_stats:1813-1929).  After sync_all the
+    # per-walker deltas are zero and the double-single master rows
+    # hold the exact per-window totals (one row per mu-window), so
+    # they ARE the reference's per-rank curves.
     if prm.num_lattices == 2 and write_files:
         state = eng.sync_all(state)
         mu_bin = np.asarray(grid.mu_bin)
         f_all = np.asarray(state.f)
+        w_cur = ds_value64(state.master_eta)       # [nwin, B]
+        h_cur = ds_value64(state.master_hist)
+        u_cur = ds_value64(state.master_uhist)
         if prm.parallel_strategy == "mw" or _nwin(state) == 1:
             wl_f = float(f_all.max())
             if not prm.samplerun:
                 writers.write_curve("eta_weights.dat", mu_bin,
-                                    np.asarray(state.weight[:, 0]), wl_f)
-            writers.write_curve("histogram.dat", mu_bin,
-                                np.asarray(state.hist[:, 0]), wl_f)
+                                    w_cur[0], wl_f)
+            writers.write_curve("histogram.dat", mu_bin, h_cur[0], wl_f)
             writers.write_curve("unbiased_histogram.dat", mu_bin,
-                                np.asarray(state.uhist[:, 0]), wl_f)
+                                u_cur[0], wl_f)
         else:
             nwin = _nwin(state)
             wid = np.asarray(state.window_id)
-            sb = np.asarray(state.start_bin)
-            eb = np.asarray(state.end_bin)
-            w_cur = per_window_curves(np.asarray(state.weight).T, wid, nwin)
-            h_cur = per_window_curves(np.asarray(state.hist).T, wid, nwin)
-            u_cur = per_window_curves(np.asarray(state.uhist).T, wid, nwin)
+            sbw, ebw = _window_bounds(state, nwin)
             for w in range(nwin):
-                first = np.nonzero(wid == w)[0][0]
-                s, e = sb[first], eb[first] + 1
+                s, e = sbw[w], ebw[w] + 1
                 fv = float(f_all[wid == w].max())
                 writers.write_curve(f"eta_weights_{w:03d}.dat",
                                     mu_bin[s:e], w_cur[w][s:e], fv)
@@ -176,45 +187,57 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
 
 def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
     """Histogram flatness check + f schedule (mc_check_flatness,
-    mc_moves.F90:1936-2185)."""
+    mc_moves.F90:1936-2185).
+
+    Delta-split layout: all growth is first folded into the
+    double-single master rows (one per mu-window), then the flatness
+    decision is made per WINDOW on the exact float64 view of those
+    rows - the role of the reference's merged rank-0 histogram.  All
+    walkers of a window share the merged totals, so window decisions
+    broadcast to their walkers (f halving, firstcycle)."""
     prm, grid = eng.prm, eng.grid
     B = grid.nbins
     cycle = int(state.cycle)
-    if prm.samplerun or float(state.hist.sum()) < 1e-300:
+    if prm.samplerun:
         return state
 
-    if prm.parallel_strategy == "mw":
-        state = eng.sync_all(state)          # (mc_check_flatness:1965-1967)
-
+    state = eng.sync_all(state)          # (mc_check_flatness:1965-1967)
     nwin = _nwin(state)
+    hist_w = ds_value64(state.master_hist)      # [nwin, B] exact f64
+    weight_w = ds_value64(state.master_eta)
+    if hist_w.sum() < 1e-300:
+        return state
+
     wid = np.asarray(state.window_id)
-    hist = np.asarray(state.hist, dtype=np.float64).T     # [W,B]
-    weight = np.asarray(state.weight, dtype=np.float64).T
     f = np.asarray(state.f, dtype=np.float64)
-    sb = np.asarray(state.start_bin)
-    eb = np.asarray(state.end_bin)
     firstcycle = np.asarray(state.firstcycle).copy()
     hreset = np.asarray(state.histogram_reset).copy()
     invt = np.asarray(state.invt_active).copy()
+    sbw, ebw = _window_bounds(state, nwin)
+    first = np.array([np.nonzero(wid == w)[0][0] for w in range(nwin)])
 
     bin_ids = np.arange(B)
-    winmask = (bin_ids[None, :] >= sb[:, None]) & (
-        bin_ids[None, :] <= eb[:, None]
-    )  # [W,B]
+    winmask = (bin_ids[None, :] >= sbw[:, None]) & (
+        bin_ids[None, :] <= ebw[:, None]
+    )  # [nwin, B]
 
-    reset_hist = np.zeros(len(wid), dtype=bool)
+    reset_w = np.zeros(nwin, dtype=bool)
     halve = np.zeros(len(wid), dtype=bool)
+    touched_eta = False
 
-    hw = np.where(winmask, hist, np.nan)
-    mini = np.nanmin(hw, axis=1)
+    hw = np.where(winmask, hist_w, np.nan)
+    mini = np.nanmin(hw, axis=1)                # [nwin]
     av = np.nanmean(hw, axis=1)
 
     # first-pass histogram reset once every bin has wl_minhist visits
-    # (mc_check_flatness:1969-1980)
-    fp = firstcycle & ~hreset & (np.rint(mini) > prm.wl_minhist)
+    # (mc_check_flatness:1969-1980); flags are window-uniform
+    fp = (
+        firstcycle[first] & ~hreset[first]
+        & (np.rint(mini) > prm.wl_minhist)
+    )  # [nwin]
     if fp.any():
-        reset_hist |= fp
-        hreset |= fp
+        reset_w |= fp
+        hreset |= fp[wid]
 
     maxi = np.nanmax(hw, axis=1)
     logs.g(f"# Checking flatness of histogram at cycle {cycle:10d}")
@@ -222,7 +245,7 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
         logs.g(f"# Most  populated bin = {np.nanmean(100 * maxi / av):10.4f} % of mean")
         logs.g(f"# Least populated bin = {np.nanmean(100 * mini / av):10.4f} % of mean")
 
-    std_wl = ~(invt | prm.wl_swetnam)
+    std_wl = ~(invt[first] | prm.wl_swetnam)    # [nwin]
     if std_wl.any():
         # flatness criteria by schedule (mc_check_flatness:2024-2052)
         if prm.wl_schedule == 0:
@@ -231,40 +254,38 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
         elif prm.wl_schedule == 1:
             flat = np.rint(mini) >= prm.wl_minhist
         elif prm.wl_schedule == 2:
-            flat = np.nanmin(hw, axis=1) >= (1 - prm.wl_flattol) * av
+            flat = mini >= (1 - prm.wl_flattol) * av
         else:
             raise ValueError("unknown wl_schedule value")
-        flat &= std_wl & ~fp
+        flat &= std_wl & ~fp                     # [nwin]
 
-        # per window: all walkers of a window agree (they share the
-        # merged histogram); act on the window's walkers together
-        for w in range(nwin):
+        for w in np.nonzero(flat)[0]:
             sel = wid == w
-            if not flat[sel].all():
-                continue
             if prm.parallel_strategy == "mw" or nwin == 1:
                 # shift weights down by the central-bin value
                 # (mc_check_flatness:2062-2066)
-                weight[sel] -= weight[sel][:, B // 2][:, None]
+                weight_w[w] -= weight_w[w, B // 2]
+                touched_eta = True
                 fv = float(f[sel].max())
                 writers.append_wlf("wlf.dat", cycle, fv, 0.5 * fv)
                 tag = f"{fv:.12f}"
                 writers.write_curve(f"eta_weights.dat_{tag}",
                                     np.asarray(grid.mu_bin),
-                                    weight[sel][0], fv)
+                                    weight_w[w], fv)
                 writers.write_curve(f"histogram.dat_{tag}",
                                     np.asarray(grid.mu_bin),
-                                    hist[sel][0], fv)
+                                    hist_w[w], fv)
                 logs.g("# Flatness criterion satisfied - updating wl_factor")
             else:
                 logs.my(f"# window {w}: flatness satisfied - halving f")
-            reset_hist |= sel
+            reset_w[w] = True
             halve |= sel
             firstcycle[sel] = False
 
     f = np.where(halve, 0.5 * f, f)
-    if reset_hist.any():
-        hist[reset_hist] = 0.0
+    if reset_w.any():
+        # (comms_set_histogram, mc_check_flatness:1977, 2106)
+        hist_w[reset_w] = 0.0
 
     # switch to 1/t (mc_check_flatness:2135-2143)
     if prm.wl_useinvt:
@@ -280,31 +301,26 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
         tag = f"{cycle:020d}"
         writers.append_wlf("wlf.dat", cycle, float(f.max()))
         writers.write_curve(f"eta_weights.dat_{tag}",
-                            np.asarray(grid.mu_bin), weight[0],
+                            np.asarray(grid.mu_bin), weight_w[wid[0]],
                             float(f.max()))
         writers.write_curve(f"histogram.dat_{tag}",
-                            np.asarray(grid.mu_bin), hist[0],
+                            np.asarray(grid.mu_bin), hist_w[wid[0]],
                             float(f.max()))
 
+    dsdtype = state.master_hist.hi.dtype
     state = state._replace(
-        hist=jnp.asarray(hist.T, dtype=state.hist.dtype),
-        weight=jnp.asarray(weight.T, dtype=state.weight.dtype),
         f=jnp.asarray(f, dtype=state.f.dtype),
         firstcycle=jnp.asarray(firstcycle),
         histogram_reset=jnp.asarray(hreset),
         invt_active=jnp.asarray(invt),
     )
-    if reset_hist.any():
-        # zero the sync snapshots too (comms_set_histogram,
-        # mc_check_flatness:1977, 2106)
-        win_reset = np.array(
-            [reset_hist[wid == w].any() for w in range(nwin)]
-        )
-        snap = np.where(
-            win_reset[:, None], 0.0, np.asarray(state.snap_hist)
-        )
+    if reset_w.any():
         state = state._replace(
-            snap_hist=jnp.asarray(snap, dtype=state.snap_hist.dtype)
+            master_hist=ds_from64(hist_w, dtype=dsdtype)
+        )
+    if touched_eta:
+        state = state._replace(
+            master_eta=ds_from64(weight_w, dtype=dsdtype)
         )
     return state
 
@@ -316,16 +332,12 @@ def compute_deltaG(eng: Engine, state: SamplerState, logs,
     prm, grid = eng.prm, eng.grid
     B = grid.nbins
     cycle = int(state.cycle)
+    state = eng.sync_all(state)
+    u_cur = ds_value64(state.master_uhist)           # [nwin, B]
     if prm.parallel_strategy == "mw" or _nwin(state) == 1:
-        state = eng.sync_all(state)
-        joined = np.asarray(state.uhist[:, 0], dtype=np.float64)
+        joined = u_cur[0]
     else:
-        nwin = _nwin(state)
-        state = eng.sync_all(state)
-        curves = per_window_curves(
-            np.asarray(state.uhist).T, np.asarray(state.window_id), nwin
-        )
-        joined = join_uhist(curves, B, prm.window_overlap)
+        joined = join_uhist(u_cur, B, prm.window_overlap)
 
     bw = np.asarray(grid.binwidth)
     norm = (joined * bw).sum()

@@ -142,8 +142,12 @@ class TestSwitchPair:
         )
 
     def test_wl_and_switch_statistics(self, run_result):
+        from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
         prm, eng, state, s2 = run_result
-        assert float(s2.weight.sum()) > 0.0      # WL accumulated
+        # WL accumulated into the shared master rows (mpi_sync_int=1
+        # folds the per-walker deltas every cycle)
+        assert float(ds_value64(s2.master_hist).sum()) > 0.0
         assert int(s2.att[2, 0]) > 0             # switches attempted
         assert int(s2.acc[0, 0]) > 0             # translations accepted
 
@@ -199,12 +203,12 @@ class TestDDMode:
         # window 1 starts above bin 0, window 0 ends below the last
         assert (sb[wid == 1] > 0).all()
         assert (eb[wid == 0] < prm.nbins - 1).all()
-        # initial weights masked to each walker's window
-        w0 = np.asarray(state.weight)
+        # delta-split layout: per-walker arrays start at zero, the
+        # cold-start master rows too
+        from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
+        assert float(np.abs(np.asarray(state.weight)).max()) == 0.0
         bins = np.arange(prm.nbins)
-        for w in range(prm.n_walkers):
-            outside = (bins < sb[w]) | (bins > eb[w])
-            assert (w0[outside, w] == 0).all()
 
         s2, _ = eng.run_cycles(state, 3)
         assert bool(jnp.all(jnp.isfinite(s2.energy)))
@@ -212,8 +216,10 @@ class TestDDMode:
         # walkers start near mu=0 (inside the overlap) and must be
         # flagged in-window by the end of equilibration
         assert bool(np.asarray(s2.in_window).all())
-        # WL weight accumulated only inside each walker's window
-        w2 = np.asarray(s2.weight)
-        for w in range(prm.n_walkers):
-            outside = (bins < sb[w]) | (bins > eb[w])
-            assert (w2[outside, w] == 0).all()
+        # WL weight accumulated only inside each window's bins: the
+        # per-window master rows stay zero outside their window
+        w2 = ds_value64(s2.master_eta)           # [nwin, B]
+        for w in range(2):
+            first = np.nonzero(wid == w)[0][0]
+            outside = (bins < sb[first]) | (bins > eb[first])
+            assert (w2[w][outside] == 0).all()

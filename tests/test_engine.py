@@ -88,9 +88,11 @@ def test_walkers_decorrelate(examples_dir):
 
 
 def test_delta_sync_merge_semantics(examples_dir):
-    """After a sync, every walker holds the global histogram; the
-    merged total equals the sum of per-walker growth (the delta-
-    allreduce contract, comms_mpi.f90:461-494)."""
+    """A sync folds every walker's growth into the shared master row
+    and re-zeros the per-walker deltas (the delta-allreduce contract,
+    comms_mpi.f90:461-494, in the delta-split layout)."""
+    from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
     prm, grid, state, aux = _two_lattice_setup(
         examples_dir, mpi_sync_int=1_000_000
     )
@@ -99,15 +101,12 @@ def test_delta_sync_merge_semantics(examples_dir):
     per_walker = np.asarray(state.hist).T     # [W,B], grew independently
     assert np.abs(per_walker.std(axis=0)).max() > 0
     merged = eng.sync_all(state)
-    m = np.asarray(merged.hist).T             # [W,B]
-    # all walkers identical after merge
-    assert np.abs(m - m[0]).max() == 0
+    m = ds_value64(merged.master_hist)        # [1,B]
     np.testing.assert_allclose(m[0], per_walker.sum(axis=0), rtol=1e-12)
-    # snapshots advanced: immediately re-merging changes nothing
+    # deltas re-zeroed: immediately re-merging changes nothing
+    assert float(np.abs(np.asarray(merged.hist)).max()) == 0.0
     again = eng.sync_all(merged)
-    np.testing.assert_allclose(
-        np.asarray(again.hist).T, m, rtol=0, atol=0
-    )
+    np.testing.assert_array_equal(ds_value64(again.master_hist), m)
 
 
 def test_replica_coupling_invariant(examples_dir):
@@ -138,19 +137,23 @@ def test_sync_rezeros_weight_baseline(examples_dir):
     mode).  Guards against the ensemble baseline amplification /
     f32 ratchet pathologies: per-walker shifts must never compound
     through the merge."""
+    from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
     prm, grid, state, aux = _two_lattice_setup(
         examples_dir, samplerun=False, mpi_sync_int=2
     )
-    # poison the baseline: uniform offsets differing per walker
+    # poison the deltas: uniform offsets differing per walker
     off = jnp.asarray(np.array([-50.0, 30.0, -120.0, 7.0]))
     state = state._replace(weight=state.weight + off[None, :])
     eng = Engine(prm, MW, grid, aux)
     state, _ = eng.run_cycles(state, 4)       # includes >= 1 sync
-    w = np.asarray(state.weight)
-    # all walkers share the merged curve, min exactly zero
-    assert np.abs(w - w[:, :1]).max() == 0
+    w = ds_value64(state.master_eta)          # [1,B] merged curve
+    # merged curve min re-zeroed at the sync, offsets absorbed
     assert abs(w.min()) < 1e-9
     assert np.isfinite(w).all()
+    # deltas since the last sync stay small (no baseline in them)
+    d = np.asarray(state.weight)
+    assert np.isfinite(d).all()
 
 
 def test_chain_resync(examples_dir):

@@ -43,6 +43,8 @@ def setup(examples_dir):
 
 
 def test_sharded_run_matches_unsharded(setup):
+    from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
     prm, grid, state, aux = setup
     eng = Engine(prm, MW, grid, aux)
 
@@ -59,7 +61,8 @@ def test_sharded_run_matches_unsharded(setup):
         np.asarray(got.mu), np.asarray(ref.mu), rtol=1e-12
     )
     np.testing.assert_allclose(
-        np.asarray(got.hist), np.asarray(ref.hist), rtol=1e-12
+        ds_value64(got.master_hist), ds_value64(ref.master_hist),
+        rtol=1e-12,
     )
     np.testing.assert_allclose(
         np.asarray(got.energy), np.asarray(ref.energy), rtol=1e-12
@@ -97,14 +100,17 @@ def test_fused_sharded_matches_fused_unsharded(setup):
 
 
 def test_sharded_merge_is_global(setup):
-    """Cross-device delta-merge produces the global sum."""
+    """Cross-device delta-merge produces the global sum in the
+    shared master row."""
+    from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
     prm, grid, state, aux = setup
     eng = Engine(prm, MW, grid, aux)
     mesh = make_mesh()
     sh = shard_state(state, mesh, prm.n_walkers)
     sh, _ = eng.run_cycles(sh, 3)
-    pre = np.asarray(sh.hist).T               # [W,B]
+    pre = np.asarray(sh.hist).T               # [W,B] deltas
     merged = eng.sync_all(sh)
-    m = np.asarray(merged.hist).T
+    m = ds_value64(merged.master_hist)        # [1,B]
     np.testing.assert_allclose(m[0], pre.sum(axis=0), rtol=1e-12)
-    assert np.abs(m - m[0]).max() == 0
+    assert float(np.abs(np.asarray(merged.hist)).max()) == 0.0
