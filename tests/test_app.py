@@ -40,6 +40,7 @@ def test_single_box_end_to_end(tmp_path, examples_dir):
     assert "-25.55" in log               # Ih lattice energy oracle (eV)
 
 
+@pytest.mark.slow
 def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
     inp = _stage(tmp_path, examples_dir, "ice1_sample")
     cwd = os.getcwd()
@@ -62,6 +63,7 @@ def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
     assert "delta G" in log
 
 
+@pytest.mark.slow
 def test_sample_dd_end_to_end(tmp_path, examples_dir):
     """ice1_sample_dd through the full driver: dd mu-window
     decomposition on the dense engine, stitched curve output
@@ -88,6 +90,7 @@ def test_sample_dd_end_to_end(tmp_path, examples_dir):
     assert "delta G" in log
 
 
+@pytest.mark.slow
 def test_gen_weights_dd_end_to_end(tmp_path, examples_dir):
     """ice1_gen_weights_dd: WL weight refinement with per-window
     flatness + overlap-matched stitching of the merged eta curve."""
@@ -110,6 +113,7 @@ def test_gen_weights_dd_end_to_end(tmp_path, examples_dir):
     assert w.max() > 0                    # weights grew in-window
 
 
+@pytest.mark.slow
 def test_checkpoint_fingerprint_mismatch(tmp_path, examples_dir):
     """A checkpoint from an incompatible configuration must be
     REFUSED with a clear error, not positionally mis-loaded
@@ -127,6 +131,7 @@ def test_checkpoint_fingerprint_mismatch(tmp_path, examples_dir):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_gen_weights_run(tmp_path, examples_dir):
     inp = _stage(tmp_path, examples_dir, "ice1_gen_weights")
     cwd = os.getcwd()

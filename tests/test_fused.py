@@ -86,16 +86,19 @@ def _compare(examples_dir, n_cycles=2, **over):
     return s1, s2
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_samplerun(examples_dir):
     """Sample-run mode (frozen weights, unbiased histogram)."""
     _compare(examples_dir)
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_wl_generation(examples_dir):
     """Wang-Landau weight-generation mode."""
     _compare(examples_dir, samplerun=False)
 
 
+@pytest.mark.slow
 def test_fused_matches_scan_minu(examples_dir):
     """#ifdef MINU move variant."""
     _compare(examples_dir, minu=True)

@@ -57,6 +57,7 @@ def _setup_216(n_walkers, **over):
                     **over)
 
 
+@pytest.mark.slow
 def test_scan_path_table_mode_exact(examples_dir):
     """Shared schedule + wall on the scan path: incremental energies
     must stay exact against the from-scratch audit (the table is not
