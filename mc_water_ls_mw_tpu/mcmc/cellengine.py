@@ -44,10 +44,13 @@ This engine recasts the chain for large boxes:
   same multicanonical fields, and those methods never touch the
   configurational layout.
 
-Throughput model: one cycle = nwater trial moves, executed as
-``sweeps = nwater/ncell`` sweeps of 8 colour sub-steps moving
-ncell/8 molecules each - per-walker parallelism that GROWS with N,
-on top of the walker ensemble.
+Throughput model: one cycle = ~nwater trial moves, executed as
+``sweeps = nwater/(ncell*m^3)`` sweeps of 8 x m^3 (colour, fine
+block) sub-steps moving ncell/8 molecules each - per-walker
+parallelism that GROWS with N, on top of the walker ensemble.
+Scheduling sub-steps at (colour, block) pairs keeps every mover's
+FINE cell static, shrinking the candidate set to the minimal 27-cell
+per-fine-cell coverage stencil (see _substep).
 """
 
 from __future__ import annotations
@@ -197,23 +200,51 @@ class CellEngine(Engine):
         # is preserved)
         self.w_guard = np.asarray(cellgrid.perp_w0) / cellgrid.guard
 
-        # static per-colour tables: coarse cells, their fine blocks
-        # (mover selection) and their candidate coverage lists
-        self.color_tables = []
+        # static per-(colour, fine-block) tables.  A sub-step is
+        # scheduled at a (colour, block) pair, so every mover's FINE
+        # cell is known at trace time: its candidate set is the
+        # 27-cell per-fine-cell coverage stencil (cells.full_cells -
+        # the same r_cov radius the fine-cell wall guarantees), a
+        # 2.4x smaller gather/scatter footprint than the per-coarse
+        # table, still at fully static indices.  Same-colour movers'
+        # stencils are provably DISJOINT (same-colour coarse cells are
+        # >= 2 coarse = 2m fine apart on some axis, and a stencil
+        # reaches only +-1 fine from a fine cell inside the coarse
+        # cube, leaving a >= m-2 >= 0 cell gap on that axis for
+        # m >= 2), so all slab scatters below carry unique indices.
+        m3 = cellgrid.m ** 3
+        # unique-scatter eligibility: verified explicitly per table
+        # (the geometric argument above needs stencil reach 1 and
+        # m >= 2; padding entries alias cell 0, which also breaks it)
+        self.scatter_unique = bool(np.all(cellgrid.full_mask))
+        fc_rows, cand_rows, off_rows = [], [], []
         for col in range(8):
             cells_c = np.asarray(cellgrid.color_cells[col])
-            self.color_tables.append((
-                cells_c,
-                cellgrid.block_cells[cells_c],      # [K, m^3]
-                cellgrid.cand_cells[cells_c],       # [K, CC]
-                cellgrid.cand_off[cells_c],         # [K, CC, 3]
-            ))
+            for b in range(m3):
+                fc = cellgrid.block_cells[cells_c][:, b]   # [K]
+                cand = cellgrid.full_cells[fc]             # [K, CF]
+                if len(np.unique(cand)) != cand.size:
+                    self.scatter_unique = False
+                fc_rows.append(fc)
+                cand_rows.append(cand)
+                off_rows.append(cellgrid.full_off[fc])     # [K, CF, 3]
+        # stacked (colour, block) tables, row t = colour*m^3 + block;
+        # the cycle scan indexes rows DYNAMICALLY so its body traces a
+        # single sub-step (indices are shared across walkers - row-
+        # granularity gathers, unlike per-walker dynamic indexing)
+        self.fc_stack = jnp.asarray(np.stack(fc_rows))     # [8*m3,K]
+        self.cand_stack = jnp.asarray(np.stack(cand_rows))
+        self.off_stack = jnp.asarray(np.stack(off_rows))
+        self.n_tables = 8 * m3
         self.K = cellgrid.cells_per_color
+        # one sweep = one trial per (coarse cell, fine block); trial
+        # count per cycle matches nwater to within rounding at
+        # production sizes (nwater >> ncoarse*m^3)
         self.sweeps_per_cycle = max(
-            1, int(round(prm.nwater / cellgrid.ncoarse))
+            1, int(round(prm.nwater / (cellgrid.ncoarse * m3)))
         )
         self.trials_per_cycle = (
-            self.sweeps_per_cycle * cellgrid.ncoarse
+            self.sweeps_per_cycle * cellgrid.ncoarse * m3
         )
 
     # ------------------------------------------------------------------
@@ -238,21 +269,21 @@ class CellEngine(Engine):
     # one colour sub-step: K parallel movers, exact sequential chain
     # ------------------------------------------------------------------
 
-    def _substep(self, s: CellState, tpm_slab, color: int, cycle,
-                 substep_id, codes_k, switch_ok):
+    def _substep(self, s: CellState, tpm_slab, fc, cand_cells_b,
+                 cand_off_b, cycle, substep_id, codes_k, switch_ok):
+        """One (colour, fine-block) sub-step.  ``fc`` [K] are the
+        movers' fine cells, ``cand_cells_b`` [K, CF] their coverage
+        stencils, ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of
+        the stacked tables; traced values are fine (indices are shared
+        across walkers)."""
         prm, model, cg = self.prm, self.model, self.cellgrid
         L = s.r.shape[0]
         W = s.r.shape[-1]
         K, cap = self.K, cg.cap
-        m3 = cg.m ** 3
-        BS = m3 * cap                    # slots per coarse-cell block
         dtype = s.r.dtype
-        (cells_c, block_cells_c, cand_cells_c,
-         cand_off_c) = self.color_tables[color]
-        bc = jnp.asarray(block_cells_c)             # fine ids [K,m3]
 
         # per-walker uniforms for this sub-step in one threefry call:
-        # 2 selection + 6 move uniforms per mover (a one-uniform-per-
+        # 1 selection + 6 move uniforms per mover (a one-uniform-per-
         # slot argmax selection costs 30x more threefry work)
         u = jax.vmap(
             lambda k: jax.random.uniform(
@@ -264,64 +295,44 @@ class CellEngine(Engine):
             out_axes=2,
         )(s.key)                                     # [K,8,W]
 
-        # mover selection, uniform over the coarse cell's occupants:
-        # pick the fine block weighted by occupancy, then a rank
-        # within it (rank-packed slots are contiguous per fine cell
+        # mover selection, uniform over the STATIC fine cell's
+        # occupants (rank-packed slots are contiguous per fine cell
         # and never move between rebins, so ranks [0, occ) are exactly
-        # the occupied slots).  All reads/writes are whole-fine-cell
-        # [cap,W] block ops at the STATIC block tables (dynamic
-        # per-walker scalar scatter/gather serialises on TPU).
-        occ_mol = _cell_take(s.slot2mol, block_cells_c, cap)
-        #                                            [K,BS,W]
-        occ = occ_mol >= 0
-        occ_fb = jnp.sum(
-            occ.reshape(K, m3, cap, W), axis=2, dtype=jnp.int32
-        )                                                     # [K,m3,W]
-        total = jnp.sum(occ_fb, axis=1)                       # [K,W]
-        target = u[:, 0, :] * total.astype(dtype)
-        cum = jnp.cumsum(occ_fb, axis=1).astype(dtype)
-        # the block whose [cum_{b-1}, cum_b) range contains target;
-        # target < total guarantees a NON-EMPTY block
-        blk = jnp.minimum(
-            jnp.sum(
-                (cum <= target[:, None, :]), axis=1,
-                dtype=jnp.int32,
-            ),
-            m3 - 1,
+        # the occupied slots).  The proposal is symmetric: the wall
+        # keeps an accepted mover inside its fine cell, so the reverse
+        # move faces the same occupancy and the same 1/occ selection
+        # probability.  All reads/writes are whole-fine-cell [cap,W]
+        # block ops at the STATIC block tables (dynamic per-walker
+        # scalar scatter/gather serialises on TPU).
+        occ_mol = _cell_take(s.slot2mol, fc[:, None], cap)
+        #                                            [K,cap,W]
+        occ_sel = jnp.sum(
+            occ_mol >= 0, axis=1, dtype=jnp.int32
         )                                                     # [K,W]
-        occ_sel = jnp.take_along_axis(
-            occ_fb, blk[:, None, :], axis=1
-        )[:, 0, :]                                            # [K,W]
         rank = jnp.minimum(
             (u[:, 1, :] * occ_sel.astype(dtype)).astype(jnp.int32),
             jnp.maximum(occ_sel - 1, 0),
-        )
-        sel = blk * cap + rank                                # [K,W]
-        # mover's fine cell: static block table indexed by sel//cap
-        mover_fc = jnp.take_along_axis(
-            jnp.broadcast_to(bc[:, :, None], (K, m3, W)),
-            (sel // cap)[:, None, :], axis=1,
-        )[:, 0, :]                                            # [K,W]
-        mover_slot = mover_fc * cap + sel % cap               # [K,W]
+        )                                                     # [K,W]
+        mover_fc = jnp.broadcast_to(fc[:, None], (K, W))
+        mover_slot = mover_fc * cap + rank                    # [K,W]
         oh_sel = (
-            jnp.arange(BS, dtype=jnp.int32)[None, :, None]
-            == sel[:, None, :]
-        )                                                     # [K,BS,W]
+            jnp.arange(cap, dtype=jnp.int32)[None, :, None]
+            == rank[:, None, :]
+        )                                                     # [K,cap,W]
 
         r5 = s.r.reshape(L, 3, -1, cap, W)
-        blk_r = r5[:, :, bc].reshape(L, 3, K, BS, W)
+        blk_r = r5[:, :, fc]                          # [L,3,K,cap,W]
         p_old = jnp.sum(
             jnp.where(oh_sel[None, None], blk_r, 0.0), axis=3
         )                                                     # [L,3,K,W]
         mover_mol = jnp.take_along_axis(
-            occ_mol, sel[:, None, :], axis=1
+            occ_mol, rank[:, None, :], axis=1
         )[:, 0, :]                                            # [K,W]
-        # trial is only real if the coarse cell is occupied AND the
-        # selected slot holds a molecule: in f32, u*total can round
-        # up to exactly total (round-to-even tie), clamping blk to
-        # the last fine block, which may be empty (mover_mol = -1) -
-        # a phantom trial there must never be enabled
-        has_mover = (total > 0) & (mover_mol >= 0)            # [K,W]
+        # trial is only real if the scheduled fine cell is occupied
+        # AND the selected rank holds a molecule (in f32, u*occ can
+        # round up to exactly occ; the rank clamp keeps it in range
+        # but an empty cell must never yield a phantom trial)
+        has_mover = (occ_sel > 0) & (mover_mol >= 0)          # [K,W]
 
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
@@ -368,12 +379,15 @@ class CellEngine(Engine):
                == mover_fc)
         )
 
-        # parallel Delta-E of all K movers in both lattices
+        # parallel Delta-E of all K movers in both lattices, against
+        # the 27-cell per-fine-cell coverage stencil (the wall keeps
+        # both endpoints inside the stored fine cell, so full_cells'
+        # r_cov coverage of that cube reaches every partner)
         valid = self._slab_valid(s)
         per = [
             mover_energies(
                 s.r[l], Moments(*(f[l] for f in s.moments)), valid,
-                s.h[l], cand_cells_c, cand_off_c, cg.cand_mask, cap,
+                s.h[l], cand_cells_b, cand_off_b, cg.full_mask, cap,
                 mover_slot, p_old[l], p_new[l], model,
             )
             for l in range(L)
@@ -517,24 +531,25 @@ class CellEngine(Engine):
         # ---- apply accepted movers to the slabs (independent, so
         # parallel application equals the sequential composition).
         # All writes are fine-cell [cap,W] block updates at the static
-        # block/coverage tables.
+        # block/coverage tables; same-colour stencils are disjoint
+        # (see __init__), so every scatter below has UNIQUE indices.
         accf = accepts                                          # [K,W]
-        mask_acc = accf[:, None, :] & oh_sel                 # [K,BS,W]
+        mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
         nslot = s.r.shape[2]
+        uniq = self.scatter_unique
 
         dp = p_new - p_old                                  # [L,3,K,W]
-        blk_new = (blk_r + jnp.where(
+        blk_new = blk_r + jnp.where(
             mask_acc[None, None], dp[:, :, :, None, :], 0.0
-        )).reshape(L, 3, K, m3, cap, W)
-        r = r5.at[:, :, bc].set(blk_new) \
-            .reshape(L, 3, nslot, W)
+        )                                             # [L,3,K,cap,W]
+        r = r5.at[:, :, fc].set(
+            blk_new, unique_indices=True
+        ).reshape(L, 3, nslot, W)
 
         # block scatter of the movers' leg deltas into their coverage
         # fine cells (padded table entries carry zero deltas), then
         # block one-hot set of the movers' own moments
-        cand_flat = jnp.asarray(
-            np.asarray(cand_cells_c).reshape(-1)
-        )                                               # [K*CC]
+        cand_flat = cand_cells_b.reshape(-1)            # [K*CF]
         new_mom = []
         for l in range(L):
             _, _, co, cn = per[l]
@@ -546,15 +561,14 @@ class CellEngine(Engine):
                                          (f[l] for f in s.moments)):
                 dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
                 upd_c = cur.reshape(-1, cap, W).at[cand_flat].add(
-                    dlt.reshape(-1, cap, W)
+                    dlt.reshape(-1, cap, W), unique_indices=uniq
                 )
                 blk = jnp.where(
-                    mask_acc, fown[:, None, :],
-                    upd_c[bc].reshape(K, BS, W),
-                )
+                    mask_acc, fown[:, None, :], upd_c[fc]
+                )                                       # [K,cap,W]
                 fields.append(
-                    upd_c.at[bc].set(
-                        blk.reshape(K, m3, cap, W)
+                    upd_c.at[fc].set(
+                        blk, unique_indices=True
                     ).reshape(nslot, W)
                 )
             new_mom.append(Moments(*fields))
@@ -565,8 +579,8 @@ class CellEngine(Engine):
         inc = (
             trans_type[:, None, None] & has_mover[:, None, :] & oh_sel
         ).astype(jnp.int32)
-        tpm_slab = tpm_slab.reshape(-1, cap, W).at[bc].add(
-            inc.reshape(K, m3, cap, W)
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
+            inc, unique_indices=True
         ).reshape(nslot, W)
 
         return small._replace(r=r, moments=moments), tpm_slab
@@ -878,19 +892,27 @@ class CellEngine(Engine):
             (self.cellgrid.nslot, W), dtype=jnp.int32
         )
 
-        def sweep_body(carry, sweep):
+        # single scan over ALL sub-steps of the cycle; the body traces
+        # ONE sub-step and indexes the stacked (colour, block) tables
+        # dynamically (row t = sid % n_tables; colours outer, blocks
+        # inner, repeating every sweep)
+        def substep_body(carry, sid):
             st, tslab = carry
-            for color in range(8):
-                sid = sweep * 8 + color
-                codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
-                st, tslab = self._substep(
-                    st, tslab, color, cycle, sid, codes_k, switch_ok
-                )
+            tbl = jnp.mod(sid, self.n_tables)
+            fc = jnp.take(self.fc_stack, tbl, axis=0)
+            cand = jnp.take(self.cand_stack, tbl, axis=0)
+            off = jnp.take(self.off_stack, tbl, axis=0)
+            codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
+            st, tslab = self._substep(
+                st, tslab, fc, cand, off, cycle, sid,
+                codes_k, switch_ok,
+            )
             return (st, tslab), None
 
+        n_sub = self.sweeps_per_cycle * self.n_tables
         (s, tpm_slab), _ = jax.lax.scan(
-            sweep_body, (s, tpm_slab0),
-            jnp.arange(self.sweeps_per_cycle)
+            substep_body, (s, tpm_slab0),
+            jnp.arange(n_sub, dtype=jnp.int32)
         )
         s = s._replace(
             trans_per_mol=s.trans_per_mol

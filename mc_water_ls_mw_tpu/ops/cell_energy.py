@@ -32,15 +32,16 @@ from .dense import Moments, _e3_closed_form, _leg, _pair
 def _cell_take(arr, cells, cap):
     """Gather candidate fine cells at CELL granularity.
 
-    arr [nslot, W] viewed as [nfine, cap, W]; cells static [K, C]
-    -> [K, C*cap, W].  Whole-cell blocks keep each gathered row
-    cap*W wide (vs W-wide slot rows, which are tile-hostile on TPU).
+    arr [nslot, W] viewed as [nfine, cap, W]; cells [K, C] (static
+    numpy or traced, shared across walkers) -> [K, C*cap, W].
+    Whole-cell blocks keep each gathered row cap*W wide (vs W-wide
+    slot rows, which are tile-hostile on TPU).
     """
     W = arr.shape[-1]
     K = cells.shape[0]
     a = arr.reshape(-1, cap, W)
     return jnp.take(
-        a, jnp.asarray(np.asarray(cells).reshape(-1)), axis=0
+        a, jnp.asarray(cells).reshape(-1), axis=0
     ).reshape(K, -1, W)
 
 
@@ -99,11 +100,11 @@ def _gather_candidates(rx, ry, rz, valid, H, cand_cells, cand_off,
     cy = cy + rep(shy)
     cz = cz + rep(shz)
 
-    K = np.asarray(cand_cells).shape[0]
-    slot_ids = np.asarray(cand_cells)[:, :, None] * cap + np.arange(
-        cap, dtype=np.int32
-    )
-    slot_ids = jnp.asarray(slot_ids.reshape(K, -1))         # [K,C]
+    K = cand_cells.shape[0]
+    slot_ids = (
+        jnp.asarray(cand_cells)[:, :, None] * cap
+        + jnp.arange(cap, dtype=jnp.int32)
+    ).reshape(K, -1)                                        # [K,C]
     not_self = slot_ids[:, :, None] != mover_slot[:, None, :]
     return cx, cy, cz, cval & not_self
 

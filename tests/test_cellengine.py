@@ -85,7 +85,8 @@ class TestSingleLattice:
         tpm0 = jnp.zeros((cg.nslot, prm.n_walkers), dtype=jnp.int32)
         s2, tpm = jax.jit(
             lambda st: eng._substep(
-                st, tpm0, 0, jnp.asarray(2, jnp.int32),
+                st, tpm0, eng.fc_stack[0], eng.cand_stack[0],
+                eng.off_stack[0], jnp.asarray(2, jnp.int32),
                 jnp.asarray(0, jnp.int32), codes_k, sw_ok,
             )
         )(s)
