@@ -1,0 +1,126 @@
+"""Watchdog supervisor for long single-process TPU runs.
+
+The remote-TPU (axon tunnel) platform can hang a multi-hour process
+inside a device call while the chip itself stays healthy (observed in
+the round-1 and round-2 N=216 Wang-Landau productions: main thread
+parked on a futex, log output frozen, zero CPU).  The framework's
+dual-slot checkpoints (io/checkpoint.py; mc_checkpoint_write,
+mc_moves.F90:324-501) make restarts cheap, so the pragmatic recovery
+is supervision: watch the run's log for staleness, kill and relaunch
+on hang, let the app auto-resume from the newest valid checkpoint.
+
+Usage:
+    python scripts/watchdog.py --workdir runs/n216_sample \
+        --cmd "python run.py" --watch mc.log \
+        --stale 900 --max-restarts 8 --budget 10800
+
+The budget is total wall-clock seconds across restarts; each launch
+gets the REMAINING budget via the WL_QTIME environment variable so
+the run itself still exits cleanly inside its slot (timer.f90
+semantics, main.f90:229-239).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def log(fh, msg):
+    line = f"[watchdog {time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    fh.write(line + "\n")
+    fh.flush()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--cmd", default="python run.py")
+    ap.add_argument("--watch", default="mc.log",
+                    help="file whose mtime indicates liveness")
+    ap.add_argument("--stale", type=float, default=900.0,
+                    help="seconds of watch-file staleness = hang")
+    ap.add_argument("--grace", type=float, default=600.0,
+                    help="startup grace before staleness applies "
+                         "(compilation produces no output)")
+    ap.add_argument("--max-restarts", type=int, default=8)
+    ap.add_argument("--budget", type=float, default=10800.0,
+                    help="total wall-clock budget (s) across restarts")
+    ap.add_argument("--poll", type=float, default=30.0)
+    args = ap.parse_args()
+
+    os.chdir(args.workdir)
+    t_end = time.time() + args.budget
+    restarts = 0
+    with open("watchdog.log", "a") as fh:
+        while True:
+            remaining = t_end - time.time()
+            if remaining < 120:
+                log(fh, f"budget exhausted ({remaining:.0f}s left)")
+                return 0
+            env = dict(os.environ, WL_QTIME=str(int(remaining)))
+            log(fh, f"launch #{restarts}: {args.cmd!r} "
+                    f"(remaining budget {remaining:.0f}s)")
+            with open(f"run_{restarts:02d}.log", "w") as out:
+                proc = subprocess.Popen(
+                    args.cmd, shell=True, env=env,
+                    stdout=out, stderr=subprocess.STDOUT,
+                    start_new_session=True,
+                )
+                t_launch = time.time()
+                hang = False
+                while True:
+                    try:
+                        rc = proc.wait(timeout=args.poll)
+                        break
+                    except subprocess.TimeoutExpired:
+                        pass
+                    try:
+                        age = time.time() - os.path.getmtime(args.watch)
+                    except OSError:
+                        age = time.time() - t_launch
+                    in_grace = time.time() - t_launch < args.grace
+                    if age > args.stale and not in_grace:
+                        log(fh, f"watch file {args.watch!r} stale "
+                                f"{age:.0f}s > {args.stale:.0f}s: "
+                                "killing process group")
+                        hang = True
+                        pg = os.getpgid(proc.pid)
+                        os.killpg(pg, signal.SIGTERM)
+                        try:
+                            proc.wait(timeout=60)
+                        except subprocess.TimeoutExpired:
+                            os.killpg(pg, signal.SIGKILL)
+                            proc.wait(timeout=30)
+                        rc = proc.returncode
+                        break
+                    if time.time() > t_end - 60:
+                        log(fh, "budget reached: stopping run cleanly")
+                        pg = os.getpgid(proc.pid)
+                        os.killpg(pg, signal.SIGTERM)
+                        try:
+                            proc.wait(timeout=120)
+                        except subprocess.TimeoutExpired:
+                            os.killpg(pg, signal.SIGKILL)
+                            proc.wait(timeout=30)
+                        log(fh, "done (budget)")
+                        return 0
+            if not hang and rc == 0:
+                log(fh, "run exited cleanly (rc=0); done")
+                return 0
+            restarts += 1
+            if restarts > args.max_restarts:
+                log(fh, f"giving up after {restarts - 1} restarts")
+                return 1
+            log(fh, f"run ended rc={rc} hang={hang}; restarting "
+                    "(auto-resume from newest checkpoint)")
+            time.sleep(10)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

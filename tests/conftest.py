@@ -19,6 +19,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# XLA compiles of near-identical programs across test processes; the
+# cache keys on the HLO hash, so it is safe across code edits (changed
+# programs miss, unchanged ones hit).
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pathlib
 
 import pytest

@@ -85,6 +85,189 @@ def sw_full_energy(r, H, prm: SWParams, apply_local_cos_filter=False):
 TRANS, VOL, SWITCH, NOOP = 0, 1, 2, 3
 
 
+# ---------------------------------------------------------------------
+# Vectorised single-lattice NPT chain with the reference's PER-MOVE
+# move-type draw (mc_cycle:224-241): the A/B oracle for the engine's
+# hoisted volume scheduling (Engine._one_cycle moves all volume trials
+# of a cycle to a once-per-cycle block; the reference draws the move
+# type before EVERY trial).  If hoisting biased the stationary
+# distribution, equilibrium <E> and <V> would disagree.
+# ---------------------------------------------------------------------
+
+
+def _image_shifts(H, rc):
+    lens = np.sqrt((np.asarray(H) ** 2).sum(axis=0))
+    bounds = [int(np.floor(rc / l)) + 1 for l in lens]
+    return np.array(
+        list(itertools.product(*[range(-b, b + 1) for b in bounds])),
+        dtype=np.float64,
+    )
+
+
+def np_full_energy(r, H, prm: SWParams):
+    """Vectorised whole-cell SW energy (same Hamiltonian as
+    sw_full_energy, cross-checked against it in the tests)."""
+    r = np.asarray(r, np.float64)
+    H = np.asarray(H, np.float64)
+    N = len(r)
+    rc = prm.a * prm.sigma
+    shifts = _image_shifts(H, rc)                       # [S,3]
+    img = r[None, :, :] + shifts[:, None, :] @ H.T      # [S,N,3]
+    img = img.reshape(-1, 3)                            # [S*N,3]
+    self_idx = np.where((shifts == 0).all(axis=1))[0][0]
+    E = 0.0
+    for i in range(N):
+        d = img - r[i]
+        r2 = (d * d).sum(axis=1)
+        r2[self_idx * N + i] = 1e30                     # self
+        sel = r2 < rc * rc
+        dv = d[sel]
+        rr = np.sqrt(r2[sel])
+        E += 0.5 * np.sum(
+            prm.bigA * prm.epsilon
+            * (prm.bigB * (prm.sigma / rr) ** 4 - 1.0)
+            * np.exp(prm.sigma / (rr - rc))
+        )
+        w = np.exp(prm.gamma * prm.sigma / (rr - rc))
+        u = dv / rr[:, None]
+        ct = u @ u.T                                    # [n,n]
+        pref = (ct - prm.cos0) ** 2 * np.outer(w, w)
+        iu = np.triu_indices(len(rr), k=1)
+        E += prm.lam * prm.epsilon * pref[iu].sum()
+    return E
+
+
+class NPTChain1L:
+    """Serial single-lattice NPT chain, per-move move-type draw.
+
+    Translation Delta-E is computed locally (pair terms of the mover +
+    every 3-body triplet containing it, both orientations -
+    compute_local_real_energy semantics, molint.F90:220-404, without
+    the near-collinear filter, matching the framework's dense
+    Hamiltonian); volume moves recompute the full energy
+    (mc_volume, mc_moves.F90:1216-1534).
+    """
+
+    def __init__(self, r0, H0, sw: SWParams, *, beta, pressure,
+                 max_trans, dv_max, vol_prob, seed=12345):
+        self.sw = sw
+        self.beta, self.P = float(beta), float(pressure)
+        self.max_trans, self.dv_max = float(max_trans), float(dv_max)
+        self.vol_prob = float(vol_prob)
+        self.r = np.asarray(r0, np.float64).copy()      # [N,3]
+        self.H = np.asarray(H0, np.float64).copy()
+        self.N = len(self.r)
+        self.rng = np.random.default_rng(seed)
+        self.E = np_full_energy(self.r, self.H, sw)
+        self.vol = abs(np.linalg.det(self.H))
+        self.att = np.zeros(4, np.int64)
+        self.acc = np.zeros(4, np.int64)
+
+    # -- local energy of molecule i at position ``pos`` --------------
+    def _local(self, i, pos):
+        sw = self.sw
+        rc = sw.a * sw.sigma
+        shifts = _image_shifts(self.H, rc)
+        img = (self.r[None, :, :]
+               + shifts[:, None, :] @ self.H.T)         # [S,N,3]
+        S = len(shifts)
+        self_idx = np.where((shifts == 0).all(axis=1))[0][0]
+        flat = img.reshape(-1, 3)
+
+        # neighbours of i at pos (i's own distant images excluded by
+        # the cutoff; the box is > 2*rc wide)
+        d = flat - pos
+        r2 = (d * d).sum(axis=1)
+        r2[self_idx * self.N + i] = 1e30
+        r2[np.arange(S) * self.N + i] = 1e30            # all i images
+        sel = np.where(r2 < rc * rc)[0]
+        dv = d[sel]
+        rr = np.sqrt(r2[sel])
+        pair = np.sum(
+            sw.bigA * sw.epsilon
+            * (sw.bigB * (sw.sigma / rr) ** 4 - 1.0)
+            * np.exp(sw.sigma / (rr - rc))
+        )
+        w = np.exp(sw.gamma * sw.sigma / (rr - rc))
+        u = dv / rr[:, None]
+        # angles centred at i: unordered neighbour pairs
+        ct = u @ u.T
+        pref = (ct - sw.cos0) ** 2 * np.outer(w, w)
+        iu = np.triu_indices(len(rr), k=1)
+        e3_i = pref[iu].sum()
+        # angles centred at each neighbour j, with i as one wing and
+        # any OTHER image k of j's neighbourhood as the second
+        e3_j = 0.0
+        for a, jflat in enumerate(sel):
+            qj = flat[jflat]
+            dj = flat - qj
+            rj2 = (dj * dj).sum(axis=1)
+            rj2[jflat] = 1e30                    # j itself
+            # exclude every image of molecule i: with i at ``pos``, j
+            # sees i only through the explicit wing term below
+            rj2[np.arange(S) * self.N + i] = 1e30
+            selk = rj2 < rc * rc
+            dk = dj[selk]
+            rk = np.sqrt(rj2[selk])
+            wk = np.exp(sw.gamma * sw.sigma / (rk - rc))
+            ui = (pos - qj) / rr[a]
+            ctk = (dk / rk[:, None]) @ ui
+            e3_j += w[a] * np.sum(
+                (ctk - sw.cos0) ** 2 * wk
+            )
+        return pair + sw.lam * sw.epsilon * (e3_i + e3_j)
+
+    def _translation(self):
+        i = min(int(self.rng.random() * self.N), self.N - 1)
+        d = 2.0 * self.rng.random(3) - 1.0
+        rmag = (2.0 * self.rng.random() - 1.0) * self.max_trans \
+            / np.sqrt(max(d @ d, 1e-30))
+        pnew = self.r[i] + d * rmag
+        dE = self._local(i, pnew) - self._local(i, self.r[i])
+        self.att[TRANS] += 1
+        if self.rng.random() < np.exp(-self.beta * dE):
+            self.acc[TRANS] += 1
+            self.r[i] = pnew
+            self.E += dE
+
+    def _volume(self):
+        ii = min(int(self.rng.random() * 3), 2)
+        jj = min(int(self.rng.random() * 3), 2)
+        delta = (2.0 * self.rng.random() - 1.0) * self.dv_max
+        H_new = self.H.copy()
+        H_new[ii, jj] += delta
+        if ii != jj:
+            H_new[jj, ii] += delta
+        vol_new = abs(np.linalg.det(H_new))
+        frac = self.r @ np.linalg.inv(self.H).T
+        r_new = frac @ H_new.T
+        E_new = np_full_energy(r_new, H_new, self.sw)
+        diffkT = (
+            self.beta * (E_new - self.E)
+            + self.beta * self.P * (vol_new - self.vol)
+            - self.N * np.log(vol_new / self.vol)
+        )
+        self.att[VOL] += 1
+        if vol_new > 0 and self.rng.random() < np.exp(-diffkT):
+            self.acc[VOL] += 1
+            self.r, self.H = r_new, H_new
+            self.E, self.vol = E_new, vol_new
+
+    def run(self, cycles, sample_every=1, burn_in=0):
+        """Returns (E_samples, V_samples) taken at cycle boundaries."""
+        Es, Vs = [], []
+        for c in range(cycles):
+            for _ in range(self.N):
+                if self.rng.random() < self.vol_prob:
+                    self._volume()
+                else:
+                    self._translation()
+            if c >= burn_in and (c + 1) % sample_every == 0:
+                Es.append(self.E)
+                Vs.append(self.vol)
+        return np.asarray(Es), np.asarray(Vs)
+
+
 def _np_mu_to_bin(grid, mu):
     """Analytic bin inverse (mc_moves.F90:2187-2215), numpy scalar."""
     B = len(grid["mu_bin"])

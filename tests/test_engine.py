@@ -43,32 +43,37 @@ def _two_lattice_setup(examples_dir, **over):
     return prm, grid, state, aux
 
 
-def test_incremental_energy_consistency(examples_dir):
+@pytest.fixture(scope="module")
+def base_run(examples_dir):
+    """One shared 10-cycle run of the default two-lattice setup: five
+    oracles below assert on the same trajectory (one compile instead
+    of five - the engine's jit is per-instance)."""
+    prm, grid, state, aux = _two_lattice_setup(examples_dir)
+    eng = Engine(prm, MW, grid, aux)
+    state, _ = eng.run_cycles(state, 10)
+    return prm, eng, state
+
+
+def test_incremental_energy_consistency(base_run):
     """After full sweeps the incrementally tracked energy matches a
     from-scratch recompute (the reference's DEBUG oracle,
     mc_moves.F90:1094-1102)."""
-    prm, grid, state, aux = _two_lattice_setup(examples_dir)
-    eng = Engine(prm, MW, grid, aux)
-    state, _ = eng.run_cycles(state, 15)
+    prm, eng, state = base_run
     _, drift = eng.audit_energy(state)
     assert float(jnp.abs(drift).max()) < 1e-11
 
 
-def test_mu_self_consistency(examples_dir):
+def test_mu_self_consistency(base_run):
     """Stored mu equals mu recomputed from stored energies+volumes."""
-    prm, grid, state, aux = _two_lattice_setup(examples_dir)
-    eng = Engine(prm, MW, grid, aux)
-    state, _ = eng.run_cycles(state, 10)
+    prm, eng, state = base_run
     mu_scratch = eng._mu_scratch(state.energy, state.volume)
     np.testing.assert_allclose(
         np.asarray(state.mu), np.asarray(mu_scratch), atol=1e-9
     )
 
 
-def test_moves_actually_accept(examples_dir):
-    prm, grid, state, aux = _two_lattice_setup(examples_dir)
-    eng = Engine(prm, MW, grid, aux)
-    state, _ = eng.run_cycles(state, 10)
+def test_moves_actually_accept(base_run):
+    prm, eng, state = base_run
     att = np.asarray(state.att.sum(1))
     acc = np.asarray(state.acc.sum(1))
     assert att[0] > 0 and att[2] > 0
@@ -78,11 +83,9 @@ def test_moves_actually_accept(examples_dir):
     assert att[0] + att[1] == 4 * 48 * 10
 
 
-def test_walkers_decorrelate(examples_dir):
+def test_walkers_decorrelate(base_run):
     """Independent RNG streams: walkers must diverge."""
-    prm, grid, state, aux = _two_lattice_setup(examples_dir)
-    eng = Engine(prm, MW, grid, aux)
-    state, _ = eng.run_cycles(state, 5)
+    prm, eng, state = base_run
     mus = np.asarray(state.mu)
     assert len(np.unique(mus)) == len(mus)
 
@@ -156,12 +159,11 @@ def test_sync_rezeros_weight_baseline(examples_dir):
     assert np.isfinite(d).all()
 
 
-def test_chain_resync(examples_dir):
+def test_chain_resync(base_run):
     """Resync forces lattice-2 displacements to match lattice 1
     (mc_moves.F90:2276-2333) and refreshes energies/mu."""
-    prm, grid, state, aux = _two_lattice_setup(examples_dir)
-    eng = Engine(prm, MW, grid, aux)
-    state, _ = eng.run_cycles(state, 10)
+    prm, eng, state = base_run
+    aux = eng.aux
     synced = eng.resync_chains(state)
     # cell displacement from reference equal in both lattices
     hd1 = np.asarray(synced.h[0]) - np.asarray(aux.ref_h)[0][:, :, None]
