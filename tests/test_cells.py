@@ -177,6 +177,43 @@ class TestGrid:
                     d = np.minimum(d, n - d)
                     assert d.max() >= 2   # never adjacent
 
+    def test_same_color_block_stencils_disjoint(self):
+        """Unique-index scatter eligibility (the block-scheduled
+        engine's scatter_unique check, cellengine.CellEngine.__init__):
+        with reach-1 stencils (CF = 27) the K movers' coverage
+        stencils of every (colour, fine-block) entry are pairwise
+        disjoint; geometries whose thin fine cells force reach-2
+        stencils (CF > 27) overlap, and the engine must detect that
+        and fall back to duplicate-safe scatters."""
+        from mc_water_ls_mw_tpu.ops.cells import build_grid
+
+        r, H = stacking_cell("AB" * 6, 10, 6)
+
+        def tables_unique(g):
+            m3 = g.m ** 3
+            for col in range(8):
+                cells_c = np.asarray(g.color_cells[col])
+                for b in range(m3):
+                    fc = g.block_cells[cells_c][:, b]
+                    cand = g.full_cells[fc]          # [K, CF]
+                    if len(np.unique(cand)) != cand.size:
+                        return False
+            return True
+
+        # choose_grid_shape geometry (production path): reach-1
+        # stencils, provably disjoint
+        n_auto = choose_grid_shape([H], MW, 0.0)
+        g = build_grid(n_auto, 4, [H], MW, 0.0)
+        assert g.full_cells.shape[1] == 27
+        assert tables_unique(g)
+
+        # oversubdivided axis (thin fine cells): reach-2 stencils
+        # overlap and MUST be detected
+        n_thin = (n_auto[0], n_auto[1], 2 * n_auto[2])
+        g2 = build_grid(n_thin, 4, [H], MW, 0.0)
+        assert g2.full_cells.shape[1] > 27
+        assert not tables_unique(g2)
+
     def test_grid_shape_bounds(self):
         r0, H0 = stacking_switch_pair(3, 2, 6)  # too small
         mx, _ = correspondence_mismatch(r0, H0)
