@@ -334,7 +334,7 @@ class MCChain:
             abs(np.linalg.det(self.H[l])) for l in range(2)
         ])
         self.E = np.array([
-            sw_full_energy(self.r[l], self.H[l], sw) for l in range(2)
+            np_full_energy(self.r[l], self.H[l], sw) for l in range(2)
         ])
         self.ls = 0
         self.mu = self._mu_scratch()
@@ -383,7 +383,7 @@ class MCChain:
             pn = self.r[l, imol] + tv
             r_try = self.r[l].copy()
             r_try[imol] = pn
-            dE[l] = sw_full_energy(r_try, self.H[l], sw) - self.E[l]
+            dE[l] = np_full_energy(r_try, self.H[l], sw) - self.E[l]
             p_new.append(pn)
         dmu = (dE[0] - dE[1]) * self.beta
         mu_new = self.mu + dmu
