@@ -361,8 +361,15 @@ def compute_deltaG(eng: Engine, state: SamplerState, logs,
            f"{kT * HART_TO_KJPM * 1000.0 * per_mol:15.8f} J/mole")
     logs.g(f"# G(lattice2) - G(lattice1) = "
            f"{kT * HART_TO_EV * 1000.0 * per_mol:15.8f} meV/molecule")
-    writers.write_curve(
-        f"unbiased_histogram_{cycle:010d}.dat",
-        np.asarray(grid.mu_bin), normP, 0.0,
-    )
+    # cycle-tagged dump carries a third RAW (unnormalised, cumulative)
+    # column so post-processing can difference consecutive dumps into
+    # independent time blocks for the deltaG error bar
+    # (scripts/deltag_error.py); the monitor's plain
+    # unbiased_histogram.dat keeps the reference's 2-column format
+    path = f"unbiased_histogram_{cycle:010d}.dat"
+    mub = np.asarray(grid.mu_bin)
+    with open(path, "w") as fh:
+        fh.write("#Current energy increment =  0.000000000000E+00\n")
+        for m, v, rw in zip(mub, normP, joined):
+            fh.write(f"  {m: .14E}  {v: .14E}  {rw: .14E}\n")
     return state

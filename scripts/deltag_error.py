@@ -1,0 +1,126 @@
+"""deltaG with a block-jackknife error bar from sample-run dumps.
+
+The sample phase (samplerun=.true.) dumps a cumulative unbiased
+histogram every ``deltaG_int`` cycles as
+``unbiased_histogram_<cycle>.dat`` with a third RAW (unnormalised)
+column (mcmc/wanglandau.compute_deltaG).  Consecutive dumps are far
+apart in Markov time, so their DIFFERENCES are near-independent
+blocks; delete-one-block jackknife over the deltaG estimator
+
+    deltaG = ln( sum_{k < B//2} P_k dmu_k / sum_{k >= B//2} P_k dmu_k )
+
+(the app's own estimator split: the centre bin counts toward the
+mu>0 side) gives the error bar the single pooled estimate lacks
+(reference counterpart: mc_compute_deltaG_from_hist,
+mc_moves.F90:2498-2621, which reports no error).
+
+Usage:
+    python scripts/deltag_error.py <run_dir> --nwater 216 \
+        --mu-min -1800 --mu-max 1800 [--skip-blocks 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+
+import numpy as np
+
+
+def load_dumps(run_dir):
+    files = sorted(
+        glob.glob(os.path.join(run_dir, "unbiased_histogram_*.dat"))
+    )
+    out = []
+    for f in files:
+        m = re.search(r"_(\d+)\.dat$", f)
+        if not m:
+            continue
+        arr = np.loadtxt(f)
+        if arr.ndim != 2 or arr.shape[1] < 3:
+            continue                      # legacy 2-column dump
+        out.append((int(m.group(1)), arr[:, 0], arr[:, 2]))
+    return out
+
+
+def deltag(raw, bw, split):
+    w = raw * bw
+    lo = w[:split].sum()
+    hi = w[split:].sum()
+    if lo <= 0 or hi <= 0:
+        return np.nan
+    return np.log(lo / hi)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--nwater", type=int, default=216)
+    ap.add_argument("--mu-min", type=float, default=-1800.0)
+    ap.add_argument("--mu-max", type=float, default=1800.0)
+    ap.add_argument("--skip-blocks", type=int, default=1,
+                    help="leading blocks dropped as burn-in")
+    args = ap.parse_args()
+
+    dumps = load_dumps(args.run_dir)
+    if len(dumps) < 3:
+        sys.exit("need >= 3 three-column dumps for a jackknife")
+    mu = dumps[0][1]
+    B = len(mu)
+
+    # exact grid binwidths: rebuild the run's GP grid and check the
+    # dumped mu column matches its bin centres
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+    import jax.numpy as jnp
+
+    grid = build_bin_grid(B, args.mu_min, args.mu_max,
+                          dtype=jnp.float64)
+    mub = np.asarray(grid.mu_bin)
+    if not np.allclose(mu, mub, rtol=1e-4, atol=1e-3):
+        sys.exit("dumped mu column does not match the grid for "
+                 f"(nbins={B}, mu_min={args.mu_min}, "
+                 f"mu_max={args.mu_max}) - pass the run's values")
+    bw = np.asarray(grid.binwidth)
+    split = B // 2
+
+    # consecutive differences = per-interval raw histograms
+    blocks = []
+    for (c0, _, r0), (c1, _, r1) in zip(dumps[:-1], dumps[1:]):
+        d = r1 - r0
+        d[d < 0] = 0.0      # guard (restart overlap should not occur)
+        blocks.append((c1, d))
+    blocks = blocks[args.skip_blocks:]
+    if len(blocks) < 2:
+        sys.exit("not enough blocks after burn-in skip")
+
+    total = np.sum([b for _, b in blocks], axis=0)
+    dg_all = deltag(total, bw, split)
+    n = len(blocks)
+    jack = np.array([
+        deltag(total - blocks[i][1], bw, split) for i in range(n)
+    ])
+    ok = np.isfinite(jack)
+    jack = jack[ok]
+    n_eff = len(jack)
+    if n_eff < 2 or not np.isfinite(dg_all):
+        sys.exit("estimator undefined (one histogram half is empty)")
+    se = np.sqrt((n_eff - 1) / n_eff * ((jack - jack.mean()) ** 2).sum())
+
+    per_mol = dg_all / args.nwater
+    se_mol = se / args.nwater
+    print(f"blocks used: {n_eff} (of {n}; {args.skip_blocks} skipped)")
+    print(f"deltaG(A=mu<0 half vs B) = {dg_all:+.6f} +- {se:.6f} kT")
+    print(f"                        = {per_mol:+.8f} +- {se_mol:.8f} "
+          f"kT/molecule  (N={args.nwater})")
+
+
+if __name__ == "__main__":
+    main()
