@@ -145,3 +145,56 @@ def test_gen_weights_run(tmp_path, examples_dir):
     ).read_eta_weights(str(tmp_path / "eta_weights.dat"))
     assert len(w) == 101
     assert np.asarray(w).max() > 0        # weights grew
+
+
+@pytest.mark.slow
+def test_full_wl_to_deltag_pipeline(tmp_path, examples_dir):
+    """The production workflow end-to-end at toy scale: Wang-Landau
+    weight GENERATION until f halves (flatness events, wlf.dat,
+    eta_weights.dat), then a fresh SAMPLE run in the same directory
+    that warm-starts from those weights, accumulates the unbiased
+    histogram and reports deltaG (the two-phase protocol of the
+    reference's ice1_gen_weights -> ice1_sample examples)."""
+    inp = _stage(tmp_path, examples_dir, "ice1_gen_weights")
+    os.remove(tmp_path / "eta_weights.dat") \
+        if (tmp_path / "eta_weights.dat").exists() else None
+    gen = {
+        "n_walkers": 8, "dtype": "float64",
+        "nbins": 11, "mu_min": -20.0, "mu_max": 20.0,
+        "wl_factor": 0.2, "wl_minhist": 2, "wl_flattol": 0.4,
+        "eq_mc_cycles": 5, "mpi_sync_int": 5, "flat_chk_int": 25,
+        "monitor_int": 100, "chkpt_dump_int": 10_000,
+        "deltaG_int": 10_000, "file_output_int": 100,
+    }
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides=dict(gen), max_cycles=800)
+    finally:
+        os.chdir(cwd)
+    wlf = (tmp_path / "wlf.dat").read_text().strip().splitlines()
+    assert len(wlf) >= 1, "no flatness event in 800 cycles"
+    from mc_water_ls_mw_tpu.io.writers import read_eta_weights
+
+    f_gen, w_gen = read_eta_weights(str(tmp_path / "eta_weights.dat"))
+    assert f_gen < 0.2                    # halved at least once
+    assert np.asarray(w_gen).max() > 0
+
+    # phase 2: sample with the generated weights (fresh chain - drop
+    # the generation checkpoints, keep eta_weights.dat)
+    for slot in ("checkpoint000.npz.1", "checkpoint000.npz.2"):
+        p = tmp_path / slot
+        if p.exists():
+            os.remove(p)
+    sample = dict(gen, samplerun=True, deltaG_int=100,
+                  flat_chk_int=10_000)
+    try:
+        run_input_file(inp, overrides=sample, max_cycles=400)
+    finally:
+        os.chdir(cwd)
+    log = (tmp_path / "mc.log").read_text()
+    assert "Estimate of delta G from histogram" in log
+    dumps = sorted(tmp_path.glob("unbiased_histogram_*.dat"))
+    assert dumps, "no cycle-tagged unbiased histogram dumps"
+    arr = np.loadtxt(dumps[-1])
+    assert arr.shape[1] == 3              # raw column present
+    assert np.isfinite(arr).all() and arr[:, 2].sum() > 0
