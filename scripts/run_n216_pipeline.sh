@@ -1,0 +1,48 @@
+#!/bin/bash
+# N=216 production pipeline on the (shared, sometimes-wedged) remote
+# TPU: wait for a device claim, record the cell-engine benches, then
+# run the deltaG sample phase under the watchdog supervisor.
+#
+# Usage:  scripts/run_n216_pipeline.sh [sample_budget_seconds]
+#
+# Prereq: runs/n216_wl_r2/eta_weights.dat (converged WL weights) and
+# runs/n216_sample/ (driver + ice.input), both in-repo.
+set -u
+cd "$(dirname "$0")/.."
+BUDGET="${1:-12600}"
+echo "=== pipeline start $(date)"
+
+ok=0
+for i in $(seq 1 90); do
+  echo "--- claim attempt $i $(date +%H:%M:%S)"
+  timeout 150 python -c "
+import jax,time,os,signal
+t=time.time()
+try:
+    d = jax.devices()
+except Exception as e:
+    print('CLAIM FAIL:', type(e).__name__, str(e)[:120], flush=True)
+    os.kill(os.getpid(), signal.SIGKILL)   # tokio threads hang exit
+print('DEVICE OK', d, f'{time.time()-t:.0f}s', flush=True)
+os._exit(0)" && { ok=1; break; }
+  sleep 120
+done
+[ $ok = 1 ] || { echo "=== GIVE UP (no device) $(date)"; exit 1; }
+echo "=== device acquired $(date)"
+
+echo "--- cell-engine bench N=8064 W=128"
+LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 \
+    python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "--- cell-engine bench N=8064 W=256"
+LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=256 LN_CYCLES=5 \
+    python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "--- cell-engine bench N=24192 W=64"
+LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 \
+    python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "=== bench done $(date)"
+
+cp runs/n216_wl_r2/eta_weights.dat runs/n216_sample/
+python scripts/watchdog.py --workdir runs/n216_sample \
+    --cmd "python run.py" --watch mc.log \
+    --stale 900 --grace 1800 --max-restarts 10 --budget "$BUDGET"
+echo "=== pipeline done $(date)"
