@@ -6,8 +6,10 @@ weights FROZEN at the converged eta_weights.dat from
 runs/n216_wl_r2 (copy it here before launching), accumulate the
 unbiased visit histogram and report deltaG every deltaG_int cycles.
 
-Usage:
-    cp ../n216_wl_r2/eta_weights.dat .
+Usage (weights re-targeted from the WL grid to the trimmed
+sample grid - scripts/retarget_weights.py rationale):
+    python ../../scripts/retarget_weights.py \
+        ../n216_wl_r2/eta_weights.dat eta_weights.dat
     WL_QTIME=<seconds> python run.py
 """
 import os, sys
@@ -20,8 +22,8 @@ run_input_file(
     overrides=dict(
         stack=(3, 3, 6),              # 4*3*3*6 = 216 molecules
         n_walkers=4096,
-        mu_min=-1800.0, mu_max=1800.0,
-        nbins=201,
+        mu_min=-700.0, mu_max=700.0,
+        nbins=101,
         samplerun=True,
         eq_mc_cycles=1000,
         mpi_sync_int=50,
