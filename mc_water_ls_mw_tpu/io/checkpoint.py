@@ -44,9 +44,16 @@ def state_fingerprint(state) -> str:
     SamplerState from the large-N CellState slab layout.  A restore
     is positional by leaf index, so any layout drift MUST be refused
     rather than mis-loaded."""
+    def meta(x):
+        # metadata only - no np.asarray: that would pull the whole
+        # array to host, doubling every checkpoint's device traffic
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return [list(x.shape), str(x.dtype)]
+        return [list(np.shape(x)), str(np.asarray(x).dtype)]
+
     fields = [
-        [name, list(np.shape(leaf)), str(np.asarray(leaf).dtype)]
-        for name, leaf in zip(type(state)._fields, state)
+        [name] + [[meta(leaf) for leaf in jax.tree.leaves(field)]]
+        for name, field in zip(type(state)._fields, state)
     ]
     import json
 
@@ -88,6 +95,27 @@ def load_checkpoint(template: SamplerState, directory="."):
     of a cryptic positional mis-load."""
     leaves_t, treedef = jax.tree.flatten(template)
     want_fp = state_fingerprint(template)
+    # legacy (round-2 early) fingerprint format: per-field
+    # [name, np.shape(field), asarray(field).dtype] - computed lazily
+    # only if a stored fingerprint fails the current format, so old
+    # checkpoints stay restorable without paying its host transfers
+    # on the hot write path
+    legacy_fp = None
+
+    def want_legacy():
+        nonlocal legacy_fp
+        if legacy_fp is None:
+            import json
+
+            fields = [
+                [name, list(np.shape(f)), str(np.asarray(f).dtype)]
+                for name, f in zip(type(template)._fields, template)
+            ]
+            legacy_fp = json.dumps(
+                {"kind": type(template).__name__, "fields": fields}
+            )
+        return legacy_fp
+
     candidates = []
     mismatches = []
     for path in checkpoint_paths(directory):
@@ -99,7 +127,7 @@ def load_checkpoint(template: SamplerState, directory="."):
                     got_fp = bytes(
                         data["__fingerprint__"].tobytes()
                     ).decode()
-                    if got_fp != want_fp:
+                    if got_fp != want_fp and got_fp != want_legacy():
                         mismatches.append((path, got_fp))
                         continue
                 leaves = [data[f"leaf{i}"] for i in range(len(leaves_t))]

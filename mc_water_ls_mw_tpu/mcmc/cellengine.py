@@ -290,10 +290,10 @@ class CellEngine(Engine):
                 jax.random.fold_in(
                     jax.random.fold_in(k, cycle), substep_id
                 ),
-                (K, 8), dtype=dtype,
+                (K, 7), dtype=dtype,
             ),
             out_axes=2,
-        )(s.key)                                     # [K,8,W]
+        )(s.key)                                     # [K,7,W]
 
         # mover selection, uniform over the STATIC fine cell's
         # occupants (rank-packed slots are contiguous per fine cell
@@ -310,7 +310,7 @@ class CellEngine(Engine):
             occ_mol >= 0, axis=1, dtype=jnp.int32
         )                                                     # [K,W]
         rank = jnp.minimum(
-            (u[:, 1, :] * occ_sel.astype(dtype)).astype(jnp.int32),
+            (u[:, 0, :] * occ_sel.astype(dtype)).astype(jnp.int32),
             jnp.maximum(occ_sel - 1, 0),
         )                                                     # [K,W]
         mover_fc = jnp.broadcast_to(fc[:, None], (K, W))
@@ -337,14 +337,14 @@ class CellEngine(Engine):
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
         # (mc_water_translation, mc_moves.F90:1021-1067)
-        d0 = 2.0 * u[:, 2, :] - 1.0                      # [K,W]
-        d1 = 2.0 * u[:, 3, :] - 1.0
-        d2 = 2.0 * u[:, 4, :] - 1.0
+        d0 = 2.0 * u[:, 1, :] - 1.0                      # [K,W]
+        d1 = 2.0 * u[:, 2, :] - 1.0
+        d2 = 2.0 * u[:, 3, :] - 1.0
         inv_norm = jax.lax.rsqrt(
             jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2, 1e-30)
         )
         rmag = (
-            (2.0 * u[:, 5, :] - 1.0)
+            (2.0 * u[:, 4, :] - 1.0)
             * s.max_trans[None, :] * inv_norm
         )
         v = jnp.stack([d0 * rmag, d1 * rmag, d2 * rmag])      # [3,K,W]
@@ -488,7 +488,7 @@ class CellEngine(Engine):
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
             trans_type, sw_try, has_mover, in_cell,
-            u[:, 6, :], u[:, 7, :],
+            u[:, 5, :], u[:, 6, :],
         )
         # fully unrolled: the body is a handful of [W]-sized ops, and
         # per-iteration loop overhead on the remote-TPU platform is
@@ -656,7 +656,7 @@ class CellEngine(Engine):
             # the post-batch TOTAL histogram (delta + master base;
             # mc_moves.F90:1636-1653)
             sumh = s.sumhist + jnp.sum(upd, axis=0)
-            hist_tot = hist + ds_value(s.master_hist)[s.window_id].T
+            hist_tot = self._hist_total(s, hist)
             binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
                 hist_tot * grid.binwidth[:, None]

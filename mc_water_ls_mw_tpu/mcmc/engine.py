@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -98,6 +99,21 @@ class Engine:
         # wall, built by init_state when the geometry allows
         self.tbl = getattr(aux, "nbr_tbl", None)
         self.wall = float(getattr(aux, "wall", 0.0) or 0.0)
+        if self.tbl is not None:
+            # runtime guard for the tables' baked-in breathing margin
+            # (ops/nbrtable.BREATHING): the volume move rejects boxes
+            # whose perpendicular widths shrink below 1/BREATHING of
+            # the reference geometry (table completeness), and any box
+            # that carries a molecule beyond the displacement wall
+            # (detailed balance of the wall; see _volume)
+            from ..ops.cells import perp_widths
+            from ..ops.nbrtable import BREATHING
+
+            ref_h_np = np.asarray(aux.ref_h, np.float64)
+            self._tbl_min_w = np.stack([
+                perp_widths(ref_h_np[l])
+                for l in range(ref_h_np.shape[0])
+            ]) / BREATHING                                 # [L,3]
         # fused whole-cycle Pallas kernel (mcmc/fused.py): the hot
         # N-step inner loop with per-walker state resident in VMEM
         if prm.fused == "auto":
@@ -205,10 +221,13 @@ class Engine:
         base = ds_value(s.master_eta)                  # [nwin, B]
         return s.weight + base[s.window_id].T
 
-    def _hist_total(self, s: SamplerState):
-        """Same view for the visits histogram (Swetnam f)."""
+    def _hist_total(self, s: SamplerState, hist=None):
+        """Same view for the visits histogram (Swetnam f).  ``hist``
+        overrides the per-walker delta (the WL update paths pass the
+        freshly incremented one)."""
         base = ds_value(s.master_hist)
-        return s.hist + base[s.window_id].T
+        h = s.hist if hist is None else hist
+        return h + base[s.window_id].T
 
     def _eta(self, s: SamplerState, mu):
         """Multicanonical weight eta(mu) per walker (batched form of
@@ -310,7 +329,7 @@ class Engine:
             # Swetnam RMS-flatness f (mc_moves.F90:1636-1653), from
             # the TOTAL histogram view (master + own delta)
             sumh = s.sumhist + upd
-            hist_tot = hist + ds_value(s.master_hist)[s.window_id].T
+            hist_tot = self._hist_total(s, hist)
             binfrac = grid.binwidth / (prm.mu_max - prm.mu_min - 1.0)
             dev = (
                 hist_tot * grid.binwidth[:, None]
@@ -568,6 +587,19 @@ class Engine:
         extra_ok = self._vol_extra_ok(h_new)
         if extra_ok is not None:
             ok = ok & extra_ok
+        if self.wall > 0.0 and "ref_r" in extras:
+            # displacement wall on the RESCALED state: a volume move
+            # scales Cartesian displacements from the reference sites
+            # (d = H (f - f0)), so without this check an accepted
+            # expansion could carry a molecule beyond the translation
+            # wall — breaking both detailed balance at the wall (the
+            # reverse translation would be rejected while the forward
+            # one was not) and the tables' capture guarantee.  Volume
+            # moves are ~1/nwater of trials, so the O(L N W) check is
+            # cheap.
+            dsp = r_new - extras["ref_r"]               # [L,3,N,W]
+            d2 = jnp.sum(dsp * dsp, axis=1)             # [L,N,W]
+            ok = ok & (jnp.max(d2, axis=(0, 1)) <= self.wall ** 2)
         if prm.num_lattices == 2:
             ok = ok & jnp.isfinite(mu_new)
         accept = ok & (u[:, 3] < jnp.exp(-diffkT))
@@ -632,9 +664,31 @@ class Engine:
         )
 
     def _vol_extra_ok(self, h_new):
-        """Optional extra [W] acceptance wall (None = no constraint);
-        the cell engine uses this for its grid-validity guard."""
-        return None
+        """Optional extra [W] acceptance wall (None = no constraint).
+
+        With the static neighbour tables active, boxes whose
+        perpendicular widths shrink below 1/BREATHING of the reference
+        geometry are rejected — beyond that the tables would silently
+        miss in-range pairs (ops/nbrtable.table_radius).  A hard wall
+        that depends only on the proposed state preserves detailed
+        balance.  (The cell engine overrides this with its own
+        grid-validity guard.)"""
+        if self.tbl is None:
+            return None
+        L = h_new.shape[0]
+        ok = None
+        for l in range(L):
+            H = h_new[l]                                   # [3,3,W]
+            vol = jnp.abs(determinant3(H))
+            for a in range(3):
+                b, c = (a + 1) % 3, (a + 2) % 3
+                cx = H[1, b] * H[2, c] - H[2, b] * H[1, c]
+                cy = H[2, b] * H[0, c] - H[0, b] * H[2, c]
+                cz = H[0, b] * H[1, c] - H[1, b] * H[0, c]
+                w = vol * jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
+                cond = w > self._tbl_min_w[l, a]
+                ok = cond if ok is None else (ok & cond)
+        return ok
 
     def _scheduled_volume_moves(self, s, codes, cycle, switch_ok):
         """Run this cycle's scheduled volume moves back-to-back

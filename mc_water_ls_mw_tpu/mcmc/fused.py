@@ -685,7 +685,7 @@ class FusedCycle:
 
         e_olds, e_news = [], []
         effs, owns, p_olds, p_news = [], [], [], []
-        idx_a, valids, cands = [], [], []
+        idx_a, cands = [], []
         in_wall = None
         for l in range(L):
             # all index arithmetic on the raw SMEM scalars (the scalar
@@ -697,7 +697,6 @@ class FusedCycle:
             ).astype(dtype)[:, None]                      # [M,1]
             idx_r = [jnp.minimum(j, N - 1) for j in idx[l]]
             idx_a.append(idx[l])
-            valids.append(idx[l])
 
             p_old = tuple(
                 r[l, a, pl.ds(imol, 1), :][0] for a in range(3)
@@ -771,7 +770,7 @@ class FusedCycle:
             # entries are unique per (lattice, molecule), so the M
             # stores touch M distinct rows
             for m in range(M):
-                upd = accept & (valids[l][m] < N)   # scalar-core bool
+                upd = accept & (idx_a[l][m] < N)    # scalar-core bool
                 for fi in range(10):
                     mom[fi, l, pl.ds(idx_a[l][m], 1), :] = jnp.where(
                         upd, effs[l][fi][m], cands[l][fi][m]

@@ -338,6 +338,12 @@ def init_state(
     want_tbl = prm.nbr_table == "on" or (
         prm.nbr_table == "auto" and N >= 96
     )
+    if prm.nbr_table == "on" and prm.trans_wall <= 0.0:
+        raise ValueError(
+            "nbr_table='on' requires trans_wall > 0 (the displacement "
+            "wall is what makes the static tables exact; see "
+            "ops/nbrtable.py)"
+        )
     if want_tbl and prm.trans_wall > 0.0:
         r0n, H0n = np.asarray(r0, np.float64), np.asarray(H0, np.float64)
         mic_ok = mic_unique(H0n, model) and (

@@ -47,11 +47,20 @@ import numpy as np
 from ..models.sw import SWParams
 
 
+# NPT volume-breathing margin baked into the capture radius.  The
+# dense engine ENFORCES it at runtime: volume moves that would shrink
+# any perpendicular box width below 1/BREATHING of the reference
+# geometry are rejected (Engine._volume), so the static tables remain
+# a superset of all in-range pairs for every reachable box.
+BREATHING = 1.03
+
+
 def table_radius(model: SWParams, d_wall: float,
-                 breathing: float = 1.03) -> float:
+                 breathing: float = BREATHING) -> float:
     """Pair-capture radius: molecules within d_wall of their reference
     sites can only interact within rc if their reference sites are
-    within rc + 2*d_wall; ``breathing`` covers NPT cell fluctuation."""
+    within rc + 2*d_wall; ``breathing`` covers NPT cell fluctuation
+    (guarded at runtime, see BREATHING)."""
     return (model.rc + 2.0 * d_wall) * breathing
 
 

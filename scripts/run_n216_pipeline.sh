@@ -42,7 +42,8 @@ LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 \
 echo "=== bench done $(date)"
 
 python scripts/retarget_weights.py \
-    runs/n216_wl_r2/eta_weights.dat runs/n216_sample/eta_weights.dat
+    runs/n216_wl_r2/eta_weights.dat runs/n216_sample/eta_weights.dat \
+    || { echo "=== ABORT: weight retargeting failed"; exit 1; }
 python scripts/watchdog.py --workdir runs/n216_sample \
     --cmd "python run.py" --watch mc.log \
     --stale 900 --grace 1800 --max-restarts 10 --budget "$BUDGET"

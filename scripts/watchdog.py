@@ -30,6 +30,30 @@ import sys
 import time
 
 
+def _kill_group(proc, grace_s):
+    """SIGTERM then SIGKILL the run's process group, tolerating the
+    race where the process dies between the staleness check and the
+    kill (the supervisor must survive to relaunch)."""
+    try:
+        pg = os.getpgid(proc.pid)
+    except ProcessLookupError:
+        proc.wait(timeout=10)
+        return
+    try:
+        os.killpg(pg, signal.SIGTERM)
+    except ProcessLookupError:
+        proc.wait(timeout=10)
+        return
+    try:
+        proc.wait(timeout=grace_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(pg, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(timeout=30)
+
+
 def log(fh, msg):
     line = f"[watchdog {time.strftime('%H:%M:%S')}] {msg}"
     print(line, flush=True)
@@ -90,24 +114,12 @@ def main():
                                 f"{age:.0f}s > {args.stale:.0f}s: "
                                 "killing process group")
                         hang = True
-                        pg = os.getpgid(proc.pid)
-                        os.killpg(pg, signal.SIGTERM)
-                        try:
-                            proc.wait(timeout=60)
-                        except subprocess.TimeoutExpired:
-                            os.killpg(pg, signal.SIGKILL)
-                            proc.wait(timeout=30)
+                        _kill_group(proc, 60)
                         rc = proc.returncode
                         break
                     if time.time() > t_end - 60:
                         log(fh, "budget reached: stopping run cleanly")
-                        pg = os.getpgid(proc.pid)
-                        os.killpg(pg, signal.SIGTERM)
-                        try:
-                            proc.wait(timeout=120)
-                        except subprocess.TimeoutExpired:
-                            os.killpg(pg, signal.SIGKILL)
-                            proc.wait(timeout=30)
+                        _kill_group(proc, 120)
                         log(fh, "done (budget)")
                         return 0
             if not hang and rc == 0:
