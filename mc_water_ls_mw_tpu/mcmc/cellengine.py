@@ -247,6 +247,29 @@ class CellEngine(Engine):
             self.sweeps_per_cycle * cellgrid.ncoarse * m3
         )
 
+        # fused Pallas sub-step energy kernel (ops/cell_pallas.py):
+        # the XLA path materialises ~30 [K, CF*cap, W] intermediates
+        # per sub-step in HBM; the kernel keeps them in VMEM
+        unpadded = bool(np.all(cellgrid.full_mask))
+        if prm.cell_pallas == "on":
+            if not unpadded:
+                raise ValueError(
+                    "cell_pallas='on' needs an unpadded coverage "
+                    "table (cells.build_grid full_mask all True)"
+                )
+            self.use_cell_pallas = True
+        elif prm.cell_pallas == "auto":
+            self.use_cell_pallas = (
+                unpadded and jax.default_backend() != "cpu"
+            )
+        else:
+            self.use_cell_pallas = False
+        if self.use_cell_pallas:
+            from ..ops.cell_pallas import MoverEnergiesPallas
+            self.mover_kernel = MoverEnergiesPallas(
+                self.model, cellgrid, mesh=mesh
+            )
+
     # ------------------------------------------------------------------
     # full-cell energy (slab)
     # ------------------------------------------------------------------
@@ -383,15 +406,26 @@ class CellEngine(Engine):
         # the 27-cell per-fine-cell coverage stencil (the wall keeps
         # both endpoints inside the stored fine cell, so full_cells'
         # r_cov coverage of that cube reaches every partner)
-        valid = self._slab_valid(s)
-        per = [
-            mover_energies(
-                s.r[l], Moments(*(f[l] for f in s.moments)), valid,
-                s.h[l], cand_cells_b, cand_off_b, cg.full_mask, cap,
-                mover_slot, p_old[l], p_new[l], model,
-            )
-            for l in range(L)
-        ]
+        if self.use_cell_pallas:
+            per = [
+                self.mover_kernel(
+                    s.r[l], Moments(*(f[l] for f in s.moments)),
+                    s.slot2mol, s.h[l], cand_cells_b, cand_off_b,
+                    fc, rank, p_old[l], p_new[l],
+                )
+                for l in range(L)
+            ]
+        else:
+            valid = self._slab_valid(s)
+            per = [
+                mover_energies(
+                    s.r[l], Moments(*(f[l] for f in s.moments)),
+                    valid, s.h[l], cand_cells_b, cand_off_b,
+                    cg.full_mask, cap, mover_slot, p_old[l],
+                    p_new[l], model,
+                )
+                for l in range(L)
+            ]
         e_old = jnp.stack([p[0] for p in per])                # [L,K,W]
         e_new = jnp.stack([p[1] for p in per])
         dE = e_new - e_old                                    # [L,K,W]
@@ -552,14 +586,24 @@ class CellEngine(Engine):
         cand_flat = cand_cells_b.reshape(-1)            # [K*CF]
         new_mom = []
         for l in range(L):
-            _, _, co, cn = per[l]
-            d_old = co.delta()
-            d_new = cn.delta()
-            own = cn.own
+            if self.use_cell_pallas:
+                # kernel returns the per-candidate deltas new - old
+                # ([K, CF, cap, W]) and the mover's own new moments
+                d_iter = per[l][3]
+                own = per[l][2]
+                acc_b = accf[:, None, None, :]
+            else:
+                _, _, co, cn = per[l]
+                d_iter = Moments(*(
+                    fn - fo
+                    for fo, fn in zip(co.delta(), cn.delta())
+                ))
+                own = cn.own
+                acc_b = accf[:, None, :]
             fields = []
-            for fo, fn, fown, cur in zip(d_old, d_new, own,
-                                         (f[l] for f in s.moments)):
-                dlt = jnp.where(accf[:, None, :], fn - fo, 0.0)
+            for df, fown, cur in zip(d_iter, own,
+                                     (f[l] for f in s.moments)):
+                dlt = jnp.where(acc_b, df, 0.0)
                 upd_c = cur.reshape(-1, cap, W).at[cand_flat].add(
                     dlt.reshape(-1, cap, W), unique_indices=uniq
                 )

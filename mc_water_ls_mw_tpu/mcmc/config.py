@@ -97,6 +97,11 @@ class RunParams:
     dtype: str = "float32"       # compute dtype ('float64' = parity mode)
     fused: str = "auto"          # whole-cycle Pallas kernel: on/off/auto
                                  # (auto = on for TPU, off for CPU)
+    cell_pallas: str = "auto"    # cell-engine fused sub-step energy
+                                 # kernel (ops/cell_pallas.py):
+                                 # on/off/auto (auto = on for TPU
+                                 # when the coverage table is
+                                 # unpadded)
     # static reference-lattice neighbour tables + shared molecule
     # schedule + displacement wall (the candidate-reduction fast path;
     # see ops/nbrtable.py).  'auto' = on when the geometry allows

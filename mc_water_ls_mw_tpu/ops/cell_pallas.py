@@ -1,0 +1,309 @@
+"""Pallas mover-energies kernel for the large-N cell engine.
+
+The XLA sub-step path (ops/cell_energy.mover_energies) gathers
+[K, CF*cap, W] candidate tensors from the HBM slabs and materialises
+~30 intermediates of that size per sub-step (coords x3, mask, r2,
+rsqrt, legs, 3 direction components, 10 gathered moment fields, 10
+delta fields, all twice for the old/new evaluation points).  At
+N=8064 / cap=32 / W=128 each such array is ~3.5 MB and a cycle runs
+~10^3 sub-steps - the sub-step is HBM-bandwidth-bound (ROUNDLOG r1
+item 2).
+
+This kernel fuses the whole evaluation: grid = (walker-block, mover,
+candidate-cell); each step DMAs one fine cell's [cap, W] slab blocks
+(coordinates, slot2mol, 10 moment fields) straight from the
+HBM-resident slabs at scalar-prefetched table indices, computes pair
++ three-body terms for BOTH evaluation points in VMEM, writes the
+per-candidate moment deltas (new - old, the only per-candidate data
+the accept path needs), and accumulates the mover reductions
+(pair sums, own moments, wing sums) in VMEM scratch.  HBM traffic
+drops to the 14 slab reads + 10 delta writes + O(K*W) reductions -
+no [K, C, W] intermediate ever hits HBM.
+
+Math is shared with ops/cell_energy.py (imported helpers); reference
+semantics: compute_local_real_energy, molint.F90:220-404.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.sw import SWParams
+from .cells import CellGrid
+from .dense import Moments, _e3_closed_form, _leg, _pair
+
+# scratch row layout: [0] pair_old [1] pair_new [2] w2_old [3] w2_new
+# [4] e3j_old [5] e3j_new [6:16] own_old [16:26] own_new
+_NACC = 26
+# red output rows: [0] e_old [1] e_new [2:12] own_new (pad to 16)
+_NRED = 16
+
+
+class MoverEnergiesPallas:
+    """Batch mover old/new local energies + moment deltas, fused.
+
+    One lattice per call: see __call__.  Requires a coverage table
+    with no padding entries (cg.full_mask all True - the builder
+    guarantees this for the production grids; callers must gate).
+    """
+
+    def __init__(self, model: SWParams, cg: CellGrid, mesh=None):
+        self.model = model
+        self.nfine = cg.nfine
+        self.cap = cg.cap
+        self.CF = cg.full_cells.shape[1]
+        assert bool(np.all(cg.full_mask)), (
+            "MoverEnergiesPallas requires an unpadded coverage table"
+        )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.interpret = jax.default_backend() == "cpu"
+
+    # ------------------------------------------------------------------
+
+    def _kernel(self, cand_ref, fc_ref, rx_ref, ry_ref, rz_ref,
+                s2m_ref, *rest):
+        mom_refs = rest[:10]
+        (shift_ref, po_ref, pn_ref, rank_ref,
+         red_ref, d_ref, acc) = rest[10:]
+        m = self.model
+        CF = self.CF
+        lam_eps = m.lam * m.epsilon
+        c0 = m.cos0
+        k = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        # slab blocks of the candidate fine cell ([cap, WB])
+        sx = shift_ref[0, 0]
+        sy = shift_ref[0, 1]
+        sz = shift_ref[0, 2]
+        cx = rx_ref[0] + sx[None, :]
+        cy = ry_ref[0] + sy[None, :]
+        cz = rz_ref[0] + sz[None, :]
+        valid = s2m_ref[0] >= 0
+
+        # self exclusion: the mover's own slot appears exactly when
+        # the candidate cell IS the mover's fine cell, at lane = rank
+        is_self_cell = cand_ref[k, c] == fc_ref[k]
+        rank_row = rank_ref[0]                               # [WB]
+        iota_cap = lax.broadcasted_iota(jnp.int32, valid.shape, 0)
+        self_m = (iota_cap == rank_row[None, :]) & is_self_cell
+        mask = valid & jnp.logical_not(self_m)
+
+        def eval_point(px, py, pz):
+            dx = cx - px[None, :]
+            dy = cy - py[None, :]
+            dz = cz - pz[None, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            in_rc = (r2 < m.rc2) & mask
+            r2s = jnp.where(in_rc, r2, 1.0)
+            inv = lax.rsqrt(r2s)
+            rij = r2s * inv
+            pair = _pair(r2s, rij, in_rc, m)
+            w = _leg(rij, in_rc, m)
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+            wux, wuy, wuz = w * ux, w * uy, w * uz
+            # own-moment contributions (mover's view) and per-slot
+            # j-view deltas (ops/cell_energy._slab_candidates signs)
+            own = (w, wux, wuy, wuz,
+                   wux * ux, wuy * uy, wuz * uz,
+                   wux * uy, wux * uz, wuy * uz)
+            dlt = (w, -wux, -wuy, -wuz,
+                   own[4], own[5], own[6], own[7], own[8], own[9])
+            return pair, w, (ux, uy, uz), own, dlt
+
+        po = (po_ref[0, 0], po_ref[1, 0], po_ref[2, 0])
+        pn = (pn_ref[0, 0], pn_ref[1, 0], pn_ref[2, 0])
+        pair_o, w_o, u_o, own_o, dlt_o = eval_point(*po)
+        pair_n, w_n, u_n, own_n, dlt_n = eval_point(*pn)
+
+        # wing (j-centred) sums against the gathered moments; the new
+        # evaluation sees every neighbour's moments corrected by the
+        # mover's old->new leg change (cell_energy.mover_energies)
+        mom = [mom_refs[i][0] for i in range(10)]
+
+        def wing(w, u, fields):
+            ux, uy, uz = u
+            (s1, mx, my, mz, mxx, myy, mzz, mxy, mxz, myz) = fields
+            quad = (
+                ux * ux * mxx + uy * uy * myy + uz * uz * mzz
+                + 2.0 * (ux * uy * mxy + ux * uz * mxz
+                         + uy * uz * myz)
+            )
+            lin = ux * mx + uy * my + uz * mz
+            per = (
+                quad + 2.0 * c0 * lin + (c0 * c0) * s1
+                - (1.0 - c0) ** 2 * w
+            )
+            return w * per
+
+        e3j_o = wing(w_o, u_o, mom)
+        eff = [mom[i] - dlt_o[i] + dlt_n[i] for i in range(10)]
+        e3j_n = wing(w_n, u_n, eff)
+
+        # per-candidate delta output ([10, cap, WB] block)
+        for i in range(10):
+            d_ref[i, 0] = dlt_n[i] - dlt_o[i]
+
+        # accumulate the mover reductions ([cap, WB] partials; the
+        # sublane reduction happens once at the last candidate cell)
+        acc[0] += pair_o
+        acc[1] += pair_n
+        acc[2] += w_o * w_o
+        acc[3] += w_n * w_n
+        acc[4] += e3j_o
+        acc[5] += e3j_n
+        for i in range(10):
+            acc[6 + i] += own_o[i]
+            acc[16 + i] += own_n[i]
+
+        @pl.when(c == CF - 1)
+        def _():
+            red = lambda i: jnp.sum(acc[i], axis=0)       # noqa: E731
+            own_of = Moments(*(red(6 + i) for i in range(10)))
+            own_nf = Moments(*(red(16 + i) for i in range(10)))
+            e3i_o = _e3_closed_form(own_of, red(2), c0)
+            e3i_n = _e3_closed_form(own_nf, red(3), c0)
+            red_ref[0, 0] = red(0) + lam_eps * (e3i_o + red(4))
+            red_ref[0, 1] = red(1) + lam_eps * (e3i_n + red(5))
+            for i in range(10):
+                red_ref[0, 2 + i] = own_nf[i]
+
+    # ------------------------------------------------------------------
+
+    def _invoke(self, cand, fc, rank, shift, po, pn, rx, ry, rz,
+                s2m, *mom):
+        K, CF = cand.shape
+        Wl = rx.shape[-1]
+        WB = 128 if Wl % 128 == 0 else Wl
+        cap = self.cap
+        dtype = rx.dtype
+
+        def cellspec():
+            # slab arrays [nfine, cap, W]: one fine cell's block at
+            # the scalar-prefetched candidate table index
+            def imap(wb, k, c, cand_r, fc_r):
+                return (cand_r[k, c], 0, wb)
+            return pl.BlockSpec((1, cap, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def shiftspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k * CF + c, 0, wb)
+            return pl.BlockSpec((1, 3, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def pspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, k, wb)
+            return pl.BlockSpec((3, 1, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def rankspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k, wb)
+            return pl.BlockSpec((1, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def redspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k, 0, wb)
+            return pl.BlockSpec((1, _NRED, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def dspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, k * CF + c, 0, wb)
+            return pl.BlockSpec((10, 1, cap, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Wl // WB, K, CF),
+            in_specs=(
+                [cellspec()] * 4                   # rx, ry, rz, s2m
+                + [cellspec()] * 10                # moment fields
+                + [shiftspec(), pspec(), pspec(), rankspec()]
+            ),
+            out_specs=[redspec(), dspec()],
+            scratch_shapes=[pltpu.VMEM((_NACC, cap, WB), dtype)],
+        )
+        red, d = pl.pallas_call(
+            self._kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((K, _NRED, Wl), dtype),
+                jax.ShapeDtypeStruct((10, K * CF, cap, Wl), dtype),
+            ],
+            interpret=self.interpret,
+        )(cand, fc, rx, ry, rz, s2m, *mom, shift, po, pn, rank)
+        return red, d
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, slab_r, slab_mom: Moments, slot2mol, H,
+                 cand_cells, cand_off, fc, rank, p_old, p_new):
+        """One lattice, one sub-step.
+
+        slab_r [3, nslot, W]; slab_mom fields [nslot, W]; slot2mol
+        [nslot, W] int32; H [3,3,W]; cand_cells [K, CF] / cand_off
+        [K, CF, 3] the movers' coverage-table rows; fc [K] mover fine
+        cells; rank [K, W] mover slot ranks; p_old/p_new [3, K, W].
+
+        Returns (e_old [K,W], e_new [K,W], own_new Moments [K,W],
+        d Moments fields [K, CF, cap, W] = per-candidate j-moment
+        deltas new - old) - exactly the quantities the accept path of
+        CellEngine._substep consumes.
+        """
+        nfine, cap = self.nfine, self.cap
+        K, CF = cand_cells.shape
+        W = slab_r.shape[-1]
+        rs = lambda a: a.reshape(nfine, cap, W)            # noqa: E731
+        # per-candidate-cell image shifts H @ off ([K*CF, 3, W])
+        off = jnp.asarray(cand_off).astype(H.dtype)
+        shift = jnp.einsum("kcb,abw->kcaw", off, H).reshape(
+            K * CF, 3, W
+        )
+
+        args = (
+            jnp.asarray(cand_cells, dtype=jnp.int32),
+            jnp.asarray(fc, dtype=jnp.int32),
+            rank.astype(jnp.int32), shift, p_old, p_new,
+            rs(slab_r[0]), rs(slab_r[1]), rs(slab_r[2]),
+            rs(slot2mol),
+            *(rs(f) for f in slab_mom),
+        )
+        invoke = self._invoke
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh.axis_names[0]
+
+            def wsp(arr):
+                return P(*((None,) * (arr.ndim - 1) + (ax,)))
+
+            invoke = shard_map(
+                invoke,
+                mesh=self.mesh,
+                in_specs=(P(None, None), P(None),
+                          *(wsp(a) for a in args[2:])),
+                out_specs=(P(None, None, ax), P(None, None, None, ax)),
+                check_vma=False,
+            )
+        red, d = invoke(*args)
+        e_old = red[:, 0]
+        e_new = red[:, 1]
+        own_new = Moments(*(red[:, 2 + i] for i in range(10)))
+        dmom = Moments(*(
+            d[i].reshape(K, CF, cap, W) for i in range(10)
+        ))
+        return e_old, e_new, own_new, dmom

@@ -8,6 +8,7 @@ timings plus aggregate moves/s.  Environment knobs:
     LN_WALKERS             walker count (default 64)
     LN_CYCLES              timed cycles (default 5)
     LN_CAP                 slot capacity override (default auto)
+    LN_PALLAS              cell_pallas flag: auto (default)/on/off
 """
 
 from __future__ import annotations
@@ -64,6 +65,7 @@ def main():
         samplerun=False, eq_mc_cycles=1, list_update_int=5,
         mpi_sync_int=10, latt_sync_int=10_000,
         n_walkers=W, dtype="float32", fused="off",
+        cell_pallas=os.environ.get("LN_PALLAS", "auto"),
     )
     grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
                           dtype=jnp.float32)

@@ -1,0 +1,164 @@
+"""Fused Pallas sub-step kernel vs the XLA cell-engine path.
+
+The kernel (ops/cell_pallas.py) must reproduce the XLA
+mover_energies evaluation (ops/cell_energy.py) exactly: same pair +
+three-body energies at both trial endpoints, same own-moment totals,
+same per-candidate j-moment deltas - in fp64 interpret mode the only
+difference is summation order (<= 1e-11 on Hartree-scale numbers).
+A full sub-step driven through CellEngine with cell_pallas='on' must
+produce the same accept decisions, positions and counters as the XLA
+sub-step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mc_water_ls_mw_tpu.models.stacking import (
+    correspondence_mismatch,
+    stacking_switch_pair,
+)
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.mcmc.cellengine import (
+    CellEngine,
+    init_cell_state,
+)
+from mc_water_ls_mw_tpu.ops.cells import (
+    build_grid,
+    cap_for_positions,
+    choose_grid_shape,
+)
+from mc_water_ls_mw_tpu.ops.cell_energy import mover_energies
+from mc_water_ls_mw_tpu.ops.cell_pallas import MoverEnergiesPallas
+from mc_water_ls_mw_tpu.ops.dense import Moments
+
+
+@pytest.fixture(scope="module")
+def system():
+    """Smallest switch pair the two-level grid supports."""
+    r0, H0 = stacking_switch_pair(12, 7, 18)
+    N = r0.shape[1]
+    mx, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mx)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mx
+    )
+    W = 2
+    prm = RunParams(
+        nwater=N, num_lattices=2, n_walkers=W, dtype="float64",
+        temperature=200.0, mu_min=-500.0, mu_max=500.0,
+        mc_always_switch=True, allow_switch=True,
+        mc_vol_prob=0.0, allow_vol=False, eq_mc_cycles=0,
+        list_update_int=100000, latt_sync_int=100000,
+        mpi_sync_int=100000,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float64)
+    st, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    return prm, grid, st, eaux, caux, cg
+
+
+def test_kernel_matches_xla_mover_energies(system):
+    prm, grid, st, eaux, caux, cg = system
+    K, cap, W = cg.cells_per_color, cg.cap, prm.n_walkers
+    rng = np.random.default_rng(0)
+
+    col, b = 3, 1
+    cells_c = np.asarray(cg.color_cells[col])
+    fc = cg.block_cells[cells_c][:, b]
+    cand = cg.full_cells[fc]
+    off = cg.full_off[fc]
+
+    s2m = np.asarray(st.slot2mol)
+    occ = (s2m.reshape(cg.nfine, cap, W) >= 0).sum(axis=1)
+    rank = np.zeros((K, W), dtype=np.int32)
+    for k in range(K):
+        for w in range(W):
+            rank[k, w] = rng.integers(0, max(occ[fc[k], w], 1))
+    mover_slot = fc[:, None] * cap + rank
+
+    l = 0
+    r_l = np.asarray(st.r[l])
+    p_old = np.stack([
+        r_l[a][mover_slot, np.arange(W)[None, :]] for a in range(3)
+    ])
+    p_new = p_old + rng.normal(scale=0.3, size=p_old.shape)
+
+    mom_l = Moments(*(f[l] for f in st.moments))
+    e_old_x, e_new_x, co, cn = mover_energies(
+        st.r[l], mom_l, st.slot2mol >= 0, st.h[l],
+        jnp.asarray(cand), jnp.asarray(off), cg.full_mask, cap,
+        jnp.asarray(mover_slot), jnp.asarray(p_old),
+        jnp.asarray(p_new), MW,
+    )
+
+    kern = MoverEnergiesPallas(MW, cg)
+    e_old_p, e_new_p, own_p, d_p = kern(
+        st.r[l], mom_l, st.slot2mol, st.h[l], cand, off, fc,
+        jnp.asarray(rank), jnp.asarray(p_old), jnp.asarray(p_new),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(e_old_p), np.asarray(e_old_x), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_new_p), np.asarray(e_new_x), atol=1e-11
+    )
+    CF = cand.shape[1]
+    for a, b2 in zip(own_p, cn.own):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), atol=1e-11
+        )
+    for dp, do_, dn_ in zip(d_p, co.delta(), cn.delta()):
+        ref = (dn_ - do_).reshape(K, CF, cap, W)
+        np.testing.assert_allclose(
+            np.asarray(dp), np.asarray(ref), atol=1e-11
+        )
+
+
+def test_pallas_substep_matches_xla_substep(system):
+    prm, grid, st, eaux, caux, cg = system
+    W = prm.n_walkers
+    out = []
+    for flag in ("off", "on"):
+        import dataclasses
+        prm_f = dataclasses.replace(prm, cell_pallas=flag)
+        eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
+        assert eng.use_cell_pallas == (flag == "on")
+        s = st._replace(cycle=jnp.asarray(1, jnp.int32))
+        codes_k = jnp.zeros(eng.K, dtype=jnp.int32)    # all TRANS
+        sw_ok = jnp.ones(W, dtype=bool)
+        tpm0 = jnp.zeros((cg.nslot, W), dtype=jnp.int32)
+        s2, tpm = jax.jit(
+            lambda stt, e=eng: e._substep(
+                stt, tpm0, e.fc_stack[5], e.cand_stack[5],
+                e.off_stack[5], jnp.asarray(2, jnp.int32),
+                jnp.asarray(0, jnp.int32), codes_k, sw_ok,
+            )
+        )(s)
+        out.append((s2, tpm))
+    (a, tpa), (b, tpb) = out
+    # identical RNG stream -> identical proposals; fp64 energies agree
+    # to summation order, so accept decisions and therefore discrete
+    # state must match exactly
+    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+    np.testing.assert_array_equal(np.asarray(a.att), np.asarray(b.att))
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+    np.testing.assert_array_equal(np.asarray(tpa), np.asarray(tpb))
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_allclose(
+        np.asarray(a.mu), np.asarray(b.mu), rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.energy), np.asarray(b.energy), rtol=0, atol=1e-10
+    )
+    for fa, fb in zip(a.moments, b.moments):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(a.hist), np.asarray(b.hist), rtol=0, atol=0
+    )
