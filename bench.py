@@ -55,6 +55,46 @@ def _run_case(g, jax, nwater, walkers, cycles, dtype, sync_int):
     }
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """Probe the (shared, sometimes-wedged) remote-TPU claim in
+    bounded subprocesses until it succeeds or the budget runs out.
+
+    The first device access can block indefinitely while another
+    process holds the chip lease; probing in a killable child keeps
+    THIS process responsive so the driver sees a clean bounded
+    failure instead of a hang."""
+    import subprocess
+
+    probe = (
+        "import jax, os, signal\n"
+        "try:\n"
+        "    d = jax.devices()\n"
+        "except Exception:\n"
+        "    os.kill(os.getpid(), signal.SIGKILL)\n"
+        "os._exit(0)\n"
+    )
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=150, capture_output=True,
+            )
+            if res.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(
+            f"bench: device claim attempt {attempt} failed; retrying",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main():
     walkers = int(os.environ.get("BENCH_WALKERS", "4096"))
     cycles = int(os.environ.get("BENCH_CYCLES", "100"))
@@ -63,6 +103,17 @@ def main():
     # userparams.f90); BENCH_SYNC_INT=1 stresses the collective path
     sync_int = int(os.environ.get("BENCH_SYNC_INT", "250"))
     only_n = os.environ.get("BENCH_NWATER")  # optional single-row mode
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        budget = float(os.environ.get("BENCH_CLAIM_WAIT", "1800"))
+        if not _wait_for_device(budget):
+            print(
+                "bench: no TPU device claim within "
+                f"{budget:.0f}s (shared chip lease wedged); aborting "
+                "rather than hanging",
+                file=sys.stderr, flush=True,
+            )
+            sys.exit(3)
 
     import jax
 
