@@ -334,7 +334,13 @@ class Application:
             "mW.dcd", r_act, r_oth, np.asarray(s.h[ls0, :, :, 0])
         )
 
-    def run(self, max_cycles=None, jit_chunk=100):
+    def run(self, max_cycles=None, jit_chunk=100, profile_dir=None):
+        """Cycle loop.  profile_dir: write a device profiler trace
+        (jax.profiler, viewable in TensorBoard/XProf) covering the
+        SECOND cycle block - the first block carries the compile, the
+        second is steady state.  The reference has no profiler beyond
+        its walltime module (timer.f90); this is a framework
+        extension (SURVEY.md §5.1)."""
         prm = self.prm
         eng = self.engine
         total = max_cycles if max_cycles is not None else prm.max_mc_cycles
@@ -344,8 +350,18 @@ class Application:
         # compile time/memory); chunks of equal length reuse the same
         # compiled executable
         chunk = min(block, max(1, jit_chunk))
+        if profile_dir is not None:
+            # guarantee a steady-state SECOND block inside the run
+            # (host events only fire when the cycle count hits their
+            # intervals, so a smaller block is always safe)
+            block = max(1, min(block, chunk, total // 2))
+            chunk = min(chunk, block)
         done = 0
+        blocks_done = 0
         while done < total and not self._stop:
+            tracing = profile_dir is not None and blocks_done == 1
+            if tracing:
+                jax.profiler.start_trace(profile_dir)
             n = min(block, total - done)
             # keep block boundaries aligned to the intervals
             cur = int(self.state.cycle)
@@ -362,6 +378,12 @@ class Application:
                     for k in samples
                 }
             done += n
+            blocks_done += 1
+            if tracing:
+                jax.block_until_ready(self.state)
+                jax.profiler.stop_trace()
+                self.logs.g(f"# profiler trace ({n} cycles) written "
+                            f"to {profile_dir}")
             cycle = int(self.state.cycle)
             self._write_therm(samples)
 
@@ -418,11 +440,12 @@ class Application:
         return self.state
 
 
-def run_input_file(path, overrides=None, max_cycles=None, workdir=None):
+def run_input_file(path, overrides=None, max_cycles=None, workdir=None,
+                   profile_dir=None):
     """Programmatic entry: run an ice.input file to completion."""
     prm = read_input(path, extra_overrides=overrides)
     app = Application(
         prm, workdir=workdir or os.path.dirname(os.path.abspath(path))
     )
     app.setup()
-    return app.run(max_cycles=max_cycles)
+    return app.run(max_cycles=max_cycles, profile_dir=profile_dir)

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--x64", action="store_true",
                     help="enable fp64 (parity mode)")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler device trace of one "
+                         "steady-state cycle block to this directory")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,7 +52,8 @@ def main(argv=None):
     from .app import run_input_file
 
     run_input_file(
-        args.input, overrides=overrides, max_cycles=args.max_cycles
+        args.input, overrides=overrides, max_cycles=args.max_cycles,
+        profile_dir=args.profile_dir,
     )
     return 0
 

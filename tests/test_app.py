@@ -41,6 +41,29 @@ def test_single_box_end_to_end(tmp_path, examples_dir):
 
 
 @pytest.mark.slow
+def test_profile_dir_writes_trace(tmp_path, examples_dir):
+    """Framework extension beyond reference parity (SURVEY.md §5.1):
+    --profile-dir captures a device trace of one steady-state block."""
+    inp = _stage(tmp_path, examples_dir, "single_box")
+    cwd = os.getcwd()
+    prof = tmp_path / "prof"
+    try:
+        run_input_file(
+            inp,
+            overrides={**OVR, "n_walkers": 2, "monitor_int": 10,
+                       "chkpt_dump_int": 10, "flat_chk_int": 10,
+                       "traj_output_int": 10, "eq_mc_cycles": 1},
+            max_cycles=30, profile_dir=str(prof),
+        )
+    finally:
+        os.chdir(cwd)
+    traces = list(prof.rglob("*.trace.json.gz"))
+    assert traces, "no profiler trace written"
+    log = (tmp_path / "mc.log").read_text()
+    assert "profiler trace" in log
+
+
+@pytest.mark.slow
 def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
     inp = _stage(tmp_path, examples_dir, "ice1_sample")
     cwd = os.getcwd()
