@@ -87,6 +87,38 @@ def test_sample_run_end_to_end_with_restart(tmp_path, examples_dir):
 
 
 @pytest.mark.slow
+def test_largen_cell_engine_end_to_end(tmp_path, examples_dir):
+    """The large-N cell engine through the full driver: &tpu
+    largen='on' + the stacking builder select CellEngine inside
+    Application.setup; cycles, therm output and the audit's
+    drift-free energies all flow through the slab path."""
+    inp = _stage(tmp_path, examples_dir, "single_box")
+    cwd = os.getcwd()
+    try:
+        run_input_file(
+            inp,
+            overrides={"n_walkers": 2, "dtype": "float64",
+                       "num_lattices": 1, "largen": "on",
+                       "stack": (10, 6, 12), "monitor_int": 2,
+                       "chkpt_dump_int": 2, "flat_chk_int": 2,
+                       "traj_output_int": 10, "file_output_int": 2,
+                       "eq_mc_cycles": 1, "mpi_sync_int": 2,
+                       "list_update_int": 2},
+            max_cycles=4,
+        )
+    finally:
+        os.chdir(cwd)
+    log = (tmp_path / "mc.log").read_text()
+    assert "Built stacking pair" in log or "stacking" in log.lower()
+    nlog = (tmp_path / "node000.log").read_text()
+    assert "cell" in nlog.lower() or "cell" in log.lower()
+    therm = np.loadtxt(tmp_path / "ice000_therm.dat")
+    assert therm.shape[0] >= 1
+    # the monitor's drift table ran on the slab audit path
+    assert "drift" in nlog.lower() or "Energy" in nlog
+
+
+@pytest.mark.slow
 def test_sample_dd_end_to_end(tmp_path, examples_dir):
     """ice1_sample_dd through the full driver: dd mu-window
     decomposition on the dense engine, stitched curve output
