@@ -293,30 +293,21 @@ class CellEngine(Engine):
     # ------------------------------------------------------------------
 
     def _substep(self, s: CellState, tpm_slab, fc, cand_cells_b,
-                 cand_off_b, cycle, substep_id, codes_k, switch_ok):
+                 cand_off_b, u, codes_k, switch_ok):
         """One (colour, fine-block) sub-step.  ``fc`` [K] are the
         movers' fine cells, ``cand_cells_b`` [K, CF] their coverage
         stencils, ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of
         the stacked tables; traced values are fine (indices are shared
-        across walkers)."""
+        across walkers).  ``u`` [K, 7, W]: this sub-step's slice of
+        the per-cycle uniform block (1 selection + 6 move uniforms
+        per mover), pregenerated by _one_cycle - one big fused
+        threefry call per cycle instead of per-walker fold-in chains
+        inside every sequential sub-step."""
         prm, model, cg = self.prm, self.model, self.cellgrid
         L = s.r.shape[0]
         W = s.r.shape[-1]
         K, cap = self.K, cg.cap
         dtype = s.r.dtype
-
-        # per-walker uniforms for this sub-step in one threefry call:
-        # 1 selection + 6 move uniforms per mover (a one-uniform-per-
-        # slot argmax selection costs 30x more threefry work)
-        u = jax.vmap(
-            lambda k: jax.random.uniform(
-                jax.random.fold_in(
-                    jax.random.fold_in(k, cycle), substep_id
-                ),
-                (K, 7), dtype=dtype,
-            ),
-            out_axes=2,
-        )(s.key)                                     # [K,7,W]
 
         # mover selection, uniform over the STATIC fine cell's
         # occupants (rank-packed slots are contiguous per fine cell
@@ -940,23 +931,34 @@ class CellEngine(Engine):
         # ONE sub-step and indexes the stacked (colour, block) tables
         # dynamically (row t = sid % n_tables; colours outer, blocks
         # inner, repeating every sweep)
-        def substep_body(carry, sid):
+        # pregenerate the whole cycle's sub-step uniforms in ONE
+        # fused threefry block [n_sub, K, 7, W] (per-walker streams
+        # keyed on (walker key, cycle)); the scan body just slices it
+        n_sub = self.sweeps_per_cycle * self.n_tables
+        u_all = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, cycle),
+                (n_sub, K, 7), dtype=dtype,
+            ),
+            out_axes=3,
+        )(s.key)                                    # [n_sub,K,7,W]
+
+        def substep_body(carry, xs):
             st, tslab = carry
+            sid, u = xs
             tbl = jnp.mod(sid, self.n_tables)
             fc = jnp.take(self.fc_stack, tbl, axis=0)
             cand = jnp.take(self.cand_stack, tbl, axis=0)
             off = jnp.take(self.off_stack, tbl, axis=0)
             codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
             st, tslab = self._substep(
-                st, tslab, fc, cand, off, cycle, sid,
-                codes_k, switch_ok,
+                st, tslab, fc, cand, off, u, codes_k, switch_ok,
             )
             return (st, tslab), None
 
-        n_sub = self.sweeps_per_cycle * self.n_tables
         (s, tpm_slab), _ = jax.lax.scan(
             substep_body, (s, tpm_slab0),
-            jnp.arange(n_sub, dtype=jnp.int32)
+            (jnp.arange(n_sub, dtype=jnp.int32), u_all),
         )
         s = s._replace(
             trans_per_mol=s.trans_per_mol

@@ -132,11 +132,17 @@ def test_pallas_substep_matches_xla_substep(system):
         codes_k = jnp.zeros(eng.K, dtype=jnp.int32)    # all TRANS
         sw_ok = jnp.ones(W, dtype=bool)
         tpm0 = jnp.zeros((cg.nslot, W), dtype=jnp.int32)
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 2), (eng.K, 7),
+                dtype=s.r.dtype,
+            ),
+            out_axes=2,
+        )(s.key)
         s2, tpm = jax.jit(
             lambda stt, e=eng: e._substep(
                 stt, tpm0, e.fc_stack[5], e.cand_stack[5],
-                e.off_stack[5], jnp.asarray(2, jnp.int32),
-                jnp.asarray(0, jnp.int32), codes_k, sw_ok,
+                e.off_stack[5], u, codes_k, sw_ok,
             )
         )(s)
         out.append((s2, tpm))

@@ -83,11 +83,17 @@ class TestSingleLattice:
         codes_k = jnp.zeros(eng.K, dtype=jnp.int32)   # all TRANS
         sw_ok = jnp.ones(prm.n_walkers, dtype=bool)
         tpm0 = jnp.zeros((cg.nslot, prm.n_walkers), dtype=jnp.int32)
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 2), (eng.K, 7),
+                dtype=s.r.dtype,
+            ),
+            out_axes=2,
+        )(s.key)
         s2, tpm = jax.jit(
             lambda st: eng._substep(
                 st, tpm0, eng.fc_stack[0], eng.cand_stack[0],
-                eng.off_stack[0], jnp.asarray(2, jnp.int32),
-                jnp.asarray(0, jnp.int32), codes_k, sw_ok,
+                eng.off_stack[0], u, codes_k, sw_ok,
             )
         )(s)
         assert int(s2.acc[0].sum()) > 0          # something moved
