@@ -114,3 +114,67 @@ def test_sharded_merge_is_global(setup):
     m = ds_value64(merged.master_hist)        # [1,B]
     np.testing.assert_allclose(m[0], pre.sum(axis=0), rtol=1e-12)
     assert float(np.abs(np.asarray(merged.hist)).max()) == 0.0
+
+
+def test_cell_engine_sharded_matches_unsharded():
+    """The large-N cell engine's slab kernels + sequential acceptance
+    chain run sharded over the walker axis with identical decisions
+    and fp-reassociation-level state agreement (the flagship new
+    capability's mesh gate).  Positions differ at ~1e-14 Bohr because
+    per-shard lane width changes XLA:CPU's summation tiling in the
+    volume-rescale einsums; every Metropolis decision is identical."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from mc_water_ls_mw_tpu.models.stacking import stacking_cell
+    from mc_water_ls_mw_tpu.mcmc.cellengine import (
+        CellEngine,
+        init_cell_state,
+    )
+    from mc_water_ls_mw_tpu.ops.cells import (
+        build_grid,
+        cap_for_positions,
+        choose_grid_shape,
+    )
+
+    r, H = stacking_cell("AB" * 6, 10, 6)
+    N = len(r)
+    prm = RunParams(
+        nwater=N, num_lattices=1, n_walkers=8, dtype="float64",
+        temperature=200.0, pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=0.25 * ANG_TO_BOHR, mc_dv_max=0.2 * ANG_TO_BOHR,
+        nbins=21, mu_min=-400.0, mu_max=400.0,
+        mc_vol_prob=1.0 / N, allow_switch=False,
+        mc_always_switch=False, eq_mc_cycles=1, list_update_int=2,
+        mpi_sync_int=5,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    shape = choose_grid_shape([H], MW, 0.0)
+    cg = build_grid(
+        shape, cap_for_positions(r, H, shape), [H], MW, 0.0
+    )
+    st, eaux, caux = init_cell_state(prm, MW, r[None], H[None],
+                                     grid, cg)
+
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    ref, _ = eng.run_cycles(st, 3)
+
+    mesh = make_mesh()
+    eng8 = CellEngine(prm, MW, grid, eaux, cg, caux, mesh=mesh)
+    sh = shard_state(st, mesh, prm.n_walkers)
+    got, _ = eng8.run_cycles(sh, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(got.r), np.asarray(ref.r), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(ref.energy), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.acc), np.asarray(ref.acc)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.att), np.asarray(ref.att)
+    )
+    assert len(got.r.sharding.device_set) == 8
