@@ -351,11 +351,20 @@ class Application:
         # compiled executable
         chunk = min(block, max(1, jit_chunk))
         if profile_dir is not None:
-            # guarantee a steady-state SECOND block inside the run
-            # (host events only fire when the cycle count hits their
-            # intervals, so a smaller block is always safe)
-            block = max(1, min(block, chunk, total // 2))
+            # guarantee a steady-state SECOND block inside the run.
+            # The shrunk block must DIVIDE the original (= the gcd of
+            # the host-event intervals) or boundaries would stop
+            # landing on the intervals and checkpoints/flatness/
+            # monitor events would be silently skipped
+            cap = max(1, min(chunk, total // 2))
+            block = max(
+                d for d in range(1, cap + 1) if block % d == 0
+            )
             chunk = min(chunk, block)
+            if total < 2 * block:
+                self.logs.g("# WARNING: run too short for a "
+                            "steady-state profile block; no trace "
+                            "will be written")
         done = 0
         blocks_done = 0
         while done < total and not self._stop:

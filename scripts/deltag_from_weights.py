@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--nbins", type=int, default=201)
     ap.add_argument("--mu-min", type=float, default=-1800.0)
     ap.add_argument("--mu-max", type=float, default=1800.0)
+    ap.add_argument(
+        "--leshift-kt", type=float, default=0.0,
+        help="beta*(ref_enthalpy2 - ref_enthalpy1) in kT, ADDED to "
+             "every estimate - required for runs generated with "
+             "leshift=.true. (mc_moves.F90:2479); default 0 matches "
+             "the leshift=.false. n216 runs",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -97,7 +104,7 @@ def main():
         if not np.allclose(mu_file, mids, atol=1e-6 * abs(args.mu_max)):
             raise SystemExit(f"{f}: mid-bin mu values do not match "
                              "the rebuilt grid")
-        dg = deltag_from_eta(eta, bw) / args.nwater
+        dg = (deltag_from_eta(eta, bw) + args.leshift_kt) / args.nwater
         rows.append((os.path.basename(f), wl_f, dg))
         print(f"{os.path.basename(f):40s} f={wl_f:.3e}  "
               f"dG = {dg:+.6e} kT/molec = {dg * kT_J:+.4f} J/mol "

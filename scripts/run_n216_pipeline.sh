@@ -31,19 +31,22 @@ done
 echo "=== device acquired $(date)"
 
 echo "--- headline bench (bench.py; hedge against a re-wedged lease at round end)"
-timeout 1800 python bench.py 2> >(grep -v WARNING >&2) \
-    | tee /tmp/bench_r2_manual.json
+BENCH_CLAIM_WAIT=900 timeout 1800 python bench.py \
+    2> >(grep -v WARNING >&2) | tee /tmp/bench_r2_manual.json
 echo "--- cell-engine bench N=8064 W=128 (XLA path)"
 LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=off \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
 echo "--- cell-engine bench N=8064 W=128 (Pallas sub-step kernel)"
 LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=on \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
-echo "--- cell-engine bench N=8064 W=256"
-LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=256 LN_CYCLES=5 \
+echo "--- cell-engine bench N=8064 W=256 (XLA path, W-scaling continuity)"
+LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=256 LN_CYCLES=5 LN_PALLAS=off \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
-echo "--- cell-engine bench N=24192 W=64"
-LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 \
+echo "--- cell-engine bench N=24192 W=64 (XLA path, continuity)"
+LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=off \
+    timeout 2400 python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "--- cell-engine bench N=24192 W=64 (Pallas sub-step kernel)"
+LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=on \
     timeout 2400 python scripts/bench_largen.py 2>&1 | grep -v WARNING
 echo "=== bench done $(date)"
 
