@@ -122,7 +122,7 @@ _GROUPS = {
         "n_walkers", "n_windows", "neighbour_capacity", "dtype",
         "seed", "therm_walkers", "minu", "tile",
         "largen", "largen_threshold", "cell_cap", "relabel", "stack",
-        "nbr_table", "trans_wall",
+        "nbr_table", "trans_wall", "fused", "cell_pallas",
     ],
 }
 
@@ -151,6 +151,13 @@ def read_input(path: str, extra_overrides: dict | None = None) -> RunParams:
 
     for gname, keys in _GROUPS.items():
         grp = groups.get(gname, {})
+        unknown = set(grp) - set(keys)
+        if unknown:
+            # a Fortran namelist read errors on unknown entries;
+            # silently dropping them hides typos (io.f90:84-102)
+            raise ValueError(
+                f"unknown key(s) in &{gname}: {sorted(unknown)}"
+            )
         for key in keys:
             if key in grp:
                 fields[_FIELD_ALIASES.get(key, key)] = grp[key]

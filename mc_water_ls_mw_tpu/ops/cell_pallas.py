@@ -93,7 +93,7 @@ class MoverEnergiesPallas:
         # self exclusion: the mover's own slot appears exactly when
         # the candidate cell IS the mover's fine cell, at lane = rank
         is_self_cell = cand_ref[k, c] == fc_ref[k]
-        rank_row = rank_ref[0]                               # [WB]
+        rank_row = rank_ref[k]                               # [WB]
         iota_cap = lax.broadcasted_iota(jnp.int32, valid.shape, 0)
         self_m = (iota_cap == rank_row[None, :]) & is_self_cell
         mask = valid & jnp.logical_not(self_m)
@@ -120,8 +120,8 @@ class MoverEnergiesPallas:
                    own[4], own[5], own[6], own[7], own[8], own[9])
             return pair, w, (ux, uy, uz), own, dlt
 
-        po = (po_ref[0, 0], po_ref[1, 0], po_ref[2, 0])
-        pn = (pn_ref[0, 0], pn_ref[1, 0], pn_ref[2, 0])
+        po = (po_ref[0, k], po_ref[1, k], po_ref[2, k])
+        pn = (pn_ref[0, k], pn_ref[1, k], pn_ref[2, k])
         pair_o, w_o, u_o, own_o, dlt_o = eval_point(*po)
         pair_n, w_n, u_n, own_n, dlt_n = eval_point(*pn)
 
@@ -202,15 +202,19 @@ class MoverEnergiesPallas:
                                 memory_space=pltpu.VMEM)
 
         def pspec():
+            # whole [3, K, WB] block (K is tiny); Mosaic requires the
+            # second-to-last block dim be 8-divisible OR the full
+            # array dim, so a (3, 1, WB) per-mover block is illegal -
+            # the kernel indexes the mover with program_id instead
             def imap(wb, k, c, cand_r, fc_r):
-                return (0, k, wb)
-            return pl.BlockSpec((3, 1, WB), imap,
+                return (0, 0, wb)
+            return pl.BlockSpec((3, K, WB), imap,
                                 memory_space=pltpu.VMEM)
 
         def rankspec():
             def imap(wb, k, c, cand_r, fc_r):
-                return (k, wb)
-            return pl.BlockSpec((1, WB), imap,
+                return (0, wb)
+            return pl.BlockSpec((K, WB), imap,
                                 memory_space=pltpu.VMEM)
 
         def redspec():

@@ -168,3 +168,47 @@ def test_pallas_substep_matches_xla_substep(system):
     np.testing.assert_allclose(
         np.asarray(a.hist), np.asarray(b.hist), rtol=0, atol=0
     )
+
+
+def test_kernel_lowers_for_tpu(system):
+    """Cross-platform lowering gate: jax.export runs the Pallas ->
+    Mosaic lowering rules (block-shape tiling constraints etc.)
+    without a device, catching TPU-only rejections that interpret
+    mode cannot see.  Production walker widths: 128 (one lane tile),
+    64 (sub-tile) and 256 (two blocks)."""
+    prm, grid, st, eaux, caux, cg = system
+    K, CF, cap = cg.cells_per_color, cg.full_cells.shape[1], cg.cap
+    f32 = jnp.float32
+    # production TPU runs have x64 OFF (f32 ensemble mode); under the
+    # suite's x64 every python-float literal becomes a weak-f64
+    # constant, and Mosaic has no f64 casts at all
+    import contextlib
+
+    @contextlib.contextmanager
+    def x64_off():
+        jax.config.update("jax_enable_x64", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    with x64_off():
+        for W in (128, 64):
+            kern = MoverEnergiesPallas(MW, cg)
+            kern.interpret = False
+            args = (
+                jnp.zeros((K, CF), jnp.int32),
+                jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K, W), jnp.int32),
+                jnp.zeros((K * CF, 3, W), f32),
+                jnp.zeros((3, K, W), f32), jnp.zeros((3, K, W), f32),
+                *(jnp.zeros((cg.nfine, cap, W), f32)
+                  for _ in range(3)),
+                jnp.zeros((cg.nfine, cap, W), jnp.int32),
+                *(jnp.zeros((cg.nfine, cap, W), f32)
+                  for _ in range(10)),
+            )
+            exp = jax.export.export(
+                jax.jit(kern._invoke), platforms=["tpu"]
+            )(*args)
+            assert len(exp.mlir_module_serialized) > 0
