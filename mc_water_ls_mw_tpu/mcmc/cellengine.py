@@ -249,26 +249,48 @@ class CellEngine(Engine):
 
         # fused Pallas sub-step energy kernel (ops/cell_pallas.py):
         # the XLA path materialises ~30 [K, CF*cap, W] intermediates
-        # per sub-step in HBM; the kernel keeps them in VMEM
+        # per sub-step in HBM; the kernel keeps them in VMEM.
+        # 'apply' additionally replaces the post-accept XLA
+        # delta-scatter with the in-place MoverApplyPallas kernel
+        # (the [10, K*CF, cap, W] delta tensor never exists in HBM);
+        # it requires unique same-colour stencils (scatter_unique) -
+        # each moment block must be visited at most once per call.
         unpadded = bool(np.all(cellgrid.full_mask))
-        if prm.cell_pallas == "on":
+        if prm.cell_pallas in ("on", "apply"):
             if not unpadded:
                 raise ValueError(
-                    "cell_pallas='on' needs an unpadded coverage "
-                    "table (cells.build_grid full_mask all True)"
+                    f"cell_pallas='{prm.cell_pallas}' needs an "
+                    "unpadded coverage table (cells.build_grid "
+                    "full_mask all True)"
+                )
+            if prm.cell_pallas == "apply" and not self.scatter_unique:
+                raise ValueError(
+                    "cell_pallas='apply' needs disjoint same-colour "
+                    "coverage stencils (scatter_unique)"
                 )
             self.use_cell_pallas = True
+            self.use_cell_apply = prm.cell_pallas == "apply"
         elif prm.cell_pallas == "auto":
             self.use_cell_pallas = (
                 unpadded and jax.default_backend() != "cpu"
             )
+            self.use_cell_apply = False
         else:
             self.use_cell_pallas = False
+            self.use_cell_apply = False
         if self.use_cell_pallas:
-            from ..ops.cell_pallas import MoverEnergiesPallas
-            self.mover_kernel = MoverEnergiesPallas(
-                self.model, cellgrid, mesh=mesh
+            from ..ops.cell_pallas import (
+                MoverApplyPallas,
+                MoverEnergiesPallas,
             )
+            self.mover_kernel = MoverEnergiesPallas(
+                self.model, cellgrid, mesh=mesh,
+                with_deltas=not self.use_cell_apply,
+            )
+            if self.use_cell_apply:
+                self.apply_kernel = MoverApplyPallas(
+                    self.model, cellgrid, mesh=mesh
+                )
 
     # ------------------------------------------------------------------
     # full-cell energy (slab)
@@ -574,6 +596,43 @@ class CellEngine(Engine):
         # block scatter of the movers' leg deltas into their coverage
         # fine cells (padded table entries carry zero deltas), then
         # block one-hot set of the movers' own moments
+        if self.use_cell_pallas and self.use_cell_apply:
+            # in-place apply kernel: recomputes the accepted movers'
+            # deltas and updates the moment slabs directly (aliased
+            # outputs); equivalent to the scatter path below because
+            # same-colour stencils are disjoint.  NOTE: reads the
+            # PRE-move slab coordinates (s.r), which the deltas are
+            # defined against
+            new_mom = []
+            for l in range(L):
+                fields = self.apply_kernel(
+                    s.r[l], Moments(*(f[l] for f in s.moments)),
+                    s.slot2mol, s.h[l], cand_cells_b, cand_off_b,
+                    fc, rank, accf, p_old[l], p_new[l], per[l][2],
+                )
+                new_mom.append(Moments(*fields))
+            moments = _stack_moments(new_mom)
+        else:
+            moments = self._scatter_moments(
+                s, per, cand_cells_b, accf, mask_acc, fc, L, cap, W,
+                nslot,
+            )
+
+        # per-slot trial counter (gathered to molecule order once per
+        # cycle by _one_cycle)
+        inc = (
+            trans_type[:, None, None] & has_mover[:, None, :] & oh_sel
+        ).astype(jnp.int32)
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
+            inc, unique_indices=True
+        ).reshape(nslot, W)
+
+        return small._replace(r=r, moments=moments), tpm_slab
+
+    def _scatter_moments(self, s, per, cand_cells_b, accf, mask_acc,
+                         fc, L, cap, W, nslot):
+        """XLA moment update: materialised deltas + block scatter."""
+        uniq = self.scatter_unique
         cand_flat = cand_cells_b.reshape(-1)            # [K*CF]
         new_mom = []
         for l in range(L):
@@ -607,18 +666,7 @@ class CellEngine(Engine):
                     ).reshape(nslot, W)
                 )
             new_mom.append(Moments(*fields))
-        moments = _stack_moments(new_mom)
-
-        # per-slot trial counter (gathered to molecule order once per
-        # cycle by _one_cycle)
-        inc = (
-            trans_type[:, None, None] & has_mover[:, None, :] & oh_sel
-        ).astype(jnp.int32)
-        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
-            inc, unique_indices=True
-        ).reshape(nslot, W)
-
-        return small._replace(r=r, moments=moments), tpm_slab
+        return _stack_moments(new_mom)
 
     # ------------------------------------------------------------------
     # batched Wang-Landau update for K recorded trials

@@ -99,9 +99,12 @@ class RunParams:
                                  # (auto = on for TPU, off for CPU)
     cell_pallas: str = "auto"    # cell-engine fused sub-step energy
                                  # kernel (ops/cell_pallas.py):
-                                 # on/off/auto (auto = on for TPU
-                                 # when the coverage table is
-                                 # unpadded)
+                                 # on/off/auto/apply (auto = on for
+                                 # TPU when the coverage table is
+                                 # unpadded; 'apply' additionally
+                                 # moves the post-accept moment
+                                 # update in-kernel, aliased in-place
+                                 # slab writes)
     # static reference-lattice neighbour tables + shared molecule
     # schedule + displacement wall (the candidate-reduction fast path;
     # see ops/nbrtable.py).  'auto' = on when the geometry allows

@@ -52,7 +52,8 @@ class MoverEnergiesPallas:
     guarantees this for the production grids; callers must gate).
     """
 
-    def __init__(self, model: SWParams, cg: CellGrid, mesh=None):
+    def __init__(self, model: SWParams, cg: CellGrid, mesh=None,
+                 with_deltas: bool = True):
         self.model = model
         self.nfine = cg.nfine
         self.cap = cg.cap
@@ -60,6 +61,10 @@ class MoverEnergiesPallas:
         assert bool(np.all(cg.full_mask)), (
             "MoverEnergiesPallas requires an unpadded coverage table"
         )
+        # with_deltas=False drops the [10, K*CF, cap, W] per-candidate
+        # delta output (the apply-stage kernel recomputes the deltas
+        # in place instead - see MoverApplyPallas)
+        self.with_deltas = with_deltas
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.interpret = jax.default_backend() == "cpu"
 
@@ -68,8 +73,13 @@ class MoverEnergiesPallas:
     def _kernel(self, cand_ref, fc_ref, rx_ref, ry_ref, rz_ref,
                 s2m_ref, *rest):
         mom_refs = rest[:10]
-        (shift_ref, po_ref, pn_ref, rank_ref,
-         red_ref, d_ref, acc) = rest[10:]
+        if self.with_deltas:
+            (shift_ref, po_ref, pn_ref, rank_ref,
+             red_ref, d_ref, acc) = rest[10:]
+        else:
+            (shift_ref, po_ref, pn_ref, rank_ref,
+             red_ref, acc) = rest[10:]
+            d_ref = None
         m = self.model
         CF = self.CF
         lam_eps = m.lam * m.epsilon
@@ -150,8 +160,9 @@ class MoverEnergiesPallas:
         e3j_n = wing(w_n, u_n, eff)
 
         # per-candidate delta output ([10, cap, WB] block)
-        for i in range(10):
-            d_ref[i, 0] = dlt_n[i] - dlt_o[i]
+        if d_ref is not None:
+            for i in range(10):
+                d_ref[i, 0] = dlt_n[i] - dlt_o[i]
 
         # accumulate the mover reductions ([cap, WB] partials; the
         # sublane reduction happens once at the last candidate cell)
@@ -229,6 +240,13 @@ class MoverEnergiesPallas:
             return pl.BlockSpec((10, 1, cap, WB), imap,
                                 memory_space=pltpu.VMEM)
 
+        out_specs = [redspec()]
+        out_shape = [jax.ShapeDtypeStruct((K, _NRED, Wl), dtype)]
+        if self.with_deltas:
+            out_specs.append(dspec())
+            out_shape.append(
+                jax.ShapeDtypeStruct((10, K * CF, cap, Wl), dtype)
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(Wl // WB, K, CF),
@@ -237,19 +255,16 @@ class MoverEnergiesPallas:
                 + [cellspec()] * 10                # moment fields
                 + [shiftspec(), pspec(), pspec(), rankspec()]
             ),
-            out_specs=[redspec(), dspec()],
+            out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((_NACC, cap, WB), dtype)],
         )
-        red, d = pl.pallas_call(
+        out = pl.pallas_call(
             self._kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((K, _NRED, Wl), dtype),
-                jax.ShapeDtypeStruct((10, K * CF, cap, Wl), dtype),
-            ],
+            out_shape=out_shape,
             interpret=self.interpret,
         )(cand, fc, rx, ry, rz, s2m, *mom, shift, po, pn, rank)
-        return red, d
+        return tuple(out)
 
     # ------------------------------------------------------------------
 
@@ -295,19 +310,224 @@ class MoverEnergiesPallas:
             def wsp(arr):
                 return P(*((None,) * (arr.ndim - 1) + (ax,)))
 
+            osp = (P(None, None, ax),)
+            if self.with_deltas:
+                osp = osp + (P(None, None, None, ax),)
             invoke = shard_map(
                 invoke,
                 mesh=self.mesh,
                 in_specs=(P(None, None), P(None),
                           *(wsp(a) for a in args[2:])),
-                out_specs=(P(None, None, ax), P(None, None, None, ax)),
+                out_specs=osp,
                 check_vma=False,
             )
-        red, d = invoke(*args)
+        out = invoke(*args)
+        red = out[0]
+        d = out[1] if self.with_deltas else None
         e_old = red[:, 0]
         e_new = red[:, 1]
         own_new = Moments(*(red[:, 2 + i] for i in range(10)))
-        dmom = Moments(*(
-            d[i].reshape(K, CF, cap, W) for i in range(10)
-        ))
+        dmom = None
+        if d is not None:
+            dmom = Moments(*(
+                d[i].reshape(K, CF, cap, W) for i in range(10)
+            ))
         return e_old, e_new, own_new, dmom
+
+
+class MoverApplyPallas:
+    """Apply accepted movers' moment updates IN PLACE.
+
+    Second stage of the fully-fused sub-step (cell_pallas='apply'):
+    after the acceptance chain, this kernel recomputes each accepted
+    mover's per-candidate j-moment deltas (the same eval_point math as
+    MoverEnergiesPallas, pair/wing reductions skipped) and adds them
+    straight into the HBM-resident moment slabs via aliased outputs -
+    each grid step reads one coverage cell's block, adds the masked
+    delta, overwrites the mover's own slot with its new moments, and
+    writes the block back.  Same-colour stencils are disjoint
+    (CellEngine.scatter_unique), so every block is visited at most
+    once per call and unvisited blocks keep their old data through
+    the input/output alias.
+
+    Replaces the XLA d-materialise + scatter-add path: the
+    [10, K*CF, cap, W] delta tensor never exists in HBM.
+    """
+
+    def __init__(self, model: SWParams, cg: CellGrid, mesh=None):
+        self.model = model
+        self.nfine = cg.nfine
+        self.cap = cg.cap
+        self.CF = cg.full_cells.shape[1]
+        assert bool(np.all(cg.full_mask))
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.interpret = jax.default_backend() == "cpu"
+
+    def _kernel(self, cand_ref, fc_ref, rx_ref, ry_ref, rz_ref,
+                s2m_ref, *rest):
+        mom_refs = rest[:10]
+        (shift_ref, po_ref, pn_ref, rank_ref, accm_ref,
+         own_ref) = rest[10:16]
+        out_refs = rest[16:26]
+        m = self.model
+        k = pl.program_id(1)
+        c = pl.program_id(2)
+
+        sx = shift_ref[0, 0]
+        sy = shift_ref[0, 1]
+        sz = shift_ref[0, 2]
+        cx = rx_ref[0] + sx[None, :]
+        cy = ry_ref[0] + sy[None, :]
+        cz = rz_ref[0] + sz[None, :]
+        valid = s2m_ref[0] >= 0
+        is_self_cell = cand_ref[k, c] == fc_ref[k]
+        rank_row = rank_ref[k]
+        iota_cap = lax.broadcasted_iota(jnp.int32, valid.shape, 0)
+        self_slot = iota_cap == rank_row[None, :]
+        self_m = self_slot & is_self_cell
+        mask = valid & jnp.logical_not(self_m)
+
+        def deltas(px, py, pz):
+            dx = cx - px[None, :]
+            dy = cy - py[None, :]
+            dz = cz - pz[None, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            in_rc = (r2 < m.rc2) & mask
+            r2s = jnp.where(in_rc, r2, 1.0)
+            inv = lax.rsqrt(r2s)
+            rij = r2s * inv
+            w = _leg(rij, in_rc, m)
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+            wux, wuy, wuz = w * ux, w * uy, w * uz
+            return (w, -wux, -wuy, -wuz,
+                    wux * ux, wuy * uy, wuz * uz,
+                    wux * uy, wux * uz, wuy * uz)
+
+        dlt_o = deltas(po_ref[0, k], po_ref[1, k], po_ref[2, k])
+        dlt_n = deltas(pn_ref[0, k], pn_ref[1, k], pn_ref[2, k])
+
+        acc_row = accm_ref[k] > 0                         # [WB] bool
+        upd = acc_row[None, :]
+        own_mask = self_slot & is_self_cell & upd
+        for i in range(10):
+            blk = mom_refs[i][0] + jnp.where(
+                upd, dlt_n[i] - dlt_o[i], 0.0
+            )
+            # the mover's own slot: delta is zero there (self-masked);
+            # replace with the new own moments on accept
+            blk = jnp.where(own_mask, own_ref[k, i][None, :], blk)
+            out_refs[i][0] = blk
+
+    def _invoke(self, cand, fc, rank, accm, shift, po, pn, own,
+                rx, ry, rz, s2m, *mom):
+        K, CF = cand.shape
+        Wl = rx.shape[-1]
+        WB = 128 if Wl % 128 == 0 else Wl
+        cap = self.cap
+        dtype = rx.dtype
+
+        def cellspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (cand_r[k, c], 0, wb)
+            return pl.BlockSpec((1, cap, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def shiftspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k * CF + c, 0, wb)
+            return pl.BlockSpec((1, 3, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def pspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, 0, wb)
+            return pl.BlockSpec((3, K, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def kwspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, wb)
+            return pl.BlockSpec((K, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def ownspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, 0, wb)
+            return pl.BlockSpec((K, 10, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Wl // WB, K, CF),
+            in_specs=(
+                [cellspec()] * 4                   # rx, ry, rz, s2m
+                + [cellspec()] * 10                # moment fields (in)
+                + [shiftspec(), pspec(), pspec(), kwspec(),
+                   kwspec(), ownspec()]
+            ),
+            out_specs=[cellspec()] * 10,
+        )
+        # input index i (counting from 0 = the first prefetch arg):
+        # moment field f sits at 2 (prefetch) + 4 (coords+s2m) + f
+        aliases = {2 + 4 + f: f for f in range(10)}
+        out = pl.pallas_call(
+            self._kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((self.nfine, cap, Wl), dtype)
+                for _ in range(10)
+            ],
+            input_output_aliases=aliases,
+            interpret=self.interpret,
+        )(cand, fc, rx, ry, rz, s2m, *mom, shift, po, pn, rank,
+          accm, own)
+        return tuple(out)
+
+    def __call__(self, slab_r, slab_mom: Moments, slot2mol, H,
+                 cand_cells, cand_off, fc, rank, accf, p_old, p_new,
+                 own_new: Moments):
+        """Returns the 10 updated moment slab fields [nslot, W].
+
+        accf: [K, W] accepted mask; own_new: the movers' new own
+        moments (MoverEnergiesPallas red output).  Other arguments as
+        MoverEnergiesPallas.__call__.
+        """
+        nfine, cap = self.nfine, self.cap
+        K, CF = cand_cells.shape
+        W = slab_r.shape[-1]
+        rs = lambda a: a.reshape(nfine, cap, W)            # noqa: E731
+        off = jnp.asarray(cand_off).astype(H.dtype)
+        shift = jnp.einsum("kcb,abw->kcaw", off, H).reshape(
+            K * CF, 3, W
+        )
+        own = jnp.stack(list(own_new), axis=1)             # [K,10,W]
+        args = (
+            jnp.asarray(cand_cells, dtype=jnp.int32),
+            jnp.asarray(fc, dtype=jnp.int32),
+            rank.astype(jnp.int32), accf.astype(jnp.int32),
+            shift, p_old, p_new, own,
+            rs(slab_r[0]), rs(slab_r[1]), rs(slab_r[2]),
+            rs(slot2mol),
+            *(rs(f) for f in slab_mom),
+        )
+        invoke = self._invoke
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh.axis_names[0]
+
+            def wsp(arr):
+                return P(*((None,) * (arr.ndim - 1) + (ax,)))
+
+            invoke = shard_map(
+                invoke,
+                mesh=self.mesh,
+                in_specs=(P(None, None), P(None),
+                          *(wsp(a) for a in args[2:])),
+                out_specs=tuple(P(None, None, ax) for _ in range(10)),
+                check_vma=False,
+            )
+        out = invoke(*args)
+        nslot = nfine * cap
+        return [f.reshape(nslot, W) for f in out]

@@ -61,6 +61,32 @@ def system():
     return prm, grid, st, eaux, caux, cg
 
 
+@pytest.fixture(scope="module")
+def system_unique():
+    """Production-shaped grid (CF=27, disjoint same-colour stencils)
+    - the geometry cell_pallas='apply' requires."""
+    r0, H0 = stacking_switch_pair(14, 8, 18)
+    N = r0.shape[1]
+    mx, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mx)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mx
+    )
+    W = 2
+    prm = RunParams(
+        nwater=N, num_lattices=2, n_walkers=W, dtype="float64",
+        temperature=200.0, mu_min=-500.0, mu_max=500.0,
+        mc_always_switch=True, allow_switch=True,
+        mc_vol_prob=0.0, allow_vol=False, eq_mc_cycles=0,
+        list_update_int=100000, latt_sync_int=100000,
+        mpi_sync_int=100000,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float64)
+    st, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    return prm, grid, st, eaux, caux, cg
+
+
 def test_kernel_matches_xla_mover_energies(system):
     prm, grid, st, eaux, caux, cg = system
     K, cap, W = cg.cells_per_color, cg.cap, prm.n_walkers
@@ -123,11 +149,21 @@ def test_pallas_substep_matches_xla_substep(system):
     prm, grid, st, eaux, caux, cg = system
     W = prm.n_walkers
     out = []
+    # 'apply' needs disjoint same-colour stencils, which this small
+    # CF=75 grid does not have (engine raises; covered below) - the
+    # apply equivalence runs on the production CF=27 grid in
+    # test_apply_substep_matches_xla
+    import dataclasses
+    with pytest.raises(ValueError, match="disjoint"):
+        CellEngine(
+            dataclasses.replace(prm, cell_pallas="apply"),
+            MW, grid, eaux, cg, caux,
+        )
     for flag in ("off", "on"):
-        import dataclasses
         prm_f = dataclasses.replace(prm, cell_pallas=flag)
         eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
-        assert eng.use_cell_pallas == (flag == "on")
+        assert eng.use_cell_pallas == (flag != "off")
+        assert eng.use_cell_apply == (flag == "apply")
         s = st._replace(cycle=jnp.asarray(1, jnp.int32))
         codes_k = jnp.zeros(eng.K, dtype=jnp.int32)    # all TRANS
         sw_ok = jnp.ones(W, dtype=bool)
@@ -146,28 +182,36 @@ def test_pallas_substep_matches_xla_substep(system):
             )
         )(s)
         out.append((s2, tpm))
-    (a, tpa), (b, tpb) = out
-    # identical RNG stream -> identical proposals; fp64 energies agree
-    # to summation order, so accept decisions and therefore discrete
-    # state must match exactly
-    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
-    np.testing.assert_array_equal(np.asarray(a.att), np.asarray(b.att))
-    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
-    np.testing.assert_array_equal(np.asarray(tpa), np.asarray(tpb))
-    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
-    np.testing.assert_allclose(
-        np.asarray(a.mu), np.asarray(b.mu), rtol=0, atol=1e-10
-    )
-    np.testing.assert_allclose(
-        np.asarray(a.energy), np.asarray(b.energy), rtol=0, atol=1e-10
-    )
-    for fa, fb in zip(a.moments, b.moments):
-        np.testing.assert_allclose(
-            np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-10
+    (a, tpa) = out[0]
+    for (b, tpb) in out[1:]:
+        # identical RNG stream -> identical proposals; fp64 energies
+        # agree to summation order, so accept decisions and therefore
+        # discrete state must match exactly
+        np.testing.assert_array_equal(
+            np.asarray(a.acc), np.asarray(b.acc)
         )
-    np.testing.assert_allclose(
-        np.asarray(a.hist), np.asarray(b.hist), rtol=0, atol=0
-    )
+        np.testing.assert_array_equal(
+            np.asarray(a.att), np.asarray(b.att)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.ls), np.asarray(b.ls)
+        )
+        np.testing.assert_array_equal(np.asarray(tpa), np.asarray(tpb))
+        np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+        np.testing.assert_allclose(
+            np.asarray(a.mu), np.asarray(b.mu), rtol=0, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.energy), np.asarray(b.energy),
+            rtol=0, atol=1e-10
+        )
+        for fa, fb in zip(a.moments, b.moments):
+            np.testing.assert_allclose(
+                np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-10
+            )
+        np.testing.assert_allclose(
+            np.asarray(a.hist), np.asarray(b.hist), rtol=0, atol=0
+        )
 
 
 def test_kernel_lowers_for_tpu(system):
@@ -212,3 +256,86 @@ def test_kernel_lowers_for_tpu(system):
                 jax.jit(kern._invoke), platforms=["tpu"]
             )(*args)
             assert len(exp.mlir_module_serialized) > 0
+
+
+@pytest.mark.slow
+def test_apply_substep_matches_xla(system_unique):
+    """cell_pallas='apply' (in-place aliased moment update) vs the
+    XLA scatter path, on the production-shaped CF=27 grid whose
+    same-colour stencils are disjoint."""
+    prm, grid, st, eaux, caux, cg = system_unique
+    W = prm.n_walkers
+    import dataclasses
+
+    out = []
+    for flag in ("off", "apply"):
+        prm_f = dataclasses.replace(prm, cell_pallas=flag)
+        eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
+        assert eng.use_cell_apply == (flag == "apply")
+        assert eng.scatter_unique
+        s = st._replace(cycle=jnp.asarray(1, jnp.int32))
+        codes_k = jnp.zeros(eng.K, dtype=jnp.int32)
+        sw_ok = jnp.ones(W, dtype=bool)
+        tpm0 = jnp.zeros((cg.nslot, W), dtype=jnp.int32)
+        u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 2), (eng.K, 7),
+                dtype=s.r.dtype,
+            ),
+            out_axes=2,
+        )(s.key)
+        s2, tpm = jax.jit(
+            lambda stt, e=eng: e._substep(
+                stt, tpm0, e.fc_stack[3], e.cand_stack[3],
+                e.off_stack[3], u, codes_k, sw_ok,
+            )
+        )(s)
+        out.append(s2)
+    a, b = out
+    assert int(a.acc[0].sum()) > 0
+    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_allclose(
+        np.asarray(a.energy), np.asarray(b.energy), rtol=0, atol=1e-10
+    )
+    for fa, fb in zip(a.moments, b.moments):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-10
+        )
+
+
+def test_apply_kernel_lowers_for_tpu(system_unique):
+    """Mosaic lowering gate for the aliased apply kernel."""
+    prm, grid, st, eaux, caux, cg = system_unique
+    from mc_water_ls_mw_tpu.ops.cell_pallas import MoverApplyPallas
+
+    K, CF, cap = cg.cells_per_color, cg.full_cells.shape[1], cg.cap
+    f32 = jnp.float32
+    import contextlib
+
+    @contextlib.contextmanager
+    def x64_off():
+        jax.config.update("jax_enable_x64", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    with x64_off():
+        W = 128
+        kern = MoverApplyPallas(MW, cg)
+        kern.interpret = False
+        args = (
+            jnp.zeros((K, CF), jnp.int32), jnp.zeros((K,), jnp.int32),
+            jnp.zeros((K, W), jnp.int32), jnp.zeros((K, W), jnp.int32),
+            jnp.zeros((K * CF, 3, W), f32),
+            jnp.zeros((3, K, W), f32), jnp.zeros((3, K, W), f32),
+            jnp.zeros((K, 10, W), f32),
+            *(jnp.zeros((cg.nfine, cap, W), f32) for _ in range(3)),
+            jnp.zeros((cg.nfine, cap, W), jnp.int32),
+            *(jnp.zeros((cg.nfine, cap, W), f32) for _ in range(10)),
+        )
+        exp = jax.export.export(
+            jax.jit(kern._invoke), platforms=["tpu"]
+        )(*args)
+        assert len(exp.mlir_module_serialized) > 0
