@@ -39,6 +39,9 @@ LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=off \
 echo "--- cell-engine bench N=8064 W=128 (Pallas sub-step kernel)"
 LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=on \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "--- cell-engine bench N=8064 W=128 (Pallas + in-place apply)"
+LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=apply \
+    timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
 echo "--- cell-engine bench N=8064 W=256 (XLA path, W-scaling continuity)"
 LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=256 LN_CYCLES=5 LN_PALLAS=off \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
