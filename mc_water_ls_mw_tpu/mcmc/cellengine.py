@@ -76,7 +76,7 @@ from ..ops.cell_energy import (
     slab_full_energy,
 )
 from ..ops.dense import Moments
-from ..ops.dsfloat import DS, ds_value, ds_zeros
+from ..ops.dsfloat import DS, ds_zeros
 from ..ops.geometry import determinant3, recip_matrix
 from .bins import BinGrid, mu_to_bin
 from .config import RunParams

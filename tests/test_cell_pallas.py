@@ -145,6 +145,7 @@ def test_kernel_matches_xla_mover_energies(system):
         )
 
 
+@pytest.mark.slow
 def test_pallas_substep_matches_xla_substep(system):
     prm, grid, st, eaux, caux, cg = system
     W = prm.n_walkers

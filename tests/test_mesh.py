@@ -116,6 +116,7 @@ def test_sharded_merge_is_global(setup):
     assert float(np.abs(np.asarray(merged.hist)).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_cell_engine_sharded_matches_unsharded():
     """The large-N cell engine's slab kernels + sequential acceptance
     chain run sharded over the walker axis with identical decisions
