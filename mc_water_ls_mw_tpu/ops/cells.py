@@ -128,23 +128,39 @@ def min_coarse_side(model, mismatch: float, margin: float) -> float:
 
 
 def choose_grid_shape(H_list, model, mismatch: float,
-                      margin: float = 1.13) -> tuple:
+                      margin: float = 1.13,
+                      prefer_disjoint: bool = False) -> tuple:
     """Largest even coarse counts (>= 4) satisfying the independence
     bound for every lattice's box.  ``margin`` must cover the volume
     shrink guard (build_grid guard default 1.08).  Raises if the box
-    is too small (use the dense engine instead)."""
+    is too small (use the dense engine instead).
+
+    prefer_disjoint: additionally clamp the counts so every FINE cell
+    side stays >= r_cov = rc + mismatch (under the same margin) - the
+    coverage stencil then collapses to the 27-cell cube and
+    same-colour stencils become pairwise disjoint, enabling
+    cell_pallas='apply' (in-place aliased moment updates).  Costs
+    mover parallelism (fewer, larger coarse cells); raises if the
+    disjoint bound cannot reach 4 cells per axis.
+    """
     s_min = min_coarse_side(model, mismatch, margin)
     w = np.min([perp_widths(H) for H in np.asarray(H_list)], axis=0)
     n = []
     for a in range(3):
         na = int(np.floor(w[a] / s_min))
+        if prefer_disjoint:
+            # fine side = coarse/2 must stay >= margin * r_cov
+            r_cov = model.rc + mismatch
+            na = min(na, int(np.floor(w[a] / (2.0 * margin * r_cov))))
         na -= na % 2
         if na < 4:
             raise ValueError(
                 f"box axis {a}: width {w[a]:.2f} Bohr supports only "
-                f"{na} cells of side >= {s_min:.2f} Bohr; the "
-                "parallel cell engine needs >= 4 (use the dense "
-                "engine for this system size)"
+                f"{na} cells of side >= {s_min:.2f} Bohr"
+                + (" under the disjoint-stencil bound"
+                   if prefer_disjoint else "")
+                + "; the parallel cell engine needs >= 4 (use the "
+                "dense engine for this system size)"
             )
         n.append(na)
     return tuple(n)

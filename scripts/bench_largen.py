@@ -8,7 +8,9 @@ timings plus aggregate moves/s.  Environment knobs:
     LN_WALKERS             walker count (default 64)
     LN_CYCLES              timed cycles (default 5)
     LN_CAP                 slot capacity override (default auto)
-    LN_PALLAS              cell_pallas flag: auto (default)/on/off
+    LN_PALLAS              cell_pallas flag: auto (default)/on/off/apply
+    LN_DISJOINT            1 = disjoint-stencil grid shape (CF=27,
+                           enables 'apply'; fewer movers per sub-step)
 """
 
 from __future__ import annotations
@@ -48,7 +50,8 @@ def main():
     r0, H0 = stacking_switch_pair(nx, ny, m)
     N = r0.shape[1]
     mx, _ = correspondence_mismatch(r0, H0)
-    shape = choose_grid_shape(H0, MW, mx)
+    disjoint = os.environ.get("LN_DISJOINT") == "1"
+    shape = choose_grid_shape(H0, MW, mx, prefer_disjoint=disjoint)
     cap_env = os.environ.get("LN_CAP")
     cap = int(cap_env) if cap_env else cap_for_positions(r0, H0, shape)
     cg = build_grid(shape, cap, H0, MW, mx)

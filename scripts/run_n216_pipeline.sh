@@ -51,6 +51,10 @@ LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=off \
 echo "--- cell-engine bench N=24192 W=64 (Pallas sub-step kernel)"
 LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=on \
     timeout 2400 python scripts/bench_largen.py 2>&1 | grep -v WARNING
+echo "--- cell-engine bench N=24192 W=64 (disjoint grid + in-place apply)"
+LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=apply \
+    LN_DISJOINT=1 \
+    timeout 2400 python scripts/bench_largen.py 2>&1 | grep -v WARNING
 echo "=== bench done $(date)"
 
 python scripts/retarget_weights.py \

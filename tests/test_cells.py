@@ -358,3 +358,37 @@ class TestSlabEnergy:
             np.testing.assert_allclose(
                 np.asarray(e_new_s[k]), np.asarray(e_new_d), atol=1e-9
             )
+
+
+def test_prefer_disjoint_grid_shape():
+    """choose_grid_shape(prefer_disjoint=True) yields a CF=27 grid
+    with pairwise-disjoint same-colour stencils at the N=24192
+    flagship size (enables cell_pallas='apply' there)."""
+    import numpy as np
+
+    from mc_water_ls_mw_tpu.models.stacking import (
+        correspondence_mismatch,
+        stacking_switch_pair,
+    )
+    from mc_water_ls_mw_tpu.models.sw import MW
+    from mc_water_ls_mw_tpu.ops.cells import (
+        build_grid,
+        cap_for_positions,
+        choose_grid_shape,
+    )
+
+    r0, H0 = stacking_switch_pair(24, 14, 18)
+    mx, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mx, prefer_disjoint=True)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mx
+    )
+    assert cg.full_cells.shape[1] == 27
+    assert bool(np.all(cg.full_mask))
+    m3 = cg.m ** 3
+    for col in range(8):
+        cells_c = np.asarray(cg.color_cells[col])
+        for b in range(m3):
+            fc = cg.block_cells[cells_c][:, b]
+            cand = cg.full_cells[fc]
+            assert len(np.unique(cand)) == cand.size
