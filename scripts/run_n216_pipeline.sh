@@ -33,6 +33,10 @@ echo "=== device acquired $(date)"
 echo "--- headline bench (bench.py; hedge against a re-wedged lease at round end)"
 BENCH_CLAIM_WAIT=900 timeout 1800 python bench.py \
     2> >(grep -v WARNING >&2) | tee /tmp/bench_r2_manual.json
+echo "--- headline bench, W=8192 (walker-scaling data point)"
+BENCH_CLAIM_WAIT=600 BENCH_WALKERS=8192 BENCH_NWATER=216 \
+    timeout 1800 python bench.py 2> >(grep -v WARNING >&2) \
+    | tee /tmp/bench_r2_w8192.json
 echo "--- cell-engine bench N=8064 W=128 (XLA path)"
 LN_NX=14 LN_NY=8 LN_M=18 LN_WALKERS=128 LN_CYCLES=5 LN_PALLAS=off \
     timeout 1800 python scripts/bench_largen.py 2>&1 | grep -v WARNING
