@@ -100,6 +100,14 @@ def main():
     print(f"E/N eV after: {np.asarray(st.energy[:, 0]) * HART_TO_EV / N}"
           f"  overflow={int(np.asarray(st.occ_overflow).max())}")
 
+    # on-hardware incremental-exactness audit (the reference's DEBUG
+    # oracle): max |tracked - recomputed| energy over all walkers
+    t0 = time.time()
+    _, drift = eng.audit_energy(st)
+    jax.block_until_ready(drift)
+    print(f"audit: max |drift| = {float(jnp.max(jnp.abs(drift))):.3e} "
+          f"Ha ({time.time()-t0:.1f}s)")
+
 
 if __name__ == "__main__":
     main()
