@@ -16,7 +16,11 @@ timings plus aggregate moves/s.  Environment knobs:
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
