@@ -466,9 +466,34 @@ class CellEngine(Engine):
             sw_try = sw_type
 
         s0 = s
-        eta_fn = lambda mu_v: self._eta(s0, mu_v)       # noqa: E731
+        # everything the chain body reads per iteration but that is
+        # FROZEN for the whole sub-step is hoisted here: the weight
+        # curve (micro-batched WL semantics), and the volume/enthalpy
+        # algebra of the switch rule and the mu-from-scratch refresh
+        # (volumes only change at volume moves, which run outside the
+        # sub-step chain) — the body then costs a handful of [W] ops
+        # per mover instead of logs + [B,W] rebuilds
+        weight0 = self._weight_total(s0)               # [B, W]
+        eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
+            s0, weight0, mu_v
+        )
         two = prm.num_lattices == 2
         vol0 = s.volume
+        if two:
+            rh = self.aux.ref_enthalpy
+            lv10 = jnp.log(vol0[1] / vol0[0])          # [W]
+            pterm = prm.beta * prm.pressure * (vol0[1] - vol0[0])
+            # mu from scratch = beta*(E0 - E1) + cmu (mc_moves:856-862)
+            cmu = -pterm + prm.nwater * lv10
+            if prm.leshift:
+                cmu = cmu + prm.beta * (rh[1] - rh[0])
+            # switch rule: dsw = sgn(ls) * (beta*(E1 - E0) + sw_c)
+            # (mc_lattice_switch, mc_moves.F90:1558-1559)
+            sw_c = jnp.zeros_like(lv10)
+            if prm.mc_ensemble == "npt":
+                sw_c = pterm - prm.nwater * lv10
+            if prm.leshift:
+                sw_c = sw_c - prm.beta * (rh[1] - rh[0])
 
         def body(carry, xs):
             mu, ls, energy = carry
@@ -506,28 +531,17 @@ class CellEngine(Engine):
             if two and (prm.mc_always_switch or prm.allow_switch):
                 sw_en = switch_ok & swt
                 lsn = 1 - ls
-                E_ls = _take_lat(energy, ls)
-                E_lsn = _take_lat(energy, lsn)
-                dsw = prm.beta * (E_lsn - E_ls)
-                if prm.mc_ensemble == "npt":
-                    V_ls = _take_lat(vol0, ls)
-                    V_lsn = _take_lat(vol0, lsn)
-                    dsw = (
-                        dsw
-                        + prm.beta * prm.pressure * (V_lsn - V_ls)
-                        - prm.nwater * jnp.log(V_lsn / V_ls)
-                    )
-                if prm.leshift:
-                    rh = self.aux.ref_enthalpy
-                    dsw = dsw - prm.beta * (rh[lsn] - rh[ls])
+                # dsw = sgn * (beta*(E1 - E0) + sw_c): the volume and
+                # leshift terms are the hoisted loop invariants above
+                de10 = prm.beta * (energy[1] - energy[0])
+                dsw = jnp.where(ls == 0, de10 + sw_c, -(de10 + sw_c))
                 sw_acc = sw_en & jnp.isfinite(dsw) & (
                     uz < jnp.exp(-dsw)
                 )
                 ls = jnp.where(sw_acc, lsn, ls)
-                # refresh mu from scratch on accept (1578-1588)
-                mu = jnp.where(
-                    sw_acc, self._mu_scratch(energy, vol0), mu
-                )
+                # refresh mu from scratch on accept (1578-1588);
+                # beta*(E0 - E1) + cmu == self._mu_scratch(energy, vol0)
+                mu = jnp.where(sw_acc, cmu - de10, mu)
             out = (accept, enabled, mu_trans, healthy, dmu,
                    sw_acc, sw_en)
             return (mu, ls, energy), out

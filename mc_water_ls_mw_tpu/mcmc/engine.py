@@ -232,9 +232,15 @@ class Engine:
     def _eta(self, s: SamplerState, mu):
         """Multicanonical weight eta(mu) per walker (batched form of
         bins.eta_weight; reference mc_moves.F90:893-964)."""
+        return self._eta_from_weight(s, self._weight_total(s), mu)
+
+    def _eta_from_weight(self, s: SamplerState, weight, mu):
+        """eta(mu) against an explicit weight view [B, W] — callers
+        evaluating eta repeatedly against a FROZEN curve (the cell
+        engine's per-sub-step acceptance chain) hoist the
+        `_weight_total` build out of their loop."""
         prm, grid = self.prm, self.grid
         B = grid.nbins
-        weight = self._weight_total(s)                 # [B, W]
         k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)    # [W]
 
         if not prm.eta_interp:
