@@ -13,7 +13,11 @@ Baseline (vs_baseline denominator): the driver-defined target is the
 this image, so the denominator uses the documented estimate in
 BASELINE.md: 8 ranks x 0.5e6 moves/s/rank = 4.0e6 moves/s aggregate
 (typical single-core throughput of the reference's local-update kernel;
-see BASELINE.md for the derivation and sensitivity range).
+see BASELINE.md for the derivation and sensitivity range).  A measured
+C++ re-implementation of the reference hot path
+(scripts/baseline_proxy.cpp, oracle-exact init energies) lands ~6x
+LOWER on this image's core (0.08e6 moves/s at N=216), so the estimate
+flatters the baseline and every vs_baseline here is conservative.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
