@@ -73,9 +73,30 @@ MW = SWParams(
     cos0=-0.33331324756,
 )
 
+# Original silicon parameterisation (Stillinger & Weber, PRB 31,
+# 5262 (1985)) - the parent of mW, same functional form with epsilon =
+# 50 kcal/mol, sigma = 2.0951 A, lambda = 21.  Unlike mW, cos0 here IS
+# exactly -1/3, so the three-body sum vanishes identically on the
+# ideal diamond lattice and the cohesive energy is exactly -2*epsilon
+# per atom at the pair-minimum bond length (2.35167 A) - an analytic
+# oracle for every energy kernel (tests/test_models.py).
+SI = SWParams(
+    name="Si",
+    sigma=2.0951 * ANG_TO_BOHR,
+    epsilon=50.0 / 627.509469,
+    lam=21.0,
+    bigA=7.049556277,
+    bigB=0.6022245584,
+    gamma=1.2,
+    a=1.8,
+    cos0=-1.0 / 3.0,
+)
+
+
 # Model registry; the reference supports only 'mW'
-# (data_structures.f90:100-135, init.f90:100-114).
-MODELS = {"mW": MW}
+# (data_structures.f90:100-135, init.f90:100-114) - 'Si' is a
+# framework extension exercising the generic SW family.
+MODELS = {"mW": MW, "Si": SI}
 
 
 def get_model(name: str) -> SWParams:

@@ -76,3 +76,28 @@ def test_bond_length_is_energy_minimum():
     e0 = _energy_per_mol(*ideal_ic(2, d))
     for dd in (d * 0.99, d * 1.01):
         assert _energy_per_mol(*ideal_ic(2, dd)) > e0
+
+
+def test_si_diamond_analytic_oracle():
+    """SW silicon (the parent parameterisation of mW): on the ideal
+    diamond lattice every angle is exactly tetrahedral and cos0 is
+    exactly -1/3, so the three-body sum vanishes identically and the
+    cohesive energy is EXACTLY -2*epsilon per atom at the pair-minimum
+    bond length (Stillinger & Weber, PRB 31, 5262 (1985): 2.35167 A).
+    An analytic, parameter-independent oracle for the energy kernels.
+    """
+    from mc_water_ls_mw_tpu.constants import BOHR_TO_ANG
+    from mc_water_ls_mw_tpu.models.sw import SI, get_model
+    from mc_water_ls_mw_tpu.models.lattices import optimal_bond_length
+
+    assert get_model("Si") is SI
+    d = optimal_bond_length(SI, lo=4.2, hi=4.7)
+    assert abs(d * BOHR_TO_ANG - 2.35167) < 5e-4
+
+    r, H = ideal_ic(2, d)
+    sh = reduced_shift_set(H, SI)
+    e, _ = full_energy_dense(
+        jnp.asarray(r), jnp.asarray(H), jnp.asarray(sh), SI, True
+    )
+    n = r.shape[0]
+    assert abs(float(e) / n + 2.0 * SI.epsilon) < 1e-8
