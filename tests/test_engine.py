@@ -241,3 +241,37 @@ def test_minu_variant_smoke(examples_dir):
     ls = np.asarray(state.ls)
     # not asserting all (switch acceptance also moves ls), just sanity
     assert set(np.unique(ls)) <= {0, 1}
+
+
+def test_si_single_box_npt():
+    """The engine is generic over the SW family: a single-box NPT run
+    of Stillinger-Weber silicon (models/sw.py SI - different sigma,
+    epsilon and an exactly-tetrahedral cos0) on a 64-atom diamond cell
+    keeps the incremental energies exact and the crystal bound."""
+    from mc_water_ls_mw_tpu.models.sw import SI
+    from mc_water_ls_mw_tpu.models.lattices import ideal_ic
+
+    r, H = ideal_ic(2, 2.35167 * ANG_TO_BOHR)   # published SW bond
+    r0, H0 = r[None], H[None]
+    prm = RunParams(
+        nwater=r.shape[0], num_lattices=1, temperature=800.0,
+        pressure=1.0 / AUP_TO_ATM,
+        mc_max_trans=0.25 * ANG_TO_BOHR, mc_dv_max=0.3 * ANG_TO_BOHR,
+        allow_switch=False, mc_always_switch=False, mc_switch_prob=0.0,
+        mc_vol_prob=1.0 / 64, samplerun=False, eq_mc_cycles=1,
+        list_update_int=10, n_walkers=4, dtype="float64",
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    state, aux = init_state(prm, SI, r0, H0, grid)
+    eng = Engine(prm, SI, grid, aux)
+    e0 = float(state.energy.mean())
+    n = prm.nwater
+    # perfect diamond lattice: exactly -2*epsilon per atom
+    assert abs(e0 / n + 2.0 * SI.epsilon) < 1e-6
+    state, _ = eng.run_cycles(state, 12)
+    att = np.asarray(state.att.sum(1))
+    assert att[0] > 0 and att[1] > 0 and att[2] == 0
+    _, drift = eng.audit_energy(state)
+    assert float(jnp.abs(drift).max()) < 1e-11
+    e1 = float(state.energy.mean())
+    assert e0 < e1 < 0.0                  # heated, still bound
