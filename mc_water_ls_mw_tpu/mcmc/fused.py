@@ -1038,7 +1038,7 @@ class FusedCycle:
                 # the moments slab (rw index 1) stays HBM-resident;
                 # the kernel DMAs its walker slice into VMEM scratch
                 if k == 1:
-                    return pl.BlockSpec(memory_space=pltpu.ANY)
+                    return pl.BlockSpec(memory_space=pl.ANY)
                 return wspec(arr)
 
             in_specs = (
