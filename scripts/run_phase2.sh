@@ -30,6 +30,15 @@ run_bench LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=on
 run_bench LN_NX=24 LN_NY=14 LN_M=18 LN_WALKERS=64 LN_CYCLES=3 LN_PALLAS=apply LN_DISJOINT=1
 echo "=== benches done $(date)"
 
+# Wang-Landau weight-generation parity vs the packaged converged
+# curve (VALIDATION.md d): 150k cycles from zero weights, the
+# documented configuration.  Artifact harvested from the printed
+# run_dir into runs/wl_validation/ afterwards.
+echo "=== validate_wl $(date)"
+timeout 3600 python scripts/validate_wl.py 150000 4096 \
+    2>&1 | grep -v WARNING | tee /tmp/logs/wl_validation.out
+echo "=== validate_wl done $(date)"
+
 # Extend the sample run from its checkpoint for more statistics,
 # but only with whatever wall clock remains before the deadline
 # (minus margin for the final bench.py verification below).
