@@ -44,6 +44,19 @@ _NACC = 26
 _NRED = 16
 
 
+def _pick_wb(Wl: int, cap: int) -> int:
+    """Walker-block width for the (walker-block, mover, candidate)
+    grids.  The sub-step is DMA-ISSUE-bound (many small [cap, WB]
+    block fetches per grid step), so wider blocks amortise the
+    per-descriptor cost ~linearly; take the widest 128-multiple that
+    keeps the per-step working set (inputs + deltas + double-buffer +
+    the _NACC scratch) comfortably inside the ~16 MB VMEM."""
+    for wb in (512, 384, 256, 128):
+        if Wl % wb == 0 and 51 * cap * wb * 4 * 2 <= 12 * 2 ** 20:
+            return wb
+    return 128 if Wl % 128 == 0 else Wl
+
+
 class MoverEnergiesPallas:
     """Batch mover old/new local energies + moment deltas, fused.
 
@@ -194,7 +207,7 @@ class MoverEnergiesPallas:
                 s2m, *mom):
         K, CF = cand.shape
         Wl = rx.shape[-1]
-        WB = 128 if Wl % 128 == 0 else Wl
+        WB = _pick_wb(Wl, self.cap)
         cap = self.cap
         dtype = rx.dtype
 
@@ -422,7 +435,7 @@ class MoverApplyPallas:
                 rx, ry, rz, s2m, *mom):
         K, CF = cand.shape
         Wl = rx.shape[-1]
-        WB = 128 if Wl % 128 == 0 else Wl
+        WB = _pick_wb(Wl, self.cap)
         cap = self.cap
         dtype = rx.dtype
 

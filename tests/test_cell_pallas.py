@@ -238,7 +238,7 @@ def test_kernel_lowers_for_tpu(system):
             jax.config.update("jax_enable_x64", True)
 
     with x64_off():
-        for W in (128, 64):
+        for W in (512, 128, 64):
             kern = MoverEnergiesPallas(MW, cg)
             kern.interpret = False
             args = (
