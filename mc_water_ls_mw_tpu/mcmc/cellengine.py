@@ -64,6 +64,9 @@ import jax.numpy as jnp
 
 from ..models.sw import SWParams
 from ..ops.cells import (
+    PK_R0,
+    PK_ROWS,
+    PK_VALID,
     CellGrid,
     bin_molecules,
     cell_of_frac,
@@ -314,12 +317,66 @@ class CellEngine(Engine):
     # one colour sub-step: K parallel movers, exact sequential chain
     # ------------------------------------------------------------------
 
-    def _substep(self, s: CellState, tpm_slab, fc, cand_cells_b,
+    def _pack(self, s: CellState):
+        """Pack each lattice's slabs into ONE [nfine, PK_ROWS, cap, W]
+        tensor (moment rows 0:10, coordinate rows PK_R0:PK_R0+3,
+        validity row PK_VALID) for the sub-step scan.  The sub-step is
+        DMA-issue-bound: one packed tensor costs one block descriptor
+        per candidate cell where 14 per-field slabs cost 14.  Costs
+        one transpose copy per cycle (~nothing against ~10^3
+        sub-steps); validity is static between rebins, which only
+        happen outside the scan."""
+        cg = self.cellgrid
+        L, _, nslot, W = s.r.shape
+        nfine, cap = cg.nfine, cg.cap
+        valid = (s.slot2mol >= 0).astype(s.r.dtype)
+        pks = []
+        for l in range(L):
+            rows = [f[l].reshape(nfine, cap, W) for f in s.moments]
+            rows += [s.r[l, a].reshape(nfine, cap, W)
+                     for a in range(3)]
+            rows.append(valid.reshape(nfine, cap, W))
+            pks.append(jnp.stack(rows, axis=1))
+        return pks
+
+    def _unpack(self, s: CellState, pks) -> CellState:
+        """Extract the canonical r / moments slabs back out of the
+        packed scan carry (s.r / s.moments are stale inside the
+        scan - the packed tensors are the source of truth there)."""
+        L, _, nslot, W = s.r.shape
+        mom = Moments(*(
+            jnp.stack([pks[l][:, i] for l in range(L)]).reshape(
+                L, nslot, W
+            )
+            for i in range(10)
+        ))
+        r = jnp.stack([
+            jnp.stack([pks[l][:, PK_R0 + a] for a in range(3)])
+            for l in range(L)
+        ]).reshape(L, 3, nslot, W)
+        return s._replace(r=r, moments=mom)
+
+    def _substep_canonical(self, s: CellState, tpm_slab, fc,
+                           cand_cells_b, cand_off_b, u, codes_k,
+                           switch_ok):
+        """One sub-step on the canonical (unpacked) state: pack,
+        sub-step, unpack.  Test/diagnostic entry point - the cycle
+        scan calls _substep directly on the packed carry."""
+        small, pks, tpm = self._substep(
+            s, self._pack(s), tpm_slab, fc, cand_cells_b, cand_off_b,
+            u, codes_k, switch_ok,
+        )
+        return self._unpack(small, pks), tpm
+
+    def _substep(self, s: CellState, pks, tpm_slab, fc, cand_cells_b,
                  cand_off_b, u, codes_k, switch_ok):
-        """One (colour, fine-block) sub-step.  ``fc`` [K] are the
-        movers' fine cells, ``cand_cells_b`` [K, CF] their coverage
-        stencils, ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of
-        the stacked tables; traced values are fine (indices are shared
+        """One (colour, fine-block) sub-step.  ``pks`` [L] packed
+        slabs [nfine, PK_ROWS, cap, W] (see _pack) - the
+        configurational source of truth inside the cycle scan (s.r /
+        s.moments are stale here).  ``fc`` [K] are the movers' fine
+        cells, ``cand_cells_b`` [K, CF] their coverage stencils,
+        ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of the
+        stacked tables; traced values are fine (indices are shared
         across walkers).  ``u`` [K, 7, W]: this sub-step's slice of
         the per-cycle uniform block (1 selection + 6 move uniforms
         per mover), pregenerated by _one_cycle - one big fused
@@ -356,8 +413,10 @@ class CellEngine(Engine):
             == rank[:, None, :]
         )                                                     # [K,cap,W]
 
-        r5 = s.r.reshape(L, 3, -1, cap, W)
-        blk_r = r5[:, :, fc]                          # [L,3,K,cap,W]
+        blk_pk = [pk[fc] for pk in pks]          # L x [K,R,cap,W]
+        blk_r = jnp.stack([
+            jnp.moveaxis(b[:, PK_R0:PK_R0 + 3], 1, 0) for b in blk_pk
+        ])                                            # [L,3,K,cap,W]
         p_old = jnp.sum(
             jnp.where(oh_sel[None, None], blk_r, 0.0), axis=3
         )                                                     # [L,3,K,W]
@@ -419,11 +478,11 @@ class CellEngine(Engine):
         # the 27-cell per-fine-cell coverage stencil (the wall keeps
         # both endpoints inside the stored fine cell, so full_cells'
         # r_cov coverage of that cube reaches every partner)
+        nslot = pks[0].shape[0] * cap
         if self.use_cell_pallas:
             per = [
                 self.mover_kernel(
-                    s.r[l], Moments(*(f[l] for f in s.moments)),
-                    s.slot2mol, s.h[l], cand_cells_b, cand_off_b,
+                    pks[l], s.h[l], cand_cells_b, cand_off_b,
                     fc, rank, p_old[l], p_new[l],
                 )
                 for l in range(L)
@@ -432,7 +491,13 @@ class CellEngine(Engine):
             valid = self._slab_valid(s)
             per = [
                 mover_energies(
-                    s.r[l], Moments(*(f[l] for f in s.moments)),
+                    jnp.moveaxis(
+                        pks[l][:, PK_R0:PK_R0 + 3], 1, 0
+                    ).reshape(3, nslot, W),
+                    Moments(*(
+                        pks[l][:, i].reshape(nslot, W)
+                        for i in range(10)
+                    )),
                     valid, s.h[l], cand_cells_b, cand_off_b,
                     cg.full_mask, cap, mover_slot, p_old[l],
                     p_new[l], model,
@@ -589,47 +654,46 @@ class CellEngine(Engine):
             min_dmu=min_dmu, max_dmu=max_dmu,
         )
 
-        # ---- apply accepted movers to the slabs (independent, so
-        # parallel application equals the sequential composition).
-        # All writes are fine-cell [cap,W] block updates at the static
+        # ---- apply accepted movers to the packed slabs (independent,
+        # so parallel application equals the sequential composition).
+        # All writes are fine-cell block updates at the static
         # block/coverage tables; same-colour stencils are disjoint
         # (see __init__), so every scatter below has UNIQUE indices.
         accf = accepts                                          # [K,W]
         mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
-        nslot = s.r.shape[2]
-        uniq = self.scatter_unique
 
         dp = p_new - p_old                                  # [L,3,K,W]
         blk_new = blk_r + jnp.where(
             mask_acc[None, None], dp[:, :, :, None, :], 0.0
         )                                             # [L,3,K,cap,W]
-        r = r5.at[:, :, fc].set(
-            blk_new, unique_indices=True
-        ).reshape(L, 3, nslot, W)
+        pks = [
+            pks[l].at[fc, PK_R0:PK_R0 + 3].set(
+                jnp.moveaxis(blk_new[l], 0, 1), unique_indices=True
+            )
+            for l in range(L)
+        ]
 
         # block scatter of the movers' leg deltas into their coverage
-        # fine cells (padded table entries carry zero deltas), then
-        # block one-hot set of the movers' own moments
+        # fine cells, then block one-hot set of the movers' own
+        # moments.  The coordinate rows already hold the POST-move
+        # positions - exact for the delta recompute (each mover is
+        # self-masked in its own stencil and absent from every other
+        # same-colour stencil; see MoverApplyPallas)
         if self.use_cell_pallas and self.use_cell_apply:
             # in-place apply kernel: recomputes the accepted movers'
-            # deltas and updates the moment slabs directly (aliased
-            # outputs); equivalent to the scatter path below because
-            # same-colour stencils are disjoint.  NOTE: reads the
-            # PRE-move slab coordinates (s.r), which the deltas are
-            # defined against
-            new_mom = []
-            for l in range(L):
-                fields = self.apply_kernel(
-                    s.r[l], Moments(*(f[l] for f in s.moments)),
-                    s.slot2mol, s.h[l], cand_cells_b, cand_off_b,
+            # deltas and updates the packed moment rows directly
+            # (aliased output); equivalent to the scatter path below
+            # because same-colour stencils are disjoint
+            pks = [
+                self.apply_kernel(
+                    pks[l], s.h[l], cand_cells_b, cand_off_b,
                     fc, rank, accf, p_old[l], p_new[l], per[l][2],
                 )
-                new_mom.append(Moments(*fields))
-            moments = _stack_moments(new_mom)
+                for l in range(L)
+            ]
         else:
-            moments = self._scatter_moments(
-                s, per, cand_cells_b, accf, mask_acc, fc, L, cap, W,
-                nslot,
+            pks = self._scatter_moments(
+                pks, per, cand_cells_b, accf, mask_acc, fc, L, cap, W,
             )
 
         # per-slot trial counter (gathered to molecule order once per
@@ -641,46 +705,48 @@ class CellEngine(Engine):
             inc, unique_indices=True
         ).reshape(nslot, W)
 
-        return small._replace(r=r, moments=moments), tpm_slab
+        return small, pks, tpm_slab
 
-    def _scatter_moments(self, s, per, cand_cells_b, accf, mask_acc,
-                         fc, L, cap, W, nslot):
-        """XLA moment update: materialised deltas + block scatter."""
+    def _scatter_moments(self, pks, per, cand_cells_b, accf, mask_acc,
+                         fc, L, cap, W):
+        """XLA moment update: materialised deltas + ONE block
+        scatter-add of all 10 fields into the packed slab rows 0:10,
+        then a one-hot block set of the movers' own moments."""
         uniq = self.scatter_unique
+        K, CF = cand_cells_b.shape
         cand_flat = cand_cells_b.reshape(-1)            # [K*CF]
-        new_mom = []
+        out = []
         for l in range(L):
             if self.use_cell_pallas:
                 # kernel returns the per-candidate deltas new - old
                 # ([K, CF, cap, W]) and the mover's own new moments
-                d_iter = per[l][3]
+                d_stack = jnp.stack(list(per[l][3]), axis=2)
+                #                                  [K,CF,10,cap,W]
+                acc_b = accf[:, None, None, None, :]
                 own = per[l][2]
-                acc_b = accf[:, None, None, :]
             else:
                 _, _, co, cn = per[l]
-                d_iter = Moments(*(
-                    fn - fo
+                d_stack = jnp.stack([
+                    (fn - fo).reshape(K, -1, cap, W)
                     for fo, fn in zip(co.delta(), cn.delta())
-                ))
+                ], axis=2)                         # [K,CF,10,cap,W]
+                acc_b = accf[:, None, None, None, :]
                 own = cn.own
-                acc_b = accf[:, None, :]
-            fields = []
-            for df, fown, cur in zip(d_iter, own,
-                                     (f[l] for f in s.moments)):
-                dlt = jnp.where(acc_b, df, 0.0)
-                upd_c = cur.reshape(-1, cap, W).at[cand_flat].add(
-                    dlt.reshape(-1, cap, W), unique_indices=uniq
-                )
-                blk = jnp.where(
-                    mask_acc, fown[:, None, :], upd_c[fc]
-                )                                       # [K,cap,W]
-                fields.append(
-                    upd_c.at[fc].set(
-                        blk, unique_indices=True
-                    ).reshape(nslot, W)
-                )
-            new_mom.append(Moments(*fields))
-        return _stack_moments(new_mom)
+            dlt = jnp.where(acc_b, d_stack, 0.0).reshape(
+                K * CF, 10, cap, W
+            )
+            upd = pks[l].at[cand_flat, 0:10].add(
+                dlt, unique_indices=uniq
+            )
+            own_stack = jnp.stack(list(own), axis=1)    # [K,10,W]
+            blk = jnp.where(
+                mask_acc[:, None], own_stack[:, :, None, :],
+                upd[fc, 0:10],
+            )                                        # [K,10,cap,W]
+            out.append(
+                upd.at[fc, 0:10].set(blk, unique_indices=True)
+            )
+        return out
 
     # ------------------------------------------------------------------
     # batched Wang-Landau update for K recorded trials
@@ -1006,22 +1072,25 @@ class CellEngine(Engine):
         )(s.key)                                    # [n_sub,K,7,W]
 
         def substep_body(carry, xs):
-            st, tslab = carry
+            st, pks, tslab = carry
             sid, u = xs
             tbl = jnp.mod(sid, self.n_tables)
             fc = jnp.take(self.fc_stack, tbl, axis=0)
             cand = jnp.take(self.cand_stack, tbl, axis=0)
             off = jnp.take(self.off_stack, tbl, axis=0)
             codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
-            st, tslab = self._substep(
-                st, tslab, fc, cand, off, u, codes_k, switch_ok,
+            st, pks, tslab = self._substep(
+                st, pks, tslab, fc, cand, off, u, codes_k, switch_ok,
             )
-            return (st, tslab), None
+            return (st, pks, tslab), None
 
-        (s, tpm_slab), _ = jax.lax.scan(
-            substep_body, (s, tpm_slab0),
+        # the scan carries the PACKED per-lattice slabs (see _pack);
+        # s.r / s.moments are stale inside and re-extracted after
+        (s, pks, tpm_slab), _ = jax.lax.scan(
+            substep_body, (s, self._pack(s), tpm_slab0),
             (jnp.arange(n_sub, dtype=jnp.int32), u_all),
         )
+        s = self._unpack(s, pks)
         s = s._replace(
             trans_per_mol=s.trans_per_mol
             + gather_from_slab(tpm_slab, s.mol2slot)

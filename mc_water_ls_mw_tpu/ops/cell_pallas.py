@@ -10,15 +10,17 @@ N=8064 / cap=32 / W=128 each such array is ~3.5 MB and a cycle runs
 item 2).
 
 This kernel fuses the whole evaluation: grid = (walker-block, mover,
-candidate-cell); each step DMAs one fine cell's [cap, W] slab blocks
-(coordinates, slot2mol, 10 moment fields) straight from the
-HBM-resident slabs at scalar-prefetched table indices, computes pair
-+ three-body terms for BOTH evaluation points in VMEM, writes the
-per-candidate moment deltas (new - old, the only per-candidate data
-the accept path needs), and accumulates the mover reductions
-(pair sums, own moments, wing sums) in VMEM scratch.  HBM traffic
-drops to the 14 slab reads + 10 delta writes + O(K*W) reductions -
-no [K, C, W] intermediate ever hits HBM.
+candidate-cell); each step DMAs one fine cell's PACKED slab block
+[PK_ROWS, cap, WB] (10 moment rows + 3 coordinate rows + a validity
+row - ops/cells.py PK_* layout) straight from the HBM-resident packed
+slab at scalar-prefetched table indices, computes pair + three-body
+terms for BOTH evaluation points in VMEM, writes the per-candidate
+moment deltas (new - old, the only per-candidate data the accept path
+needs), and accumulates the mover reductions (pair sums, own moments,
+wing sums) in VMEM scratch.  The packed layout exists because the
+sub-step is DMA-ISSUE-bound, not bandwidth-bound: 14 separate
+[cap, WB] fetches per grid step cost ~14 descriptor issues where one
+[PK_ROWS, cap, WB] fetch costs one.
 
 Math is shared with ops/cell_energy.py (imported helpers); reference
 semantics: compute_local_real_energy, molint.F90:220-404.
@@ -34,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.sw import SWParams
-from .cells import CellGrid
+from .cells import CellGrid, PK_ROWS, PK_R0, PK_VALID
 from .dense import Moments, _e3_closed_form, _leg, _pair
 
 # scratch row layout: [0] pair_old [1] pair_new [2] w2_old [3] w2_new
@@ -46,11 +48,11 @@ _NRED = 16
 
 def _pick_wb(Wl: int, cap: int) -> int:
     """Walker-block width for the (walker-block, mover, candidate)
-    grids.  The sub-step is DMA-ISSUE-bound (many small [cap, WB]
-    block fetches per grid step), so wider blocks amortise the
-    per-descriptor cost ~linearly; take the widest 128-multiple that
-    keeps the per-step working set (inputs + deltas + double-buffer +
-    the _NACC scratch) comfortably inside the ~16 MB VMEM."""
+    grids.  The sub-step is DMA-ISSUE-bound (block fetches per grid
+    step), so wider blocks amortise the per-descriptor cost
+    ~linearly; take the widest 128-multiple that keeps the per-step
+    working set (packed block + deltas + double-buffer + the _NACC
+    scratch) comfortably inside the ~16 MB VMEM."""
     for wb in (512, 384, 256, 128):
         if Wl % wb == 0 and 51 * cap * wb * 4 * 2 <= 12 * 2 ** 20:
             return wb
@@ -83,15 +85,12 @@ class MoverEnergiesPallas:
 
     # ------------------------------------------------------------------
 
-    def _kernel(self, cand_ref, fc_ref, rx_ref, ry_ref, rz_ref,
-                s2m_ref, *rest):
-        mom_refs = rest[:10]
+    def _kernel(self, cand_ref, fc_ref, pk_ref, shift_ref, po_ref,
+                pn_ref, rank_ref, *rest):
         if self.with_deltas:
-            (shift_ref, po_ref, pn_ref, rank_ref,
-             red_ref, d_ref, acc) = rest[10:]
+            red_ref, d_ref, acc = rest
         else:
-            (shift_ref, po_ref, pn_ref, rank_ref,
-             red_ref, acc) = rest[10:]
+            red_ref, acc = rest
             d_ref = None
         m = self.model
         CF = self.CF
@@ -104,14 +103,15 @@ class MoverEnergiesPallas:
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        # slab blocks of the candidate fine cell ([cap, WB])
+        # packed slab block of the candidate fine cell
+        # ([PK_ROWS, cap, WB]: 10 moment rows, xyz rows, valid row)
         sx = shift_ref[0, 0]
         sy = shift_ref[0, 1]
         sz = shift_ref[0, 2]
-        cx = rx_ref[0] + sx[None, :]
-        cy = ry_ref[0] + sy[None, :]
-        cz = rz_ref[0] + sz[None, :]
-        valid = s2m_ref[0] >= 0
+        cx = pk_ref[0, PK_R0 + 0] + sx[None, :]
+        cy = pk_ref[0, PK_R0 + 1] + sy[None, :]
+        cz = pk_ref[0, PK_R0 + 2] + sz[None, :]
+        valid = pk_ref[0, PK_VALID] > 0.5
 
         # self exclusion: the mover's own slot appears exactly when
         # the candidate cell IS the mover's fine cell, at lane = rank
@@ -151,7 +151,7 @@ class MoverEnergiesPallas:
         # wing (j-centred) sums against the gathered moments; the new
         # evaluation sees every neighbour's moments corrected by the
         # mover's old->new leg change (cell_energy.mover_energies)
-        mom = [mom_refs[i][0] for i in range(10)]
+        mom = [pk_ref[0, i] for i in range(10)]
 
         def wing(w, u, fields):
             ux, uy, uz = u
@@ -203,20 +203,20 @@ class MoverEnergiesPallas:
 
     # ------------------------------------------------------------------
 
-    def _invoke(self, cand, fc, rank, shift, po, pn, rx, ry, rz,
-                s2m, *mom):
+    def _invoke(self, cand, fc, rank, shift, po, pn, pk):
         K, CF = cand.shape
-        Wl = rx.shape[-1]
+        Wl = pk.shape[-1]
         WB = _pick_wb(Wl, self.cap)
         cap = self.cap
-        dtype = rx.dtype
+        dtype = pk.dtype
 
-        def cellspec():
-            # slab arrays [nfine, cap, W]: one fine cell's block at
-            # the scalar-prefetched candidate table index
+        def pkspec():
+            # packed slab [nfine, PK_ROWS, cap, W]: one fine cell's
+            # whole block at the scalar-prefetched candidate index -
+            # ONE descriptor instead of 14 per grid step
             def imap(wb, k, c, cand_r, fc_r):
-                return (cand_r[k, c], 0, wb)
-            return pl.BlockSpec((1, cap, WB), imap,
+                return (cand_r[k, c], 0, 0, wb)
+            return pl.BlockSpec((1, PK_ROWS, cap, WB), imap,
                                 memory_space=pltpu.VMEM)
 
         def shiftspec():
@@ -264,9 +264,7 @@ class MoverEnergiesPallas:
             num_scalar_prefetch=2,
             grid=(Wl // WB, K, CF),
             in_specs=(
-                [cellspec()] * 4                   # rx, ry, rz, s2m
-                + [cellspec()] * 10                # moment fields
-                + [shiftspec(), pspec(), pspec(), rankspec()]
+                [pkspec(), shiftspec(), pspec(), pspec(), rankspec()]
             ),
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((_NACC, cap, WB), dtype)],
@@ -276,29 +274,30 @@ class MoverEnergiesPallas:
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=self.interpret,
-        )(cand, fc, rx, ry, rz, s2m, *mom, shift, po, pn, rank)
+        )(cand, fc, pk, shift, po, pn, rank)
         return tuple(out)
 
     # ------------------------------------------------------------------
 
-    def __call__(self, slab_r, slab_mom: Moments, slot2mol, H,
-                 cand_cells, cand_off, fc, rank, p_old, p_new):
+    def __call__(self, pk, H, cand_cells, cand_off, fc, rank,
+                 p_old, p_new):
         """One lattice, one sub-step.
 
-        slab_r [3, nslot, W]; slab_mom fields [nslot, W]; slot2mol
-        [nslot, W] int32; H [3,3,W]; cand_cells [K, CF] / cand_off
-        [K, CF, 3] the movers' coverage-table rows; fc [K] mover fine
-        cells; rank [K, W] mover slot ranks; p_old/p_new [3, K, W].
+        pk [nfine, PK_ROWS, cap, W]: the packed slab (moment rows
+        0:10, coordinate rows PK_R0:PK_R0+3, validity row PK_VALID -
+        mcmc/cellengine pack layout); H [3,3,W]; cand_cells [K, CF] /
+        cand_off [K, CF, 3] the movers' coverage-table rows; fc [K]
+        mover fine cells; rank [K, W] mover slot ranks; p_old/p_new
+        [3, K, W].
 
         Returns (e_old [K,W], e_new [K,W], own_new Moments [K,W],
         d Moments fields [K, CF, cap, W] = per-candidate j-moment
         deltas new - old) - exactly the quantities the accept path of
         CellEngine._substep consumes.
         """
-        nfine, cap = self.nfine, self.cap
         K, CF = cand_cells.shape
-        W = slab_r.shape[-1]
-        rs = lambda a: a.reshape(nfine, cap, W)            # noqa: E731
+        W = pk.shape[-1]
+        cap = self.cap
         # per-candidate-cell image shifts H @ off ([K*CF, 3, W])
         off = jnp.asarray(cand_off).astype(H.dtype)
         shift = jnp.einsum("kcb,abw->kcaw", off, H).reshape(
@@ -308,10 +307,7 @@ class MoverEnergiesPallas:
         args = (
             jnp.asarray(cand_cells, dtype=jnp.int32),
             jnp.asarray(fc, dtype=jnp.int32),
-            rank.astype(jnp.int32), shift, p_old, p_new,
-            rs(slab_r[0]), rs(slab_r[1]), rs(slab_r[2]),
-            rs(slot2mol),
-            *(rs(f) for f in slab_mom),
+            rank.astype(jnp.int32), shift, p_old, p_new, pk,
         )
         invoke = self._invoke
         if self.mesh is not None:
@@ -355,13 +351,20 @@ class MoverApplyPallas:
     after the acceptance chain, this kernel recomputes each accepted
     mover's per-candidate j-moment deltas (the same eval_point math as
     MoverEnergiesPallas, pair/wing reductions skipped) and adds them
-    straight into the HBM-resident moment slabs via aliased outputs -
-    each grid step reads one coverage cell's block, adds the masked
-    delta, overwrites the mover's own slot with its new moments, and
-    writes the block back.  Same-colour stencils are disjoint
+    straight into the HBM-resident packed slab via an aliased output -
+    each grid step reads one coverage cell's packed block, adds the
+    masked delta to the moment rows, overwrites the mover's own slot
+    with its new moments, copies the coordinate/validity rows through,
+    and writes the block back.  Same-colour stencils are disjoint
     (CellEngine.scatter_unique), so every block is visited at most
     once per call and unvisited blocks keep their old data through
     the input/output alias.
+
+    The packed slab's coordinate rows may already carry the movers'
+    POST-move positions when this runs: deltas depend only on
+    NEIGHBOUR coordinates, each mover is self-masked in its own
+    stencil and absent from every other same-colour stencil
+    (disjointness), so pre- and post-move slabs give identical deltas.
 
     Replaces the XLA d-materialise + scatter-add path: the
     [10, K*CF, cap, W] delta tensor never exists in HBM.
@@ -376,12 +379,8 @@ class MoverApplyPallas:
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.interpret = jax.default_backend() == "cpu"
 
-    def _kernel(self, cand_ref, fc_ref, rx_ref, ry_ref, rz_ref,
-                s2m_ref, *rest):
-        mom_refs = rest[:10]
-        (shift_ref, po_ref, pn_ref, rank_ref, accm_ref,
-         own_ref) = rest[10:16]
-        out_refs = rest[16:26]
+    def _kernel(self, cand_ref, fc_ref, pk_ref, shift_ref, po_ref,
+                pn_ref, rank_ref, accm_ref, own_ref, out_ref):
         m = self.model
         k = pl.program_id(1)
         c = pl.program_id(2)
@@ -389,10 +388,10 @@ class MoverApplyPallas:
         sx = shift_ref[0, 0]
         sy = shift_ref[0, 1]
         sz = shift_ref[0, 2]
-        cx = rx_ref[0] + sx[None, :]
-        cy = ry_ref[0] + sy[None, :]
-        cz = rz_ref[0] + sz[None, :]
-        valid = s2m_ref[0] >= 0
+        cx = pk_ref[0, PK_R0 + 0] + sx[None, :]
+        cy = pk_ref[0, PK_R0 + 1] + sy[None, :]
+        cz = pk_ref[0, PK_R0 + 2] + sz[None, :]
+        valid = pk_ref[0, PK_VALID] > 0.5
         is_self_cell = cand_ref[k, c] == fc_ref[k]
         rank_row = rank_ref[k]
         iota_cap = lax.broadcasted_iota(jnp.int32, valid.shape, 0)
@@ -423,26 +422,28 @@ class MoverApplyPallas:
         upd = acc_row[None, :]
         own_mask = self_slot & is_self_cell & upd
         for i in range(10):
-            blk = mom_refs[i][0] + jnp.where(
+            blk = pk_ref[0, i] + jnp.where(
                 upd, dlt_n[i] - dlt_o[i], 0.0
             )
             # the mover's own slot: delta is zero there (self-masked);
             # replace with the new own moments on accept
             blk = jnp.where(own_mask, own_ref[k, i][None, :], blk)
-            out_refs[i][0] = blk
+            out_ref[0, i] = blk
+        # coordinate + validity rows pass through unchanged
+        for i in range(PK_R0, PK_ROWS):
+            out_ref[0, i] = pk_ref[0, i]
 
-    def _invoke(self, cand, fc, rank, accm, shift, po, pn, own,
-                rx, ry, rz, s2m, *mom):
+    def _invoke(self, cand, fc, rank, accm, shift, po, pn, own, pk):
         K, CF = cand.shape
-        Wl = rx.shape[-1]
+        Wl = pk.shape[-1]
         WB = _pick_wb(Wl, self.cap)
         cap = self.cap
-        dtype = rx.dtype
+        dtype = pk.dtype
 
-        def cellspec():
+        def pkspec():
             def imap(wb, k, c, cand_r, fc_r):
-                return (cand_r[k, c], 0, wb)
-            return pl.BlockSpec((1, cap, WB), imap,
+                return (cand_r[k, c], 0, 0, wb)
+            return pl.BlockSpec((1, PK_ROWS, cap, WB), imap,
                                 memory_space=pltpu.VMEM)
 
         def shiftspec():
@@ -473,42 +474,37 @@ class MoverApplyPallas:
             num_scalar_prefetch=2,
             grid=(Wl // WB, K, CF),
             in_specs=(
-                [cellspec()] * 4                   # rx, ry, rz, s2m
-                + [cellspec()] * 10                # moment fields (in)
-                + [shiftspec(), pspec(), pspec(), kwspec(),
-                   kwspec(), ownspec()]
+                [pkspec(), shiftspec(), pspec(), pspec(), kwspec(),
+                 kwspec(), ownspec()]
             ),
-            out_specs=[cellspec()] * 10,
+            out_specs=[pkspec()],
         )
-        # input index i (counting from 0 = the first prefetch arg):
-        # moment field f sits at 2 (prefetch) + 4 (coords+s2m) + f
-        aliases = {2 + 4 + f: f for f in range(10)}
+        # input index (counting from 0 = the first prefetch arg): the
+        # packed slab sits at 2 (right after the two prefetch args);
+        # it aliases output 0
         out = pl.pallas_call(
             self._kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((self.nfine, cap, Wl), dtype)
-                for _ in range(10)
+                jax.ShapeDtypeStruct(
+                    (self.nfine, PK_ROWS, cap, Wl), dtype
+                )
             ],
-            input_output_aliases=aliases,
+            input_output_aliases={2: 0},
             interpret=self.interpret,
-        )(cand, fc, rx, ry, rz, s2m, *mom, shift, po, pn, rank,
-          accm, own)
-        return tuple(out)
+        )(cand, fc, pk, shift, po, pn, rank, accm, own)
+        return out[0]
 
-    def __call__(self, slab_r, slab_mom: Moments, slot2mol, H,
-                 cand_cells, cand_off, fc, rank, accf, p_old, p_new,
-                 own_new: Moments):
-        """Returns the 10 updated moment slab fields [nslot, W].
+    def __call__(self, pk, H, cand_cells, cand_off, fc, rank, accf,
+                 p_old, p_new, own_new: Moments):
+        """Returns the updated packed slab [nfine, PK_ROWS, cap, W].
 
         accf: [K, W] accepted mask; own_new: the movers' new own
         moments (MoverEnergiesPallas red output).  Other arguments as
         MoverEnergiesPallas.__call__.
         """
-        nfine, cap = self.nfine, self.cap
         K, CF = cand_cells.shape
-        W = slab_r.shape[-1]
-        rs = lambda a: a.reshape(nfine, cap, W)            # noqa: E731
+        W = pk.shape[-1]
         off = jnp.asarray(cand_off).astype(H.dtype)
         shift = jnp.einsum("kcb,abw->kcaw", off, H).reshape(
             K * CF, 3, W
@@ -518,10 +514,7 @@ class MoverApplyPallas:
             jnp.asarray(cand_cells, dtype=jnp.int32),
             jnp.asarray(fc, dtype=jnp.int32),
             rank.astype(jnp.int32), accf.astype(jnp.int32),
-            shift, p_old, p_new, own,
-            rs(slab_r[0]), rs(slab_r[1]), rs(slab_r[2]),
-            rs(slot2mol),
-            *(rs(f) for f in slab_mom),
+            shift, p_old, p_new, own, pk,
         )
         invoke = self._invoke
         if self.mesh is not None:
@@ -538,9 +531,7 @@ class MoverApplyPallas:
                 mesh=self.mesh,
                 in_specs=(P(None, None), P(None),
                           *(wsp(a) for a in args[2:])),
-                out_specs=tuple(P(None, None, ax) for _ in range(10)),
+                out_specs=wsp(pk),
                 check_vma=False,
             )
-        out = invoke(*args)
-        nslot = nfine * cap
-        return [f.reshape(nslot, W) for f in out]
+        return invoke(*args)

@@ -56,6 +56,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# packed-slab row layout ([nfine, PK_ROWS, cap, W] per lattice): the
+# sub-step kernels are DMA-issue-bound, so the scan carries ONE packed
+# tensor per lattice (a single block descriptor per candidate cell)
+# instead of 14 per-field slabs.  Rows 0:10 = the moment fields in
+# ops/dense.Moments order; PK_R0:PK_R0+3 = x, y, z; PK_VALID =
+# slot-occupied flag as 1.0/0.0 (static between rebins).
+PK_R0 = 10
+PK_VALID = 13
+PK_ROWS = 14
+
 
 @dataclasses.dataclass(frozen=True)
 class CellGrid:

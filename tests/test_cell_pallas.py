@@ -33,7 +33,24 @@ from mc_water_ls_mw_tpu.ops.cells import (
 )
 from mc_water_ls_mw_tpu.ops.cell_energy import mover_energies
 from mc_water_ls_mw_tpu.ops.cell_pallas import MoverEnergiesPallas
+from mc_water_ls_mw_tpu.ops.cells import PK_ROWS
 from mc_water_ls_mw_tpu.ops.dense import Moments
+
+
+def _pack_lattice(st, cg, l):
+    """Packed slab [nfine, PK_ROWS, cap, W] of lattice l (the
+    CellEngine._pack layout) for direct kernel calls."""
+    nfine, cap = cg.nfine, cg.cap
+    W = st.r.shape[-1]
+    rows = [np.asarray(f[l]).reshape(nfine, cap, W)
+            for f in st.moments]
+    rows += [np.asarray(st.r[l, a]).reshape(nfine, cap, W)
+             for a in range(3)]
+    rows.append(
+        (np.asarray(st.slot2mol) >= 0)
+        .astype(rows[0].dtype).reshape(nfine, cap, W)
+    )
+    return jnp.asarray(np.stack(rows, axis=1))
 
 
 @pytest.fixture(scope="module")
@@ -123,7 +140,7 @@ def test_kernel_matches_xla_mover_energies(system):
 
     kern = MoverEnergiesPallas(MW, cg)
     e_old_p, e_new_p, own_p, d_p = kern(
-        st.r[l], mom_l, st.slot2mol, st.h[l], cand, off, fc,
+        _pack_lattice(st, cg, l), st.h[l], cand, off, fc,
         jnp.asarray(rank), jnp.asarray(p_old), jnp.asarray(p_new),
     )
 
@@ -177,7 +194,7 @@ def test_pallas_substep_matches_xla_substep(system):
             out_axes=2,
         )(s.key)
         s2, tpm = jax.jit(
-            lambda stt, e=eng: e._substep(
+            lambda stt, e=eng: e._substep_canonical(
                 stt, tpm0, e.fc_stack[5], e.cand_stack[5],
                 e.off_stack[5], u, codes_k, sw_ok,
             )
@@ -247,11 +264,7 @@ def test_kernel_lowers_for_tpu(system):
                 jnp.zeros((K, W), jnp.int32),
                 jnp.zeros((K * CF, 3, W), f32),
                 jnp.zeros((3, K, W), f32), jnp.zeros((3, K, W), f32),
-                *(jnp.zeros((cg.nfine, cap, W), f32)
-                  for _ in range(3)),
-                jnp.zeros((cg.nfine, cap, W), jnp.int32),
-                *(jnp.zeros((cg.nfine, cap, W), f32)
-                  for _ in range(10)),
+                jnp.zeros((cg.nfine, PK_ROWS, cap, W), f32),
             )
             exp = jax.export.export(
                 jax.jit(kern._invoke), platforms=["tpu"]
@@ -286,7 +299,7 @@ def test_apply_substep_matches_xla(system_unique):
             out_axes=2,
         )(s.key)
         s2, tpm = jax.jit(
-            lambda stt, e=eng: e._substep(
+            lambda stt, e=eng: e._substep_canonical(
                 stt, tpm0, e.fc_stack[3], e.cand_stack[3],
                 e.off_stack[3], u, codes_k, sw_ok,
             )
@@ -323,20 +336,20 @@ def test_apply_kernel_lowers_for_tpu(system_unique):
             jax.config.update("jax_enable_x64", True)
 
     with x64_off():
-        W = 128
-        kern = MoverApplyPallas(MW, cg)
-        kern.interpret = False
-        args = (
-            jnp.zeros((K, CF), jnp.int32), jnp.zeros((K,), jnp.int32),
-            jnp.zeros((K, W), jnp.int32), jnp.zeros((K, W), jnp.int32),
-            jnp.zeros((K * CF, 3, W), f32),
-            jnp.zeros((3, K, W), f32), jnp.zeros((3, K, W), f32),
-            jnp.zeros((K, 10, W), f32),
-            *(jnp.zeros((cg.nfine, cap, W), f32) for _ in range(3)),
-            jnp.zeros((cg.nfine, cap, W), jnp.int32),
-            *(jnp.zeros((cg.nfine, cap, W), f32) for _ in range(10)),
-        )
-        exp = jax.export.export(
-            jax.jit(kern._invoke), platforms=["tpu"]
-        )(*args)
-        assert len(exp.mlir_module_serialized) > 0
+        for W in (512, 128):
+            kern = MoverApplyPallas(MW, cg)
+            kern.interpret = False
+            args = (
+                jnp.zeros((K, CF), jnp.int32),
+                jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K, W), jnp.int32),
+                jnp.zeros((K, W), jnp.int32),
+                jnp.zeros((K * CF, 3, W), f32),
+                jnp.zeros((3, K, W), f32), jnp.zeros((3, K, W), f32),
+                jnp.zeros((K, 10, W), f32),
+                jnp.zeros((cg.nfine, PK_ROWS, cap, W), f32),
+            )
+            exp = jax.export.export(
+                jax.jit(kern._invoke), platforms=["tpu"]
+            )(*args)
+            assert len(exp.mlir_module_serialized) > 0

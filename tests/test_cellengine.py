@@ -91,7 +91,7 @@ class TestSingleLattice:
             out_axes=2,
         )(s.key)
         s2, tpm = jax.jit(
-            lambda st: eng._substep(
+            lambda st: eng._substep_canonical(
                 st, tpm0, eng.fc_stack[0], eng.cand_stack[0],
                 eng.off_stack[0], u, codes_k, sw_ok,
             )
