@@ -277,7 +277,13 @@ class CellEngine(Engine):
             self.use_cell_pallas = (
                 unpadded and jax.default_backend() != "cpu"
             )
-            self.use_cell_apply = False
+            # prefer the fully-fused apply kernel wherever its
+            # disjoint-stencil requirement holds: ~3x the XLA scatter
+            # path (DESIGN.md §5b measured journey), bit-identical
+            # accept decisions
+            self.use_cell_apply = (
+                self.use_cell_pallas and self.scatter_unique
+            )
         else:
             self.use_cell_pallas = False
             self.use_cell_apply = False
@@ -341,9 +347,12 @@ class CellEngine(Engine):
 
     def _unpack(self, s: CellState, pks) -> CellState:
         """Extract the canonical r / moments slabs back out of the
-        packed scan carry (s.r / s.moments are stale inside the
-        scan - the packed tensors are the source of truth there)."""
-        L, _, nslot, W = s.r.shape
+        packed scan carry (s.r / s.moments are zero-size placeholders
+        inside the scan - the packed tensors are the source of truth
+        there)."""
+        L = len(pks)
+        nfine, _, cap, W = pks[0].shape
+        nslot = nfine * cap
         mom = Moments(*(
             jnp.stack([pks[l][:, i] for l in range(L)]).reshape(
                 L, nslot, W
@@ -662,28 +671,15 @@ class CellEngine(Engine):
         accf = accepts                                          # [K,W]
         mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
 
-        dp = p_new - p_old                                  # [L,3,K,W]
-        blk_new = blk_r + jnp.where(
-            mask_acc[None, None], dp[:, :, :, None, :], 0.0
-        )                                             # [L,3,K,cap,W]
-        pks = [
-            pks[l].at[fc, PK_R0:PK_R0 + 3].set(
-                jnp.moveaxis(blk_new[l], 0, 1), unique_indices=True
-            )
-            for l in range(L)
-        ]
-
-        # block scatter of the movers' leg deltas into their coverage
-        # fine cells, then block one-hot set of the movers' own
-        # moments.  The coordinate rows already hold the POST-move
-        # positions - exact for the delta recompute (each mover is
-        # self-masked in its own stencil and absent from every other
-        # same-colour stencil; see MoverApplyPallas)
         if self.use_cell_pallas and self.use_cell_apply:
             # in-place apply kernel: recomputes the accepted movers'
-            # deltas and updates the packed moment rows directly
-            # (aliased output); equivalent to the scatter path below
-            # because same-colour stencils are disjoint
+            # deltas, updates the packed moment rows AND moves the
+            # accepted movers' coordinate rows to p_new, all through
+            # one aliased output per lattice - the scan carry is
+            # mutated ONLY by this kernel, so XLA keeps it in place
+            # (an XLA scatter on the carry forced a full-slab copy
+            # per sub-step).  Equivalent to the scatter path below
+            # because same-colour stencils are disjoint.
             pks = [
                 self.apply_kernel(
                     pks[l], s.h[l], cand_cells_b, cand_off_b,
@@ -692,6 +688,24 @@ class CellEngine(Engine):
                 for l in range(L)
             ]
         else:
+            # XLA path: block set of the moved coordinates, block
+            # scatter of the movers' leg deltas into their coverage
+            # fine cells, then block one-hot set of the movers' own
+            # moments.  The coordinate rows already hold the
+            # POST-move positions when the deltas land - exact (each
+            # mover is self-masked in its own stencil and absent from
+            # every other same-colour stencil; see MoverApplyPallas)
+            dp = p_new - p_old                          # [L,3,K,W]
+            blk_new = blk_r + jnp.where(
+                mask_acc[None, None], dp[:, :, :, None, :], 0.0
+            )                                     # [L,3,K,cap,W]
+            pks = [
+                pks[l].at[fc, PK_R0:PK_R0 + 3].set(
+                    jnp.moveaxis(blk_new[l], 0, 1),
+                    unique_indices=True,
+                )
+                for l in range(L)
+            ]
             pks = self._scatter_moments(
                 pks, per, cand_cells_b, accf, mask_acc, fc, L, cap, W,
             )
@@ -1085,12 +1099,19 @@ class CellEngine(Engine):
             return (st, pks, tslab), None
 
         # the scan carries the PACKED per-lattice slabs (see _pack);
-        # s.r / s.moments are stale inside and re-extracted after
-        (s, pks, tpm_slab), _ = jax.lax.scan(
-            substep_body, (s, self._pack(s), tpm_slab0),
+        # the canonical r / moments slabs are shrunk to zero-size
+        # placeholders for the scan (nothing inside reads them, and
+        # carrying multi-GB stale copies through ~10^3 iterations
+        # wastes HBM) and re-extracted from the packed carry after
+        s_sc = s._replace(
+            r=s.r[:, :, :0],
+            moments=Moments(*(f[:, :0] for f in s.moments)),
+        )
+        (s_sc, pks, tpm_slab), _ = jax.lax.scan(
+            substep_body, (s_sc, self._pack(s), tpm_slab0),
             (jnp.arange(n_sub, dtype=jnp.int32), u_all),
         )
-        s = self._unpack(s, pks)
+        s = self._unpack(s_sc, pks)
         s = s._replace(
             trans_per_mol=s.trans_per_mol
             + gather_from_slab(tpm_slab, s.mol2slot)

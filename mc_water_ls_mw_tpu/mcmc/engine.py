@@ -151,7 +151,12 @@ class Engine:
         # injectable RNG stream (None = production threefry); see
         # set_recorded_stream
         self.rec = None
-        # jitted entry points
+        # jitted entry points.  NOTE: run_cycles deliberately does NOT
+        # donate the state: donation made the fused dense-path cycle
+        # kernel fail with a backend InvalidArgument on TPU (aliased
+        # pallas outputs + donated inputs), measured no real gain on
+        # the cell engine (its carry aliases in place without it), and
+        # CPU oracle tests legitimately reuse input states.
         self.run_cycles = jax.jit(self._run_cycles, static_argnums=1)
         self.sync_all = jax.jit(self._sync_all)
         self.resync_chains = jax.jit(self._resync_chains)

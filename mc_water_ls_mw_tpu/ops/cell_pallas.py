@@ -429,9 +429,17 @@ class MoverApplyPallas:
             # replace with the new own moments on accept
             blk = jnp.where(own_mask, own_ref[k, i][None, :], blk)
             out_ref[0, i] = blk
-        # coordinate + validity rows pass through unchanged
-        for i in range(PK_R0, PK_ROWS):
-            out_ref[0, i] = pk_ref[0, i]
+        # coordinate rows: the accepted mover's own slot moves to
+        # p_new (keeping ALL packed-slab mutation inside this single
+        # aliased kernel lets XLA keep the scan carry in place - an
+        # XLA scatter on the carry forced a full-slab copy per
+        # sub-step); everything else passes through unchanged
+        for a in range(3):
+            out_ref[0, PK_R0 + a] = jnp.where(
+                own_mask, pn_ref[a, k][None, :],
+                pk_ref[0, PK_R0 + a],
+            )
+        out_ref[0, PK_VALID] = pk_ref[0, PK_VALID]
 
     def _invoke(self, cand, fc, rank, accm, shift, po, pn, own, pk):
         K, CF = cand.shape

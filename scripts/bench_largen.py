@@ -86,10 +86,15 @@ def main():
 
     eng = CellEngine(prm, MW, grid, eaux, cg, caux)
 
+    # warm-up MUST run the same executable as the timed block:
+    # n_cycles is a static argument of run_cycles, so a 1-cycle
+    # warm-up compiles a DIFFERENT program and the timed block then
+    # pays a fresh ~20 s XLA compile (this bug inflated every
+    # recorded cell-engine timing before 2026-08-18 by 3-9x)
     t0 = time.time()
-    st, _ = eng.run_cycles(st, 1)
+    st, _ = eng.run_cycles(st, cycles)
     jax.block_until_ready(st.energy)
-    print(f"first cycle (compile) {time.time()-t0:.1f}s")
+    print(f"compile + first {cycles} cycles: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     st, _ = eng.run_cycles(st, cycles)

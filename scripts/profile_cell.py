@@ -125,7 +125,7 @@ def main() -> None:
     )
     grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
                           dtype=jnp.float32)
-    state, aux, cellaux = init_cell_state(prm, MW, grid, cg, r0, H0)
+    state, aux, cellaux = init_cell_state(prm, MW, r0, H0, grid, cg)
     eng = CellEngine(prm, MW, grid, aux, cg, cellaux)
 
     step = jax.jit(lambda st: eng._one_cycle(st)[0],
