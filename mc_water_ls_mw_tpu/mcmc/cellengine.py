@@ -76,6 +76,7 @@ from ..ops.cells import (
 from ..ops.cell_energy import (
     _cell_take,
     mover_energies,
+    mover_point_energies,
     slab_full_energy,
 )
 from ..ops.dense import Moments
@@ -240,14 +241,17 @@ class CellEngine(Engine):
         self.off_stack = jnp.asarray(np.stack(off_rows))
         self.n_tables = 8 * m3
         self.K = cellgrid.cells_per_color
-        # one sweep = one trial per (coarse cell, fine block); trial
-        # count per cycle matches nwater to within rounding at
-        # production sizes (nwater >> ncoarse*m^3)
+        # one sweep = cell_trials trials per (coarse cell, fine
+        # block); trial count per cycle matches nwater to within
+        # rounding at production sizes (nwater >> ncoarse*m^3)
+        self.T = int(prm.cell_trials)
+        if self.T < 1:
+            raise ValueError("cell_trials must be >= 1")
         self.sweeps_per_cycle = max(
-            1, int(round(prm.nwater / (cellgrid.ncoarse * m3)))
+            1, int(round(prm.nwater / (cellgrid.ncoarse * m3 * self.T)))
         )
         self.trials_per_cycle = (
-            self.sweeps_per_cycle * cellgrid.ncoarse * m3
+            self.sweeps_per_cycle * cellgrid.ncoarse * m3 * self.T
         )
 
         # fused Pallas sub-step energy kernel (ops/cell_pallas.py):
@@ -284,18 +288,37 @@ class CellEngine(Engine):
             self.use_cell_apply = (
                 self.use_cell_pallas and self.scatter_unique
             )
+            if int(prm.cell_trials) > 1 and not self.use_cell_apply:
+                # the multi-trial sub-step pairs the points kernel
+                # with the in-place apply kernel only (no
+                # per-candidate delta output); fall back to the XLA
+                # path on non-disjoint grids
+                self.use_cell_pallas = False
         else:
             self.use_cell_pallas = False
             self.use_cell_apply = False
+        if self.T > 1 and self.use_cell_pallas and not self.use_cell_apply:
+            raise ValueError(
+                "cell_trials > 1 supports cell_pallas in ('off', "
+                "'apply', 'auto'): the multi-point kernel has no "
+                "per-candidate delta output for the 'on' scatter path"
+            )
         if self.use_cell_pallas:
             from ..ops.cell_pallas import (
                 MoverApplyPallas,
                 MoverEnergiesPallas,
+                MoverPointsPallas,
             )
-            self.mover_kernel = MoverEnergiesPallas(
-                self.model, cellgrid, mesh=mesh,
-                with_deltas=not self.use_cell_apply,
-            )
+            if self.T > 1:
+                self.points_kernel = MoverPointsPallas(
+                    self.model, cellgrid, n_points=self.T + 1,
+                    mesh=mesh,
+                )
+            else:
+                self.mover_kernel = MoverEnergiesPallas(
+                    self.model, cellgrid, mesh=mesh,
+                    with_deltas=not self.use_cell_apply,
+                )
             if self.use_cell_apply:
                 self.apply_kernel = MoverApplyPallas(
                     self.model, cellgrid, mesh=mesh
@@ -371,48 +394,34 @@ class CellEngine(Engine):
         """One sub-step on the canonical (unpacked) state: pack,
         sub-step, unpack.  Test/diagnostic entry point - the cycle
         scan calls _substep directly on the packed carry."""
-        small, pks, tpm = self._substep(
+        fn = self._substep if self.T == 1 else self._substep_multi
+        small, pks, tpm = fn(
             s, self._pack(s), tpm_slab, fc, cand_cells_b, cand_off_b,
             u, codes_k, switch_ok,
         )
         return self._unpack(small, pks), tpm
 
-    def _substep(self, s: CellState, pks, tpm_slab, fc, cand_cells_b,
-                 cand_off_b, u, codes_k, switch_ok):
-        """One (colour, fine-block) sub-step.  ``pks`` [L] packed
-        slabs [nfine, PK_ROWS, cap, W] (see _pack) - the
-        configurational source of truth inside the cycle scan (s.r /
-        s.moments are stale here).  ``fc`` [K] are the movers' fine
-        cells, ``cand_cells_b`` [K, CF] their coverage stencils,
-        ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of the
-        stacked tables; traced values are fine (indices are shared
-        across walkers).  ``u`` [K, 7, W]: this sub-step's slice of
-        the per-cycle uniform block (1 selection + 6 move uniforms
-        per mover), pregenerated by _one_cycle - one big fused
-        threefry call per cycle instead of per-walker fold-in chains
-        inside every sequential sub-step."""
-        prm, model, cg = self.prm, self.model, self.cellgrid
-        L = s.r.shape[0]
-        W = s.r.shape[-1]
+    def _select_movers(self, s: CellState, pks, fc, u_sel):
+        """Mover selection, uniform over the STATIC fine cell's
+        occupants (rank-packed slots are contiguous per fine cell
+        and never move between rebins, so ranks [0, occ) are exactly
+        the occupied slots).  The proposal is symmetric: the wall
+        keeps an accepted mover inside its fine cell, so the reverse
+        move faces the same occupancy and the same 1/occ selection
+        probability.  All reads/writes are whole-fine-cell [cap,W]
+        block ops at the STATIC block tables (dynamic per-walker
+        scalar scatter/gather serialises on TPU)."""
+        cg = self.cellgrid
         K, cap = self.K, cg.cap
+        W = s.r.shape[-1]
         dtype = s.r.dtype
-
-        # mover selection, uniform over the STATIC fine cell's
-        # occupants (rank-packed slots are contiguous per fine cell
-        # and never move between rebins, so ranks [0, occ) are exactly
-        # the occupied slots).  The proposal is symmetric: the wall
-        # keeps an accepted mover inside its fine cell, so the reverse
-        # move faces the same occupancy and the same 1/occ selection
-        # probability.  All reads/writes are whole-fine-cell [cap,W]
-        # block ops at the STATIC block tables (dynamic per-walker
-        # scalar scatter/gather serialises on TPU).
         occ_mol = _cell_take(s.slot2mol, fc[:, None], cap)
         #                                            [K,cap,W]
         occ_sel = jnp.sum(
             occ_mol >= 0, axis=1, dtype=jnp.int32
         )                                                     # [K,W]
         rank = jnp.minimum(
-            (u[:, 0, :] * occ_sel.astype(dtype)).astype(jnp.int32),
+            (u_sel * occ_sel.astype(dtype)).astype(jnp.int32),
             jnp.maximum(occ_sel - 1, 0),
         )                                                     # [K,W]
         mover_fc = jnp.broadcast_to(fc[:, None], (K, W))
@@ -437,6 +446,67 @@ class CellEngine(Engine):
         # round up to exactly occ; the rank clamp keeps it in range
         # but an empty cell must never yield a phantom trial)
         has_mover = (occ_sel > 0) & (mover_mol >= 0)          # [K,W]
+        return (rank, mover_fc, mover_slot, oh_sel, blk_r, p_old,
+                mover_mol, has_mover)
+
+    def _hoisted_chain_terms(self, s: CellState):
+        """Everything the acceptance-chain body reads per iteration
+        but that is FROZEN for the whole sub-step: the weight curve
+        (micro-batched WL semantics), and the volume/enthalpy algebra
+        of the switch rule and the mu-from-scratch refresh (volumes
+        only change at volume moves, which run outside the sub-step
+        chain) — the body then costs a handful of [W] ops per trial
+        instead of logs + [B,W] rebuilds.
+
+        Returns (eta_fn, two, cmu, sw_c):
+          * mu from scratch = beta*(E0 - E1) + cmu (mc_moves:856-862)
+          * switch rule dsw = sgn(ls) * (beta*(E1 - E0) + sw_c)
+            (mc_lattice_switch, mc_moves.F90:1558-1559)
+        """
+        prm = self.prm
+        weight0 = self._weight_total(s)                # [B, W]
+        eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
+            s, weight0, mu_v
+        )
+        two = prm.num_lattices == 2
+        cmu = sw_c = None
+        vol0 = s.volume
+        if two:
+            rh = self.aux.ref_enthalpy
+            lv10 = jnp.log(vol0[1] / vol0[0])          # [W]
+            pterm = prm.beta * prm.pressure * (vol0[1] - vol0[0])
+            cmu = -pterm + prm.nwater * lv10
+            if prm.leshift:
+                cmu = cmu + prm.beta * (rh[1] - rh[0])
+            sw_c = jnp.zeros_like(lv10)
+            if prm.mc_ensemble == "npt":
+                sw_c = pterm - prm.nwater * lv10
+            if prm.leshift:
+                sw_c = sw_c - prm.beta * (rh[1] - rh[0])
+        return eta_fn, two, cmu, sw_c
+
+    def _substep(self, s: CellState, pks, tpm_slab, fc, cand_cells_b,
+                 cand_off_b, u, codes_k, switch_ok):
+        """One (colour, fine-block) sub-step.  ``pks`` [L] packed
+        slabs [nfine, PK_ROWS, cap, W] (see _pack) - the
+        configurational source of truth inside the cycle scan (s.r /
+        s.moments are stale here).  ``fc`` [K] are the movers' fine
+        cells, ``cand_cells_b`` [K, CF] their coverage stencils,
+        ``cand_off_b`` [K, CF, 3] the wrap offsets - rows of the
+        stacked tables; traced values are fine (indices are shared
+        across walkers).  ``u`` [K, 7, W]: this sub-step's slice of
+        the per-cycle uniform block (1 selection + 6 move uniforms
+        per mover), pregenerated by _one_cycle - one big fused
+        threefry call per cycle instead of per-walker fold-in chains
+        inside every sequential sub-step."""
+        prm, model, cg = self.prm, self.model, self.cellgrid
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        K, cap = self.K, cg.cap
+        dtype = s.r.dtype
+
+        (rank, mover_fc, mover_slot, oh_sel, blk_r, p_old, mover_mol,
+         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :])
 
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
@@ -539,35 +609,7 @@ class CellEngine(Engine):
         else:
             sw_try = sw_type
 
-        s0 = s
-        # everything the chain body reads per iteration but that is
-        # FROZEN for the whole sub-step is hoisted here: the weight
-        # curve (micro-batched WL semantics), and the volume/enthalpy
-        # algebra of the switch rule and the mu-from-scratch refresh
-        # (volumes only change at volume moves, which run outside the
-        # sub-step chain) — the body then costs a handful of [W] ops
-        # per mover instead of logs + [B,W] rebuilds
-        weight0 = self._weight_total(s0)               # [B, W]
-        eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
-            s0, weight0, mu_v
-        )
-        two = prm.num_lattices == 2
-        vol0 = s.volume
-        if two:
-            rh = self.aux.ref_enthalpy
-            lv10 = jnp.log(vol0[1] / vol0[0])          # [W]
-            pterm = prm.beta * prm.pressure * (vol0[1] - vol0[0])
-            # mu from scratch = beta*(E0 - E1) + cmu (mc_moves:856-862)
-            cmu = -pterm + prm.nwater * lv10
-            if prm.leshift:
-                cmu = cmu + prm.beta * (rh[1] - rh[0])
-            # switch rule: dsw = sgn(ls) * (beta*(E1 - E0) + sw_c)
-            # (mc_lattice_switch, mc_moves.F90:1558-1559)
-            sw_c = jnp.zeros_like(lv10)
-            if prm.mc_ensemble == "npt":
-                sw_c = pterm - prm.nwater * lv10
-            if prm.leshift:
-                sw_c = sw_c - prm.beta * (rh[1] - rh[0])
+        eta_fn, two, cmu, sw_c = self._hoisted_chain_terms(s)
 
         def body(carry, xs):
             mu, ls, energy = carry
@@ -721,12 +763,344 @@ class CellEngine(Engine):
 
         return small, pks, tpm_slab
 
+    def _substep_multi(self, s: CellState, pks, tpm_slab, fc,
+                       cand_cells_b, cand_off_b, u, codes_kt,
+                       switch_ok):
+        """Multi-trial (colour, fine-block) sub-step: T = cell_trials
+        Metropolis trials per scheduled mover per coverage-stencil
+        fetch.
+
+        The sub-step is HBM-bandwidth-bound (DESIGN.md 5b): the
+        candidate blocks fetched to evaluate one trial price T trials
+        almost for free IF every evaluation point is known before any
+        accept decision.  They are, under the ANCHORED-WINDOW
+        proposal:
+
+          * draw an anchor offset a ~ U(-mt, mt)^3 (mt = max_trans,
+            active-lattice Cartesian) and set z = x0 + a, where x0 is
+            the mover's current position;
+          * draw T candidates y_t = z + U(-mt, mt)^3;
+          * trial t proposes y_t from the current point
+            x in {x0, y_1, .., y_(t-1)} and accepts with the plain
+            Metropolis ratio min(1, exp(-[beta dE + d_eta])).
+
+        Exactness: augment the target with the anchor,
+        pi(x, z) = pi(x) u(z - x), u = the uniform cube of half-width
+        mt.  Drawing a is an exact Gibbs refresh of z | x; each trial
+        is Metropolis-Hastings for pi(x | z) with proposal density
+        q(y) = u(y - z) INDEPENDENT of the current point, so the
+        Hastings factor q(x)/q(y) = 1 whenever both points lie in the
+        cube around z - and every reachable point does (x0 by the
+        Gibbs draw, candidates by construction).  Each trial
+        therefore preserves pi(. | z), the composite preserves the
+        joint, and the x-marginal is pi.  The fine-cell wall
+        multiplies pi by a state-only indicator exactly as in the
+        single-trial sub-step.  cell_trials > 1 changes the PROPOSAL
+        law (T=1 uses the reference's direction x uniform-radius
+        draw, mc_moves.F90:1021-1039), not the stationary
+        distribution.  Chain order: all T trials of mover k run
+        consecutively (k ascending), each followed by its
+        always-switch attempt, exactly like T=1.
+
+        Energies at all P = T+1 points per mover come from ONE pass
+        over the coverage stencil (ops/cell_pallas.MoverPointsPallas
+        or ops/cell_energy.mover_point_energies): e(t) is the mover's
+        local energy in the world where it sits at point t, so
+        dE(j -> t) = e(t) - e(j) for ANY pair - precomputed and
+        path-independent, which is what lets the accept chain run on
+        a lookup table.  ``u`` slots: [0] selection, [1:4] anchor,
+        [4:4+3T] candidates, [4+3T:4+4T] accept, [4+4T:4+5T] switch.
+        ``codes_kt``: [K*T] move-type codes, trial (k, t) at k*T + t.
+        """
+        prm, model, cg = self.prm, self.model, self.cellgrid
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        K, cap = self.K, cg.cap
+        T = self.T
+        P = T + 1
+        dtype = s.r.dtype
+
+        (rank, mover_fc, mover_slot, oh_sel, blk_r, p_old, mover_mol,
+         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :])
+
+        # anchored-window candidate displacements from x0 in the
+        # active lattice: v_t = a + b_t with a, b_t ~ U(-mt, mt)^3
+        mt = s.max_trans[None, None, None, :]          # [1,1,1,W]
+        anc = jnp.moveaxis(
+            2.0 * u[:, 1:4, :] - 1.0, 1, 0
+        )[None]                                        # [1,3,K,W]
+        b_t = jnp.transpose(
+            (2.0 * u[:, 4:4 + 3 * T, :] - 1.0).reshape(K, T, 3, W),
+            (1, 2, 0, 3),
+        )                                              # [T,3,K,W]
+        v = (anc + b_t) * mt                           # [T,3,K,W]
+
+        # same fractional displacement in the partner lattice
+        # (mc_water_translation, mc_moves.F90:1042-1067); the partner
+        # map is additive, so every candidate's partner position is
+        # path-independent: p_partner(t) = p_partner(0) + M v_t
+        recip_ls = _take_lat(s.recip, s.ls)            # [3,3,W]
+        sfrac = jnp.einsum(
+            "takw,abw->tbkw", v, recip_ls
+        ) * (0.5 / jnp.pi)
+        tv_all = jnp.einsum("labw,tbkw->tlakw", s.h, sfrac)
+        lat_act = (
+            jnp.arange(L)[:, None, None, None]
+            == s.ls[None, None, None, :]
+        )
+        transvec = jnp.where(lat_act[None], v[:, None], tv_all)
+        pts = jnp.concatenate(
+            [p_old[None], p_old[None] + transvec], axis=0
+        )                                              # [P,L,3,K,W]
+
+        # fine-cell wall per point (see _substep); the trial gate is
+        # in_cell[current] & in_cell[proposal], symmetric at f32
+        # rounding edges exactly like the two-endpoint T=1 check
+        dmid = 0.5 * jnp.take(
+            self.cellaux.dfrac0, jnp.maximum(mover_mol, 0), axis=1
+        )                                              # [3,K,W]
+
+        def in_cell_of(p0):
+            fmid = _frac_of(s.recip[0], p0) - dmid
+            return (
+                cell_of_frac(cg, fmid, s.origin, level="fine")
+                == mover_fc
+            )
+
+        in_cell = jax.vmap(in_cell_of)(pts[:, 0])      # [P,K,W]
+
+        # local energies of all K movers at all P points, one stencil
+        # pass per lattice
+        cs = None
+        if self.use_cell_pallas:
+            per = [
+                self.points_kernel(
+                    pks[l], s.h[l], cand_cells_b, cand_off_b, fc,
+                    rank, jnp.moveaxis(pts[:, l], 0, 1),
+                )
+                for l in range(L)
+            ]
+        else:
+            nslot = pks[0].shape[0] * cap
+            valid = self._slab_valid(s)
+            per = [
+                mover_point_energies(
+                    jnp.moveaxis(
+                        pks[l][:, PK_R0:PK_R0 + 3], 1, 0
+                    ).reshape(3, nslot, W),
+                    Moments(*(
+                        pks[l][:, i].reshape(nslot, W)
+                        for i in range(10)
+                    )),
+                    valid, s.h[l], cand_cells_b, cand_off_b,
+                    cg.full_mask, cap, mover_slot, pts[:, l], model,
+                )
+                for l in range(L)
+            ]
+            cs = [p[2] for p in per]
+        e = jnp.stack([p[0] for p in per])             # [L,P,K,W]
+        owns = [p[1] for p in per]     # per lattice: P Moments [K,W]
+
+        # ---- exact sequential accept/reject chain, K movers x T
+        # trials, energies from the precomputed point table (same
+        # micro-batched WL semantics and hoisted invariants as T=1)
+        trans_kt = (codes_kt == TRANS).reshape(K, T)
+        sw_kt = (codes_kt == SWITCH).reshape(K, T)
+        eta_fn, two, cmu, sw_c = self._hoisted_chain_terms(s)
+        iota_p = jnp.arange(P, dtype=jnp.int32)[:, None]    # [P,1]
+
+        def body(carry, xs):
+            mu, ls, energy = carry
+            e_k, inc_k, tt_t, swt_t, has_k, ua_t, uz_t = xs
+            # e_k [L,P,W]; inc_k [P,W]; tt/swt [T]; ua/uz [T,W]
+            j_oh = jnp.broadcast_to(iota_p == 0, (P, W))
+            outs_t = []
+            for t in range(1, P):
+                tt = tt_t[t - 1]
+                swt = swt_t[t - 1]
+                if prm.mc_always_switch:
+                    sw_try = tt | swt
+                else:
+                    sw_try = swt
+                jf = j_oh.astype(dtype)
+                e_cur = jnp.sum(e_k * jf[None], axis=1)     # [L,W]
+                in_cur = jnp.any(j_oh & inc_k, axis=0)      # [W]
+                dE_k = e_k[:, t] - e_cur                    # [L,W]
+                enabled = tt & has_k
+                inc_ok = in_cur & inc_k[t]
+                if two:
+                    dmu = (dE_k[0] - dE_k[1]) * prm.beta
+                    mu_new = mu + dmu
+                    eta_old = eta_fn(mu)
+                    eta_new = eta_fn(mu_new)
+                    dE_ls = _take_lat(dE_k, ls)
+                    diffkT = prm.beta * dE_ls + eta_new - eta_old
+                else:
+                    dmu = jnp.zeros((W,), dtype=dtype)
+                    mu_new = mu
+                    diffkT = prm.beta * dE_k[0]
+                ok = jnp.isfinite(diffkT)
+                if two:
+                    ok = ok & jnp.isfinite(mu_new)
+                accept = (
+                    enabled & inc_ok & ok
+                    & (ua_t[t - 1] < jnp.exp(-diffkT))
+                )
+                energy = jnp.where(
+                    accept[None, :], energy + dE_k, energy
+                )
+                mu = jnp.where(accept, mu_new, mu)
+                j_oh = jnp.where(accept[None, :], iota_p == t, j_oh)
+                mu_trans = mu
+                healthy = jnp.all(jnp.isfinite(energy), axis=0)
+                sw_acc = jnp.zeros((W,), dtype=bool)
+                sw_en = jnp.zeros((W,), dtype=bool)
+                if two and (prm.mc_always_switch or prm.allow_switch):
+                    sw_en = switch_ok & sw_try
+                    lsn = 1 - ls
+                    de10 = prm.beta * (energy[1] - energy[0])
+                    dsw = jnp.where(
+                        ls == 0, de10 + sw_c, -(de10 + sw_c)
+                    )
+                    sw_acc = sw_en & jnp.isfinite(dsw) & (
+                        uz_t[t - 1] < jnp.exp(-dsw)
+                    )
+                    ls = jnp.where(sw_acc, lsn, ls)
+                    mu = jnp.where(sw_acc, cmu - de10, mu)
+                outs_t.append((accept, enabled, mu_trans, healthy,
+                               dmu, sw_acc, sw_en))
+            out = tuple(jnp.stack(z) for z in zip(*outs_t))
+            return (mu, ls, energy), out + (j_oh,)
+
+        xs = (
+            jnp.moveaxis(e, 2, 0),                      # [K,L,P,W]
+            jnp.moveaxis(in_cell, 1, 0),                # [K,P,W]
+            trans_kt, sw_kt, has_mover,
+            u[:, 4 + 3 * T:4 + 4 * T, :],               # [K,T,W]
+            u[:, 4 + 4 * T:4 + 5 * T, :],
+        )
+        (mu_f, ls_f, energy_f), outs = jax.lax.scan(
+            body, (s.mu, s.ls, s.energy), xs, unroll=True
+        )
+        (accepts, enabled_t, mu_t, healthy_t, dmu_t, sw_acc_t,
+         sw_en_t, j_oh_f) = outs      # trials [K,T,W]; j_oh [K,P,W]
+
+        # ---- batched WL/histogram update for the K*T trials
+        small = s._replace(mu=mu_f, ls=ls_f, energy=energy_f)
+        KT = K * T
+        small = self._wl_update_batch(
+            small, mu_t.reshape(KT, W),
+            (enabled_t & healthy_t).reshape(KT, W),
+        )
+
+        en_i = jnp.sum(enabled_t, axis=(0, 1), dtype=jnp.int32)
+        ac_i = jnp.sum(accepts, axis=(0, 1), dtype=jnp.int32)
+        admu = jnp.abs(dmu_t)
+        admu_acc = jnp.where(accepts, admu, jnp.inf)
+        min_dmu = jnp.minimum(
+            small.min_dmu, jnp.min(admu_acc, axis=(0, 1))
+        )
+        admu_acc0 = jnp.where(accepts, admu, 0.0)
+        max_dmu = jnp.maximum(
+            small.max_dmu, jnp.max(admu_acc0, axis=(0, 1))
+        )
+        small = small._replace(
+            att=small.att.at[TRANS].add(en_i)
+                .at[SWITCH].add(
+                    jnp.sum(sw_en_t, axis=(0, 1), dtype=jnp.int32)
+                ),
+            acc=small.acc.at[TRANS].add(ac_i)
+                .at[SWITCH].add(
+                    jnp.sum(sw_acc_t, axis=(0, 1), dtype=jnp.int32)
+                ),
+            min_dmu=min_dmu, max_dmu=max_dmu,
+        )
+
+        # ---- apply each mover's FINAL point (one apply per T
+        # trials; the accepted point's net moment update equals the
+        # point-0 -> point-j delta, path-independently)
+        jf = j_oh_f.astype(dtype)                       # [K,P,W]
+        jf_p = jnp.moveaxis(jf, 1, 0)                   # [P,K,W]
+        p_fin = jnp.sum(pts * jf_p[:, None, None], axis=0)
+        #                                               # [L,3,K,W]
+        accf = jnp.logical_not(j_oh_f[:, 0, :])         # [K,W]
+        mask_acc = accf[:, None, :] & oh_sel        # [K,cap,W]
+
+        def mix_moments(fields_p):
+            # one-hot mixture of the P per-point Moments at the
+            # accepted point
+            return Moments(*(
+                jnp.sum(
+                    jnp.stack([m[i] for m in fields_p]) * jf_p,
+                    axis=0,
+                )
+                for i in range(10)
+            ))
+
+        if self.use_cell_pallas and self.use_cell_apply:
+            pks = [
+                self.apply_kernel(
+                    pks[l], s.h[l], cand_cells_b, cand_off_b, fc,
+                    rank, accf, p_old[l], p_fin[l],
+                    mix_moments(owns[l]),
+                )
+                for l in range(L)
+            ]
+        else:
+            # XLA path: coordinate block set + mixture-of-point
+            # deltas (delta(point 0) contributes zero to new - old)
+            dp = p_fin - p_old                          # [L,3,K,W]
+            blk_new = blk_r + jnp.where(
+                mask_acc[None, None], dp[:, :, :, None, :], 0.0
+            )
+            pks = [
+                pks[l].at[fc, PK_R0:PK_R0 + 3].set(
+                    jnp.moveaxis(blk_new[l], 0, 1),
+                    unique_indices=True,
+                )
+                for l in range(L)
+            ]
+            CF = cand_cells_b.shape[1]
+            cand_flat = jnp.asarray(cand_cells_b).reshape(-1)
+            acc_b = accf[:, None, None, None, :]
+            new_pks = []
+            for l in range(L):
+                d0 = cs[l][0].delta()
+                d_fields = []
+                for i in range(10):
+                    stack_t = jnp.stack([
+                        cs[l][t].delta()[i] - d0[i]
+                        for t in range(1, P)
+                    ])                                  # [T,K,C,W]
+                    d_fields.append(jnp.sum(
+                        stack_t * jf_p[1:, :, None, :], axis=0
+                    ))                                  # [K,C,W]
+                d_stack = jnp.stack([
+                    f.reshape(K, CF, cap, W) for f in d_fields
+                ], axis=2)                          # [K,CF,10,cap,W]
+                new_pks.append(self._scatter_moments_one(
+                    pks[l], jnp.where(acc_b, d_stack, 0.0),
+                    mix_moments(owns[l]), cand_flat, mask_acc, fc,
+                    cap, W,
+                ))
+            pks = new_pks
+
+        # per-slot trial counter: all enabled translation trials of
+        # the mover land on its slot
+        nslot = pks[0].shape[0] * cap
+        cnt = jnp.sum(enabled_t, axis=1, dtype=jnp.int32)   # [K,W]
+        inc = cnt[:, None, :] * oh_sel.astype(jnp.int32)
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
+            inc, unique_indices=True
+        ).reshape(nslot, W)
+
+        return small, pks, tpm_slab
+
     def _scatter_moments(self, pks, per, cand_cells_b, accf, mask_acc,
                          fc, L, cap, W):
         """XLA moment update: materialised deltas + ONE block
         scatter-add of all 10 fields into the packed slab rows 0:10,
         then a one-hot block set of the movers' own moments."""
-        uniq = self.scatter_unique
         K, CF = cand_cells_b.shape
         cand_flat = cand_cells_b.reshape(-1)            # [K*CF]
         out = []
@@ -746,21 +1120,29 @@ class CellEngine(Engine):
                 ], axis=2)                         # [K,CF,10,cap,W]
                 acc_b = accf[:, None, None, None, :]
                 own = cn.own
-            dlt = jnp.where(acc_b, d_stack, 0.0).reshape(
-                K * CF, 10, cap, W
-            )
-            upd = pks[l].at[cand_flat, 0:10].add(
-                dlt, unique_indices=uniq
-            )
-            own_stack = jnp.stack(list(own), axis=1)    # [K,10,W]
-            blk = jnp.where(
-                mask_acc[:, None], own_stack[:, :, None, :],
-                upd[fc, 0:10],
-            )                                        # [K,10,cap,W]
-            out.append(
-                upd.at[fc, 0:10].set(blk, unique_indices=True)
-            )
+            out.append(self._scatter_moments_one(
+                pks[l], jnp.where(acc_b, d_stack, 0.0), own,
+                cand_flat, mask_acc, fc, cap, W,
+            ))
         return out
+
+    def _scatter_moments_one(self, pk_l, dlt, own, cand_flat,
+                             mask_acc, fc, cap, W):
+        """Shared tail of the XLA moment update for ONE lattice:
+        block scatter-add of the (already acceptance-masked)
+        per-candidate deltas dlt [K,CF,10,cap,W], then the one-hot
+        block set of the movers' own moments."""
+        KCF = cand_flat.shape[0]
+        upd = pk_l.at[cand_flat, 0:10].add(
+            dlt.reshape(KCF, 10, cap, W),
+            unique_indices=self.scatter_unique,
+        )
+        own_stack = jnp.stack(list(own), axis=1)        # [K,10,W]
+        blk = jnp.where(
+            mask_acc[:, None], own_stack[:, :, None, :],
+            upd[fc, 0:10],
+        )                                            # [K,10,cap,W]
+        return upd.at[fc, 0:10].set(blk, unique_indices=True)
 
     # ------------------------------------------------------------------
     # batched Wang-Landau update for K recorded trials
@@ -1074,16 +1456,19 @@ class CellEngine(Engine):
         # dynamically (row t = sid % n_tables; colours outer, blocks
         # inner, repeating every sweep)
         # pregenerate the whole cycle's sub-step uniforms in ONE
-        # fused threefry block [n_sub, K, 7, W] (per-walker streams
+        # fused threefry block [n_sub, K, n_u, W] (per-walker streams
         # keyed on (walker key, cycle)); the scan body just slices it
         n_sub = self.sweeps_per_cycle * self.n_tables
+        Tm = self.T
+        n_u = 7 if Tm == 1 else 4 + 5 * Tm
         u_all = jax.vmap(
             lambda k: jax.random.uniform(
                 jax.random.fold_in(k, cycle),
-                (n_sub, K, 7), dtype=dtype,
+                (n_sub, K, n_u), dtype=dtype,
             ),
             out_axes=3,
-        )(s.key)                                    # [n_sub,K,7,W]
+        )(s.key)                                  # [n_sub,K,n_u,W]
+        substep_fn = self._substep if Tm == 1 else self._substep_multi
 
         def substep_body(carry, xs):
             st, pks, tslab = carry
@@ -1092,8 +1477,10 @@ class CellEngine(Engine):
             fc = jnp.take(self.fc_stack, tbl, axis=0)
             cand = jnp.take(self.cand_stack, tbl, axis=0)
             off = jnp.take(self.off_stack, tbl, axis=0)
-            codes_k = jax.lax.dynamic_slice(codes, (sid * K,), (K,))
-            st, pks, tslab = self._substep(
+            codes_k = jax.lax.dynamic_slice(
+                codes, (sid * K * Tm,), (K * Tm,)
+            )
+            st, pks, tslab = substep_fn(
                 st, pks, tslab, fc, cand, off, u, codes_k, switch_ok,
             )
             return (st, pks, tslab), None

@@ -124,6 +124,13 @@ class RunParams:
                                  # valid cell grid and N >= threshold)
     largen_threshold: int = 4000
     cell_cap: int = 0            # slab slots per cell (0 = auto-size)
+    cell_trials: int = 1         # trials per scheduled mover per
+                                 # sub-step (anchored-window
+                                 # multi-trial: T trials share one
+                                 # coverage-stencil fetch; >1 changes
+                                 # the proposal law, not the
+                                 # stationary distribution - see
+                                 # CellEngine._substep_multi)
     relabel: bool = False        # Hungarian relabeling of lattice 2 to
                                  # minimise correspondence mismatch
     stack: tuple = (0, 0, 0)     # (nx, ny, bilayers): build the Ih/Ic

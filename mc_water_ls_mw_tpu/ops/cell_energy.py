@@ -209,6 +209,54 @@ def mover_energies(slab_r, slab_mom: Moments, valid, H, cand_cells,
     return e_old, e_new, co, cn
 
 
+def mover_point_energies(slab_r, slab_mom: Moments, valid, H,
+                         cand_cells, cand_off, cand_mask, cap,
+                         mover_slot, pts, prm: SWParams):
+    """One lattice: local energies of K movers at P evaluation points
+    each (the multi-trial sub-step, cell_trials > 1).
+
+    pts: [P, 3, K, W]; point 0 MUST be the mover's stored position -
+    the slab moments carry the mover's own leg contributions from
+    there, so the world with the mover at point t uses neighbour
+    moments ``mom - delta(point 0) + delta(point t)``.  e(t) is the
+    mover's full local energy in world(t); since the total-energy
+    identity dE(0 -> t) = e(t) - e(0) holds for every t (the same
+    identity the old/new pair of :func:`mover_energies` uses),
+    dE(j -> t) = e(t) - e(j) for ANY pair of points - the chain can
+    compose trials from one precomputed table.
+
+    Returns (e [P, K, W], owns: list of P Moments ([K, W] fields),
+    cands: list of P _SlabCand) - cands feed the XLA post-chain
+    moment scatter (mixture of per-point deltas at the accepted
+    point).  Candidate gather happens ONCE (point-independent).
+    """
+    lam_eps = prm.lam * prm.epsilon
+    cand = _gather_candidates(slab_r[0], slab_r[1], slab_r[2], valid,
+                              H, cand_cells, cand_off, cand_mask, cap,
+                              mover_slot)
+    take = lambda arr: _cell_take(arr, cand_cells, cap)     # noqa: E731
+    mom_nb = Moments(*(take(f) for f in slab_mom))
+    P = pts.shape[0]
+    cs = [
+        _slab_candidates(cand, (pts[t, 0], pts[t, 1], pts[t, 2]), prm)
+        for t in range(P)
+    ]
+    d0 = cs[0].delta()
+    es, owns = [], []
+    for t in range(P):
+        if t == 0:
+            eff = mom_nb
+        else:
+            eff = Moments(*(
+                m - a + b
+                for m, a, b in zip(mom_nb, d0, cs[t].delta())
+            ))
+        e3j = _slab_jcentred(cs[t], eff, prm)
+        es.append(cs[t].pair_sum + lam_eps * (cs[t].e3i + e3j))
+        owns.append(cs[t].own)
+    return jnp.stack(es), owns, cs
+
+
 # per-intermediate element budget for the full-energy kernel: the
 # [cc, cap, ng*cap, W] candidate tensors must fit comfortably in HBM
 # (~10 live f32 arrays of this size under XLA buffer reuse)

@@ -46,15 +46,15 @@ _NACC = 26
 _NRED = 16
 
 
-def _pick_wb(Wl: int, cap: int) -> int:
+def _pick_wb(Wl: int, cap: int, rows: int = 51) -> int:
     """Walker-block width for the (walker-block, mover, candidate)
     grids.  The sub-step is DMA-ISSUE-bound (block fetches per grid
     step), so wider blocks amortise the per-descriptor cost
     ~linearly; take the widest 128-multiple that keeps the per-step
-    working set (packed block + deltas + double-buffer + the _NACC
-    scratch) comfortably inside the ~16 MB VMEM."""
+    working set (``rows`` [cap, wb] tiles: packed block + deltas +
+    double-buffer + scratch) comfortably inside the ~16 MB VMEM."""
     for wb in (512, 384, 256, 128):
-        if Wl % wb == 0 and 51 * cap * wb * 4 * 2 <= 12 * 2 ** 20:
+        if Wl % wb == 0 and rows * cap * wb * 4 * 2 <= 12 * 2 ** 20:
             return wb
     return 128 if Wl % 128 == 0 else Wl
 
@@ -342,6 +342,248 @@ class MoverEnergiesPallas:
                 d[i].reshape(K, CF, cap, W) for i in range(10)
             ))
         return e_old, e_new, own_new, dmom
+
+
+class MoverPointsPallas:
+    """Batch mover local energies at P evaluation points, fused.
+
+    Engine of the multi-trial sub-step (cell_trials = T = P - 1,
+    CellEngine._substep_multi): point 0 is the mover's stored
+    position, points 1..T the anchored-window candidates.  One pass
+    over the coverage stencil prices ALL P evaluations - per
+    candidate cell the packed block is DMA'd once and the
+    pair/leg/wing terms of every point are computed in VMEM, so the
+    HBM traffic of T trials equals that of one (the sub-step is
+    bandwidth-bound, DESIGN.md 5b).  Outputs only the [K, NRED, W]
+    reductions: per-point energies (rows 0:P) and per-point own
+    moments (rows P + 10t + i) for the post-chain apply stage.  No
+    per-candidate delta output - multi-trial pairs with the in-place
+    MoverApplyPallas kernel (or the XLA oracle path).
+
+    Same eval_point / wing math as MoverEnergiesPallas; world(t)
+    corrects the gathered neighbour moments by the mover's point-0 ->
+    point-t leg change (ops/cell_energy.mover_point_energies).
+    """
+
+    # scratch rows per point: pair, w^2, e3j, own moments x10
+    _SROWS = 13
+
+    def __init__(self, model: SWParams, cg: CellGrid, n_points: int,
+                 mesh=None):
+        assert n_points >= 2
+        self.model = model
+        self.nfine = cg.nfine
+        self.cap = cg.cap
+        self.CF = cg.full_cells.shape[1]
+        self.P = int(n_points)
+        # energies rows + own-moment rows, padded to a multiple of 8
+        # (f32 sublane tile) for the [K, NRED, W] red output
+        self.nred = -(-(11 * self.P) // 8) * 8
+        assert bool(np.all(cg.full_mask)), (
+            "MoverPointsPallas requires an unpadded coverage table"
+        )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.interpret = jax.default_backend() == "cpu"
+
+    def _kernel(self, cand_ref, fc_ref, pk_ref, shift_ref, pts_ref,
+                rank_ref, red_ref, acc):
+        m = self.model
+        P, CF = self.P, self.CF
+        SR = self._SROWS
+        lam_eps = m.lam * m.epsilon
+        c0 = m.cos0
+        k = pl.program_id(1)
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        sx = shift_ref[0, 0]
+        sy = shift_ref[0, 1]
+        sz = shift_ref[0, 2]
+        cx = pk_ref[0, PK_R0 + 0] + sx[None, :]
+        cy = pk_ref[0, PK_R0 + 1] + sy[None, :]
+        cz = pk_ref[0, PK_R0 + 2] + sz[None, :]
+        valid = pk_ref[0, PK_VALID] > 0.5
+        is_self_cell = cand_ref[k, c] == fc_ref[k]
+        rank_row = rank_ref[k]
+        iota_cap = lax.broadcasted_iota(jnp.int32, valid.shape, 0)
+        self_m = (iota_cap == rank_row[None, :]) & is_self_cell
+        mask = valid & jnp.logical_not(self_m)
+
+        def eval_point(px, py, pz):
+            dx = cx - px[None, :]
+            dy = cy - py[None, :]
+            dz = cz - pz[None, :]
+            r2 = dx * dx + dy * dy + dz * dz
+            in_rc = (r2 < m.rc2) & mask
+            r2s = jnp.where(in_rc, r2, 1.0)
+            inv = lax.rsqrt(r2s)
+            rij = r2s * inv
+            pair = _pair(r2s, rij, in_rc, m)
+            w = _leg(rij, in_rc, m)
+            ux, uy, uz = dx * inv, dy * inv, dz * inv
+            wux, wuy, wuz = w * ux, w * uy, w * uz
+            own = (w, wux, wuy, wuz,
+                   wux * ux, wuy * uy, wuz * uz,
+                   wux * uy, wux * uz, wuy * uz)
+            dlt = (w, -wux, -wuy, -wuz,
+                   own[4], own[5], own[6], own[7], own[8], own[9])
+            return pair, w, (ux, uy, uz), own, dlt
+
+        def wing(w, u, fields):
+            ux, uy, uz = u
+            (s1, mx, my, mz, mxx, myy, mzz, mxy, mxz, myz) = fields
+            quad = (
+                ux * ux * mxx + uy * uy * myy + uz * uz * mzz
+                + 2.0 * (ux * uy * mxy + ux * uz * mxz
+                         + uy * uz * myz)
+            )
+            lin = ux * mx + uy * my + uz * mz
+            per = (
+                quad + 2.0 * c0 * lin + (c0 * c0) * s1
+                - (1.0 - c0) ** 2 * w
+            )
+            return w * per
+
+        mom = [pk_ref[0, i] for i in range(10)]
+        dlt0 = None
+        for t in range(P):
+            pair_t, w_t, u_t, own_t, dlt_t = eval_point(
+                pts_ref[0, t, k], pts_ref[1, t, k], pts_ref[2, t, k]
+            )
+            if t == 0:
+                dlt0 = dlt_t
+                eff = mom
+            else:
+                eff = [mom[i] - dlt0[i] + dlt_t[i] for i in range(10)]
+            e3j_t = wing(w_t, u_t, eff)
+            base = SR * t
+            acc[base + 0] += pair_t
+            acc[base + 1] += w_t * w_t
+            acc[base + 2] += e3j_t
+            for i in range(10):
+                acc[base + 3 + i] += own_t[i]
+
+        @pl.when(c == CF - 1)
+        def _():
+            red = lambda i: jnp.sum(acc[i], axis=0)       # noqa: E731
+            for t in range(P):
+                base = SR * t
+                own_t = Moments(*(red(base + 3 + i) for i in range(10)))
+                e3i_t = _e3_closed_form(own_t, red(base + 1), c0)
+                red_ref[0, t] = red(base + 0) + lam_eps * (
+                    e3i_t + red(base + 2)
+                )
+                for i in range(10):
+                    red_ref[0, P + 10 * t + i] = own_t[i]
+
+    def _invoke(self, cand, fc, rank, shift, pts, pk):
+        K, CF = cand.shape
+        Wl = pk.shape[-1]
+        P = self.P
+        cap = self.cap
+        WB = _pick_wb(Wl, cap, rows=self._SROWS * P + 2 * PK_ROWS)
+        dtype = pk.dtype
+
+        def pkspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (cand_r[k, c], 0, 0, wb)
+            return pl.BlockSpec((1, PK_ROWS, cap, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def shiftspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k * CF + c, 0, wb)
+            return pl.BlockSpec((1, 3, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def ptsspec():
+            # whole [3, P, K, WB] block (P*K is small); the kernel
+            # indexes (point, mover) with loop index + program_id
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, 0, 0, wb)
+            return pl.BlockSpec((3, P, K, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def rankspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (0, wb)
+            return pl.BlockSpec((K, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        def redspec():
+            def imap(wb, k, c, cand_r, fc_r):
+                return (k, 0, wb)
+            return pl.BlockSpec((1, self.nred, WB), imap,
+                                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Wl // WB, K, CF),
+            in_specs=(
+                [pkspec(), shiftspec(), ptsspec(), rankspec()]
+            ),
+            out_specs=[redspec()],
+            scratch_shapes=[
+                pltpu.VMEM((self._SROWS * P, cap, WB), dtype)
+            ],
+        )
+        out = pl.pallas_call(
+            self._kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((K, self.nred, Wl), dtype)
+            ],
+            interpret=self.interpret,
+        )(cand, fc, pk, shift, pts, rank)
+        return out[0]
+
+    def __call__(self, pk, H, cand_cells, cand_off, fc, rank, pts):
+        """One lattice, one multi-trial sub-step.
+
+        pts: [3, P, K, W] evaluation points (point 0 = stored
+        position); other arguments as MoverEnergiesPallas.__call__.
+        Returns (e [P, K, W], owns: list of P Moments [K, W]).
+        """
+        K, CF = cand_cells.shape
+        W = pk.shape[-1]
+        P = self.P
+        off = jnp.asarray(cand_off).astype(H.dtype)
+        shift = jnp.einsum("kcb,abw->kcaw", off, H).reshape(
+            K * CF, 3, W
+        )
+        args = (
+            jnp.asarray(cand_cells, dtype=jnp.int32),
+            jnp.asarray(fc, dtype=jnp.int32),
+            rank.astype(jnp.int32), shift, pts, pk,
+        )
+        invoke = self._invoke
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P_
+
+            ax = self.mesh.axis_names[0]
+
+            def wsp(arr):
+                return P_(*((None,) * (arr.ndim - 1) + (ax,)))
+
+            invoke = shard_map(
+                invoke,
+                mesh=self.mesh,
+                in_specs=(P_(None, None), P_(None),
+                          *(wsp(a) for a in args[2:])),
+                out_specs=P_(None, None, ax),
+                check_vma=False,
+            )
+        red = invoke(*args)
+        e = jnp.stack([red[:, t] for t in range(P)])        # [P,K,W]
+        owns = [
+            Moments(*(red[:, P + 10 * t + i] for i in range(10)))
+            for t in range(P)
+        ]
+        return e, owns
 
 
 class MoverApplyPallas:

@@ -11,6 +11,8 @@ timings plus aggregate moves/s.  Environment knobs:
     LN_PALLAS              cell_pallas flag: auto (default)/on/off/apply
     LN_DISJOINT            1 = disjoint-stencil grid shape (CF=27,
                            enables 'apply'; fewer movers per sub-step)
+    LN_TRIALS              cell_trials (anchored-window multi-trial
+                           sub-step; default 1)
 """
 
 from __future__ import annotations
@@ -73,6 +75,7 @@ def main():
         mpi_sync_int=10, latt_sync_int=10_000,
         n_walkers=W, dtype="float32", fused="off",
         cell_pallas=os.environ.get("LN_PALLAS", "auto"),
+        cell_trials=int(os.environ.get("LN_TRIALS", "1")),
     )
     grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
                           dtype=jnp.float32)
@@ -100,7 +103,7 @@ def main():
     st, _ = eng.run_cycles(st, cycles)
     jax.block_until_ready(st.energy)
     dt = time.time() - t0
-    moves = N * W * cycles
+    moves = eng.trials_per_cycle * W * cycles
     acc = np.asarray(st.acc.sum(axis=1))
     att = np.asarray(st.att.sum(axis=1))
     print(f"{cycles} cycles {dt:.2f}s -> {moves/dt:,.0f} moves/s  "
