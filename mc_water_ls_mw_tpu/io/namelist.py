@@ -123,7 +123,7 @@ _GROUPS = {
         "seed", "therm_walkers", "minu", "tile",
         "largen", "largen_threshold", "cell_cap", "relabel", "stack",
         "nbr_table", "trans_wall", "fused", "cell_pallas",
-        "cell_trials",
+        "cell_trials", "cell_chain",
     ],
 }
 

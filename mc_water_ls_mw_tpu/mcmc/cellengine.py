@@ -80,7 +80,7 @@ from ..ops.cell_energy import (
     slab_full_energy,
 )
 from ..ops.dense import Moments
-from ..ops.dsfloat import DS, ds_zeros
+from ..ops.dsfloat import DS, ds_value, ds_zeros
 from ..ops.geometry import determinant3, recip_matrix
 from .bins import BinGrid, mu_to_bin
 from .config import RunParams
@@ -324,6 +324,39 @@ class CellEngine(Engine):
                     self.model, cellgrid, mesh=mesh
                 )
 
+        # fused acceptance-chain + per-move-WL kernel for the multi-
+        # trial sub-step (mcmc/chain_pallas.py).  Both multi-trial
+        # chain implementations use PER-MOVE WL semantics (exactly
+        # the reference's mc_update_wl_bins cadence); the kernel
+        # keeps the WL slabs VMEM-resident for the whole K*T chain.
+        self.use_chain_kernel = False
+        if prm.cell_chain == "on":
+            if self.T == 1:
+                raise ValueError(
+                    "cell_chain='on' requires cell_trials > 1 (the "
+                    "single-trial sub-step keeps its micro-batched "
+                    "XLA chain)"
+                )
+            if prm.num_lattices != 2:
+                raise ValueError(
+                    "cell_chain='on' requires num_lattices = 2"
+                )
+            self.use_chain_kernel = True
+        elif prm.cell_chain == "auto":
+            self.use_chain_kernel = (
+                self.T > 1 and prm.num_lattices == 2
+                and self.use_cell_pallas
+            )
+        elif prm.cell_chain != "off":
+            raise ValueError(f"cell_chain={prm.cell_chain!r}")
+        if self.use_chain_kernel:
+            from .chain_pallas import ChainWLPallas
+
+            self.chain_kernel = ChainWLPallas(
+                prm, grid, self.K, self.T,
+                float(aux.log_unbiased_norm), mesh=mesh,
+            )
+
     # ------------------------------------------------------------------
     # full-cell energy (slab)
     # ------------------------------------------------------------------
@@ -450,24 +483,18 @@ class CellEngine(Engine):
                 mover_mol, has_mover)
 
     def _hoisted_chain_terms(self, s: CellState):
-        """Everything the acceptance-chain body reads per iteration
-        but that is FROZEN for the whole sub-step: the weight curve
-        (micro-batched WL semantics), and the volume/enthalpy algebra
-        of the switch rule and the mu-from-scratch refresh (volumes
-        only change at volume moves, which run outside the sub-step
-        chain) — the body then costs a handful of [W] ops per trial
-        instead of logs + [B,W] rebuilds.
+        """The volume/enthalpy algebra of the switch rule and the
+        mu-from-scratch refresh, FROZEN for the whole sub-step
+        (volumes only change at volume moves, which run outside the
+        sub-step chain) — the chain body then costs a handful of [W]
+        ops per trial instead of logs.
 
-        Returns (eta_fn, two, cmu, sw_c):
+        Returns (two, cmu, sw_c):
           * mu from scratch = beta*(E0 - E1) + cmu (mc_moves:856-862)
           * switch rule dsw = sgn(ls) * (beta*(E1 - E0) + sw_c)
             (mc_lattice_switch, mc_moves.F90:1558-1559)
         """
         prm = self.prm
-        weight0 = self._weight_total(s)                # [B, W]
-        eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
-            s, weight0, mu_v
-        )
         two = prm.num_lattices == 2
         cmu = sw_c = None
         vol0 = s.volume
@@ -483,7 +510,7 @@ class CellEngine(Engine):
                 sw_c = pterm - prm.nwater * lv10
             if prm.leshift:
                 sw_c = sw_c - prm.beta * (rh[1] - rh[0])
-        return eta_fn, two, cmu, sw_c
+        return two, cmu, sw_c
 
     def _substep(self, s: CellState, pks, tpm_slab, fc, cand_cells_b,
                  cand_off_b, u, codes_k, switch_ok):
@@ -609,7 +636,15 @@ class CellEngine(Engine):
         else:
             sw_try = sw_type
 
-        eta_fn, two, cmu, sw_c = self._hoisted_chain_terms(s)
+        # micro-batched WL: eta lookups in the T=1 chain use the
+        # weight curve FROZEN at sub-step start (see the class
+        # docstring); the <= K increments land in one batched
+        # scatter after the chain
+        weight0 = self._weight_total(s)                # [B, W]
+        eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
+            s, weight0, mu_v
+        )
+        two, cmu, sw_c = self._hoisted_chain_terms(s)
 
         def body(carry, xs):
             mu, ls, energy = carry
@@ -901,120 +936,27 @@ class CellEngine(Engine):
         e = jnp.stack([p[0] for p in per])             # [L,P,K,W]
         owns = [p[1] for p in per]     # per lattice: P Moments [K,W]
 
-        # ---- exact sequential accept/reject chain, K movers x T
-        # trials, energies from the precomputed point table (same
-        # micro-batched WL semantics and hoisted invariants as T=1)
-        trans_kt = (codes_kt == TRANS).reshape(K, T)
-        sw_kt = (codes_kt == SWITCH).reshape(K, T)
-        eta_fn, two, cmu, sw_c = self._hoisted_chain_terms(s)
-        iota_p = jnp.arange(P, dtype=jnp.int32)[:, None]    # [P,1]
-
-        def body(carry, xs):
-            mu, ls, energy = carry
-            e_k, inc_k, tt_t, swt_t, has_k, ua_t, uz_t = xs
-            # e_k [L,P,W]; inc_k [P,W]; tt/swt [T]; ua/uz [T,W]
-            j_oh = jnp.broadcast_to(iota_p == 0, (P, W))
-            outs_t = []
-            for t in range(1, P):
-                tt = tt_t[t - 1]
-                swt = swt_t[t - 1]
-                if prm.mc_always_switch:
-                    sw_try = tt | swt
-                else:
-                    sw_try = swt
-                jf = j_oh.astype(dtype)
-                e_cur = jnp.sum(e_k * jf[None], axis=1)     # [L,W]
-                in_cur = jnp.any(j_oh & inc_k, axis=0)      # [W]
-                dE_k = e_k[:, t] - e_cur                    # [L,W]
-                enabled = tt & has_k
-                inc_ok = in_cur & inc_k[t]
-                if two:
-                    dmu = (dE_k[0] - dE_k[1]) * prm.beta
-                    mu_new = mu + dmu
-                    eta_old = eta_fn(mu)
-                    eta_new = eta_fn(mu_new)
-                    dE_ls = _take_lat(dE_k, ls)
-                    diffkT = prm.beta * dE_ls + eta_new - eta_old
-                else:
-                    dmu = jnp.zeros((W,), dtype=dtype)
-                    mu_new = mu
-                    diffkT = prm.beta * dE_k[0]
-                ok = jnp.isfinite(diffkT)
-                if two:
-                    ok = ok & jnp.isfinite(mu_new)
-                accept = (
-                    enabled & inc_ok & ok
-                    & (ua_t[t - 1] < jnp.exp(-diffkT))
-                )
-                energy = jnp.where(
-                    accept[None, :], energy + dE_k, energy
-                )
-                mu = jnp.where(accept, mu_new, mu)
-                j_oh = jnp.where(accept[None, :], iota_p == t, j_oh)
-                mu_trans = mu
-                healthy = jnp.all(jnp.isfinite(energy), axis=0)
-                sw_acc = jnp.zeros((W,), dtype=bool)
-                sw_en = jnp.zeros((W,), dtype=bool)
-                if two and (prm.mc_always_switch or prm.allow_switch):
-                    sw_en = switch_ok & sw_try
-                    lsn = 1 - ls
-                    de10 = prm.beta * (energy[1] - energy[0])
-                    dsw = jnp.where(
-                        ls == 0, de10 + sw_c, -(de10 + sw_c)
-                    )
-                    sw_acc = sw_en & jnp.isfinite(dsw) & (
-                        uz_t[t - 1] < jnp.exp(-dsw)
-                    )
-                    ls = jnp.where(sw_acc, lsn, ls)
-                    mu = jnp.where(sw_acc, cmu - de10, mu)
-                outs_t.append((accept, enabled, mu_trans, healthy,
-                               dmu, sw_acc, sw_en))
-            out = tuple(jnp.stack(z) for z in zip(*outs_t))
-            return (mu, ls, energy), out + (j_oh,)
-
-        xs = (
-            jnp.moveaxis(e, 2, 0),                      # [K,L,P,W]
-            jnp.moveaxis(in_cell, 1, 0),                # [K,P,W]
-            trans_kt, sw_kt, has_mover,
-            u[:, 4 + 3 * T:4 + 4 * T, :],               # [K,T,W]
-            u[:, 4 + 4 * T:4 + 5 * T, :],
-        )
-        (mu_f, ls_f, energy_f), outs = jax.lax.scan(
-            body, (s.mu, s.ls, s.energy), xs, unroll=True
-        )
-        (accepts, enabled_t, mu_t, healthy_t, dmu_t, sw_acc_t,
-         sw_en_t, j_oh_f) = outs      # trials [K,T,W]; j_oh [K,P,W]
-
-        # ---- batched WL/histogram update for the K*T trials
-        small = s._replace(mu=mu_f, ls=ls_f, energy=energy_f)
-        KT = K * T
-        small = self._wl_update_batch(
-            small, mu_t.reshape(KT, W),
-            (enabled_t & healthy_t).reshape(KT, W),
-        )
-
-        en_i = jnp.sum(enabled_t, axis=(0, 1), dtype=jnp.int32)
-        ac_i = jnp.sum(accepts, axis=(0, 1), dtype=jnp.int32)
-        admu = jnp.abs(dmu_t)
-        admu_acc = jnp.where(accepts, admu, jnp.inf)
-        min_dmu = jnp.minimum(
-            small.min_dmu, jnp.min(admu_acc, axis=(0, 1))
-        )
-        admu_acc0 = jnp.where(accepts, admu, 0.0)
-        max_dmu = jnp.maximum(
-            small.max_dmu, jnp.max(admu_acc0, axis=(0, 1))
-        )
-        small = small._replace(
-            att=small.att.at[TRANS].add(en_i)
-                .at[SWITCH].add(
-                    jnp.sum(sw_en_t, axis=(0, 1), dtype=jnp.int32)
-                ),
-            acc=small.acc.at[TRANS].add(ac_i)
-                .at[SWITCH].add(
-                    jnp.sum(sw_acc_t, axis=(0, 1), dtype=jnp.int32)
-                ),
-            min_dmu=min_dmu, max_dmu=max_dmu,
-        )
+        # ---- acceptance chain, K movers x T trials, energies from
+        # the precomputed point table.  PER-MOVE Wang-Landau: unlike
+        # the T=1 sub-step's micro-batching, every trial's eta lookup
+        # sees all earlier WL increments and each weight/histogram
+        # update lands immediately - exactly the reference's cadence
+        # (mc_update_wl_bins after every translation trial,
+        # mc_moves.F90:1597-1689).  Affordable here because the fused
+        # chain kernel keeps the WL slabs VMEM-resident for the whole
+        # K*T chain (mcmc/chain_pallas.py); the XLA fallback carries
+        # them through the scan (the equivalence-oracle path).
+        two, cmu, sw_c = self._hoisted_chain_terms(s)
+        if self.use_chain_kernel:
+            small, j_oh_f, en_per_mover = self._chain_kernel_substep(
+                s, e, in_cell, has_mover, codes_kt, u, switch_ok,
+                cmu, sw_c,
+            )
+        else:
+            small, j_oh_f, en_per_mover = self._chain_xla_substep(
+                s, e, in_cell, has_mover, codes_kt, u, switch_ok,
+                two, cmu, sw_c,
+            )
 
         # ---- apply each mover's FINAL point (one apply per T
         # trials; the accepted point's net moment update equals the
@@ -1088,13 +1030,247 @@ class CellEngine(Engine):
         # per-slot trial counter: all enabled translation trials of
         # the mover land on its slot
         nslot = pks[0].shape[0] * cap
-        cnt = jnp.sum(enabled_t, axis=1, dtype=jnp.int32)   # [K,W]
-        inc = cnt[:, None, :] * oh_sel.astype(jnp.int32)
+        inc = en_per_mover[:, None, :] * oh_sel.astype(jnp.int32)
         tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
             inc, unique_indices=True
         ).reshape(nslot, W)
 
         return small, pks, tpm_slab
+
+    def _chain_xla_substep(self, s: CellState, e, in_cell, has_mover,
+                           codes_kt, u, switch_ok, two, cmu, sw_c):
+        """XLA implementation of the K x T multi-trial chain with
+        PER-MOVE WL - the chain kernel's equivalence oracle and the
+        fallback on non-disjoint grids / CPU.  The scan carries the
+        WL slabs so every trial's eta lookup and weight/histogram
+        update follows the reference's per-move cadence exactly
+        (engine._wl_update does the update on a patched state view).
+
+        Returns (small, j_oh [K,P,W] bool accepted-point one-hot,
+        en_per_mover [K,W] int32 translation-attempt counts)."""
+        prm = self.prm
+        K, T = self.K, self.T
+        P = T + 1
+        W = s.mu.shape[-1]
+        dtype = e.dtype
+        trans_kt = (codes_kt == TRANS).reshape(K, T)
+        sw_kt = (codes_kt == SWITCH).reshape(K, T)
+        iota_p = jnp.arange(P, dtype=jnp.int32)[:, None]    # [P,1]
+        basew = None
+        if two:
+            basew = ds_value(s.master_eta)[s.window_id].T.astype(
+                dtype
+            )                                               # [B,W]
+        s0 = s
+
+        def body(carry, xs):
+            mu, ls, energy, wgt, hist, uhist, f, sumh = carry
+            e_k, inc_k, tt_t, swt_t, has_k, ua_t, uz_t = xs
+            # e_k [L,P,W]; inc_k [P,W]; tt/swt [T]; ua/uz [T,W]
+            j_oh = jnp.broadcast_to(iota_p == 0, (P, W))
+            outs_t = []
+            for t in range(1, P):
+                tt = tt_t[t - 1]
+                swt = swt_t[t - 1]
+                if prm.mc_always_switch:
+                    sw_try = tt | swt
+                else:
+                    sw_try = swt
+                jf = j_oh.astype(dtype)
+                e_cur = jnp.sum(e_k * jf[None], axis=1)     # [L,W]
+                in_cur = jnp.any(j_oh & inc_k, axis=0)      # [W]
+                dE_k = e_k[:, t] - e_cur                    # [L,W]
+                enabled = tt & has_k
+                inc_ok = in_cur & inc_k[t]
+                if two:
+                    dmu = (dE_k[0] - dE_k[1]) * prm.beta
+                    mu_new = mu + dmu
+                    wtot = wgt + basew      # CURRENT weight view
+                    eta_old = self._eta_from_weight(s0, wtot, mu)
+                    eta_new = self._eta_from_weight(s0, wtot, mu_new)
+                    dE_ls = _take_lat(dE_k, ls)
+                    diffkT = prm.beta * dE_ls + eta_new - eta_old
+                else:
+                    dmu = jnp.zeros((W,), dtype=dtype)
+                    mu_new = mu
+                    diffkT = prm.beta * dE_k[0]
+                ok = jnp.isfinite(diffkT)
+                if two:
+                    ok = ok & jnp.isfinite(mu_new)
+                accept = (
+                    enabled & inc_ok & ok
+                    & (ua_t[t - 1] < jnp.exp(-diffkT))
+                )
+                energy = jnp.where(
+                    accept[None, :], energy + dE_k, energy
+                )
+                mu = jnp.where(accept, mu_new, mu)
+                j_oh = jnp.where(accept[None, :], iota_p == t, j_oh)
+
+                # per-move WL at mu after the trial (engine._wl_update
+                # applies the eq/health/occ-overflow gates internally)
+                st = s0._replace(
+                    mu=mu, energy=energy, weight=wgt, hist=hist,
+                    uhist=uhist, f=f, sumhist=sumh,
+                )
+                st = self._wl_update(st, enabled=enabled)
+                wgt, hist, uhist, f, sumh = (
+                    st.weight, st.hist, st.uhist, st.f, st.sumhist
+                )
+
+                sw_acc = jnp.zeros((W,), dtype=bool)
+                sw_en = jnp.zeros((W,), dtype=bool)
+                if two and (prm.mc_always_switch or prm.allow_switch):
+                    sw_en = switch_ok & sw_try
+                    lsn = 1 - ls
+                    de10 = prm.beta * (energy[1] - energy[0])
+                    dsw = jnp.where(
+                        ls == 0, de10 + sw_c, -(de10 + sw_c)
+                    )
+                    sw_acc = sw_en & jnp.isfinite(dsw) & (
+                        uz_t[t - 1] < jnp.exp(-dsw)
+                    )
+                    ls = jnp.where(sw_acc, lsn, ls)
+                    mu = jnp.where(sw_acc, cmu - de10, mu)
+                outs_t.append((accept, enabled, dmu, sw_acc, sw_en))
+            out = tuple(jnp.stack(z) for z in zip(*outs_t))
+            return ((mu, ls, energy, wgt, hist, uhist, f, sumh),
+                    out + (j_oh,))
+
+        xs = (
+            jnp.moveaxis(e, 2, 0),                      # [K,L,P,W]
+            jnp.moveaxis(in_cell, 1, 0),                # [K,P,W]
+            trans_kt, sw_kt, has_mover,
+            u[:, 4 + 3 * T:4 + 4 * T, :],               # [K,T,W]
+            u[:, 4 + 4 * T:4 + 5 * T, :],
+        )
+        carry0 = (s.mu, s.ls, s.energy, s.weight, s.hist, s.uhist,
+                  s.f, s.sumhist)
+        carry, outs = jax.lax.scan(body, carry0, xs, unroll=True)
+        (mu_f, ls_f, energy_f, wgt_f, hist_f, uhist_f, f_f,
+         sumh_f) = carry
+        (accepts, enabled_t, dmu_t, sw_acc_t, sw_en_t, j_oh_f) = outs
+        #                         trials [K,T,W]; j_oh [K,P,W] bool
+
+        admu = jnp.abs(dmu_t)
+        admu_acc = jnp.where(accepts, admu, jnp.inf)
+        admu_acc0 = jnp.where(accepts, admu, 0.0)
+        small = s._replace(
+            mu=mu_f, ls=ls_f, energy=energy_f, weight=wgt_f,
+            hist=hist_f, uhist=uhist_f, f=f_f, sumhist=sumh_f,
+            att=s.att.at[TRANS].add(
+                    jnp.sum(enabled_t, axis=(0, 1), dtype=jnp.int32)
+                ).at[SWITCH].add(
+                    jnp.sum(sw_en_t, axis=(0, 1), dtype=jnp.int32)
+                ),
+            acc=s.acc.at[TRANS].add(
+                    jnp.sum(accepts, axis=(0, 1), dtype=jnp.int32)
+                ).at[SWITCH].add(
+                    jnp.sum(sw_acc_t, axis=(0, 1), dtype=jnp.int32)
+                ),
+            min_dmu=jnp.minimum(
+                s.min_dmu, jnp.min(admu_acc, axis=(0, 1))
+            ),
+            max_dmu=jnp.maximum(
+                s.max_dmu, jnp.max(admu_acc0, axis=(0, 1))
+            ),
+        )
+        en_per_mover = jnp.sum(enabled_t, axis=1, dtype=jnp.int32)
+        return small, j_oh_f, en_per_mover
+
+    def _chain_kernel_substep(self, s: CellState, e, in_cell,
+                              has_mover, codes_kt, u, switch_ok,
+                              cmu, sw_c):
+        """Fused-kernel chain (mcmc/chain_pallas.py): same semantics
+        as _chain_xla_substep, with the WL slabs VMEM-resident for
+        the whole K x T chain.  Returns the same triple."""
+        from .chain_pallas import (
+            CF_CMU, CF_E0, CF_E1, CF_F, CF_MAX_DMU, CF_MIN_DMU,
+            CF_MU, CF_MU_MAX, CF_MU_MIN, CF_ROWS, CF_SUMHIST, CF_SWC,
+            CI_END, CI_INVT, CI_INWIN, CI_LS, CI_OCCOK, CI_ROWS,
+            CI_START, CI_SWOK, CN_ACC, CN_EN, CN_FIXED, CN_SWACC,
+            CN_SWEN, FL_CYCLE, FL_WL_ACTIVE,
+        )
+        prm, grid = self.prm, self.grid
+        K, T = self.K, self.T
+        P = T + 1
+        W = s.mu.shape[-1]
+        dtype = e.dtype
+
+        cf_rows = [None] * CF_ROWS
+        cf_rows[CF_MU] = s.mu
+        cf_rows[CF_E0] = s.energy[0]
+        cf_rows[CF_E1] = s.energy[1]
+        cf_rows[CF_F] = s.f
+        cf_rows[CF_SUMHIST] = s.sumhist
+        cf_rows[CF_MIN_DMU] = s.min_dmu
+        cf_rows[CF_MAX_DMU] = s.max_dmu
+        cf_rows[CF_MU_MIN] = jnp.broadcast_to(
+            jnp.asarray(s.my_mu_min, dtype=dtype), (W,)
+        )
+        cf_rows[CF_MU_MAX] = jnp.broadcast_to(
+            jnp.asarray(s.my_mu_max, dtype=dtype), (W,)
+        )
+        cf_rows[CF_CMU] = cmu
+        cf_rows[CF_SWC] = sw_c
+        cf = jnp.stack([r.astype(dtype) for r in cf_rows])
+
+        ci_rows = [None] * CI_ROWS
+        ci_rows[CI_LS] = s.ls
+        ci_rows[CI_START] = jnp.broadcast_to(
+            jnp.asarray(s.start_bin), (W,)
+        )
+        ci_rows[CI_END] = jnp.broadcast_to(
+            jnp.asarray(s.end_bin), (W,)
+        )
+        ci_rows[CI_INWIN] = s.in_window
+        ci_rows[CI_INVT] = jnp.broadcast_to(
+            jnp.asarray(s.invt_active), (W,)
+        )
+        ci_rows[CI_OCCOK] = s.occ_overflow == 0
+        ci_rows[CI_SWOK] = switch_ok
+        ci = jnp.stack([r.astype(jnp.int32) for r in ci_rows])
+
+        flags = jnp.stack([
+            (s.cycle >= prm.eq_mc_cycles).astype(jnp.int32)
+            if hasattr(s.cycle, "dtype")
+            else jnp.asarray(
+                int(s.cycle >= prm.eq_mc_cycles), jnp.int32
+            ),
+            jnp.asarray(s.cycle, jnp.int32),
+        ])
+
+        basew = ds_value(s.master_eta)[s.window_id].T.astype(dtype)
+        baseh = ds_value(s.master_hist)[s.window_id].T.astype(dtype)
+        binw = grid.binwidth[:, None].astype(dtype)
+        mub = grid.mu_bin[:, None].astype(dtype)
+        e_rows = jnp.moveaxis(e, 1, 2).reshape(2 * K * P, W)
+        inc_rows = jnp.moveaxis(in_cell, 0, 1).reshape(
+            K * P, W
+        ).astype(dtype)
+        hasm = has_mover.astype(dtype)
+        ua = u[:, 4 + 3 * T:4 + 4 * T, :].reshape(K * T, W)
+        uz = u[:, 4 + 4 * T:4 + 5 * T, :].reshape(K * T, W)
+
+        cf2, ci2, wgt2, hist2, uh2, joh, cnt = self.chain_kernel(
+            codes_kt, flags, cf, ci, s.weight, s.hist, s.uhist,
+            basew, baseh, binw, mub, e_rows, inc_rows, hasm, ua, uz,
+        )
+
+        small = s._replace(
+            mu=cf2[CF_MU],
+            energy=jnp.stack([cf2[CF_E0], cf2[CF_E1]]),
+            f=cf2[CF_F], sumhist=cf2[CF_SUMHIST],
+            min_dmu=cf2[CF_MIN_DMU], max_dmu=cf2[CF_MAX_DMU],
+            ls=ci2[CI_LS].astype(s.ls.dtype),
+            weight=wgt2, hist=hist2, uhist=uh2,
+            att=s.att.at[TRANS].add(cnt[CN_EN])
+                .at[SWITCH].add(cnt[CN_SWEN]),
+            acc=s.acc.at[TRANS].add(cnt[CN_ACC])
+                .at[SWITCH].add(cnt[CN_SWACC]),
+        )
+        j_oh_f = joh.reshape(K, P, W) > 0.5
+        return small, j_oh_f, cnt[CN_FIXED:]
 
     def _scatter_moments(self, pks, per, cand_cells_b, accf, mask_acc,
                          fc, L, cap, W):

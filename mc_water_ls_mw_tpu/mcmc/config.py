@@ -131,6 +131,11 @@ class RunParams:
                                  # the proposal law, not the
                                  # stationary distribution - see
                                  # CellEngine._substep_multi)
+    cell_chain: str = "auto"     # fused acceptance-chain + per-move
+                                 # WL kernel for the multi-trial
+                                 # sub-step (mcmc/chain_pallas.py):
+                                 # on/off/auto (auto = on whenever
+                                 # the point-energies kernel is on)
     relabel: bool = False        # Hungarian relabeling of lattice 2 to
                                  # minimise correspondence mismatch
     stack: tuple = (0, 0, 0)     # (nx, ny, bilayers): build the Ih/Ic

@@ -78,6 +78,119 @@ def _iota_eq(n, idx):
     return rows == idx[None, :]
 
 
+def eta_lookup(grid: BinGrid, interp: bool, weight, mu, my_min,
+               my_max, start_bin, end_bin, in_window, binw, mub):
+    """eta(mu) on a walker block via one-hot lookups - the in-kernel
+    form of engine._eta / bins.eta_weight (mc_moves.F90:893-964),
+    shared by the fused whole-cycle kernel and the cell engine's
+    chain kernel (ops/chain_pallas.py).
+
+    weight [B, W] TOTAL weight view; binw / mub [B, 1] bin widths and
+    mid-bin mu values; window args per walker [W]."""
+    B = grid.nbins
+    dtype = weight.dtype
+    k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)
+    ohk = _iota_eq(B, k).astype(dtype)
+    w_k = jnp.sum(ohk * weight, axis=0)
+    if not interp:
+        eta = w_k
+    else:
+        km = jnp.clip(k - 1, 0, B - 1)
+        kp = jnp.clip(k + 1, 0, B - 1)
+        ohm = _iota_eq(B, km).astype(dtype)
+        ohp = _iota_eq(B, kp).astype(dtype)
+        w_km = jnp.sum(ohm * weight, axis=0)
+        w_kp = jnp.sum(ohp * weight, axis=0)
+        bw_k = jnp.sum(ohk * binw, axis=0)
+        bw_km = jnp.sum(ohm * binw, axis=0)
+        bw_kp = jnp.sum(ohp * binw, axis=0)
+        mub_k = jnp.sum(ohk * mub, axis=0)
+        mub_km = jnp.sum(ohm * mub, axis=0)
+        grad_up = 2.0 * (w_kp - w_k) / (bw_k + bw_kp)
+        grad_dn = 2.0 * (w_k - w_km) / (bw_k + bw_km)
+        eta_first = w_k + (mu - mub_k) * grad_up
+        eta_last = w_k + (mu - mub_k) * grad_dn
+        eta_mid_up = w_k + (mu - mub_k) * grad_up
+        eta_mid_dn = w_km + (mu - mub_km) * grad_dn
+        eta = jnp.where(
+            k == start_bin,
+            eta_first,
+            jnp.where(
+                k == end_bin,
+                eta_last,
+                jnp.where(mu > mub_k, eta_mid_up, eta_mid_dn),
+            ),
+        )
+    wall = (mu < my_min) | (mu > my_max)
+    walled = jnp.where(wall, ETA_WALL, eta)
+    # pre-window walkers sample the wall-less global curve
+    # (window seeding; see engine._eta)
+    return jnp.where(in_window, walled, eta)
+
+
+def wl_move_update(prm: RunParams, grid: BinGrid, samplerun: bool,
+                   log_norm: float, wgt, basew, hist, baseh, uh,
+                   eta_fn, binw, mu, f, sumhist, invt_on, cyc_f,
+                   active, healthy):
+    """Per-move WL update on VMEM refs - the in-kernel form of
+    engine._wl_update (mc_update_wl_bins, mc_moves.F90:1597-1689),
+    shared by the fused whole-cycle kernel and the cell engine's
+    chain kernel.
+
+    Mutates the ``hist`` / ``uh`` / ``wgt`` refs; returns the new
+    (f, sumhist) rows for the caller to store.  ``eta_fn`` evaluates
+    eta(mu) against the CURRENT weight view (samplerun only);
+    ``active`` = move-performed & WL-live gate, ``healthy`` = the
+    finite-state gate - kept separate because the Swetnam/1/t f
+    updates follow ``active`` while histogram writes also require
+    ``healthy`` (engine._wl_update semantics)."""
+    B = grid.nbins
+    dtype = f.dtype
+    k = mu_to_bin(grid, mu)
+    in_grid = (k >= 0) & (k < B)
+    kc = jnp.clip(k, 0, B - 1)
+    upd = (in_grid & active & healthy).astype(dtype)    # [W]
+    ohk = _iota_eq(B, kc).astype(dtype)
+    oh = ohk * upd[None, :]
+    bw_kc = jnp.sum(ohk * binw, axis=0)
+    incr = grid.av_binwidth / bw_kc                     # [W]
+
+    hist[...] = hist[...] + oh * incr[None, :]
+
+    if samplerun:
+        # unbiased histogram, frozen weights (1625-1632); mask
+        # BEFORE the exp (eta wall would poison via exp(1e30)*0)
+        eta_val = eta_fn(mu)
+        arg = jnp.where(upd > 0, eta_val - log_norm, -1.0)
+        u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+        uh[...] = uh[...] + oh * u_incr[None, :]
+        return f, sumhist
+
+    if prm.wl_swetnam:
+        # Swetnam RMS-flatness f (mc_moves.F90:1636-1653), from
+        # the TOTAL histogram view (delta slab + master base)
+        sumhist = sumhist + upd
+        h_now = hist[...] + baseh[...]
+        binfrac = binw / (prm.mu_max - prm.mu_min - 1.0)
+        dev = (
+            h_now * binw / jnp.maximum(sumhist, 1.0)[None, :]
+            - binfrac
+        )
+        rms = jnp.sqrt(jnp.mean(dev * dev, axis=0))
+        f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
+        f_new = jnp.minimum(f_new, prm.wl_factor)
+        f = jnp.where(active & (upd > 0), f_new, f)
+    elif prm.wl_useinvt:
+        # 1/t schedule once active (mc_moves.F90:1655-1658)
+        f_invt = jnp.minimum(f, B / (cyc_f * prm.nwater))
+        f = jnp.where(invt_on & active, f_invt, f)
+
+    # min-shift deferred to the delta-sync (see engine._wl_update:
+    # per-update shifting ratchets in f32)
+    wgt[...] = wgt[...] + oh * (incr * f)[None, :]
+    return f, sumhist
+
+
 class FusedCycle:
     """One compiled whole-cycle kernel for a fixed (prm, model, grid).
 
@@ -254,48 +367,11 @@ class FusedCycle:
 
     def _eta(self, weight, mu, my_min, my_max, start_bin, end_bin,
              in_window, binw, mub):
-        """eta(mu) on a walker block via one-hot lookups
-        (engine._eta / bins.eta_weight; mc_moves.F90:893-964)."""
-        grid, prm = self.grid, self.prm
-        B = grid.nbins
-        dtype = weight.dtype
-        k = jnp.clip(mu_to_bin(grid, mu), 0, B - 1)
-        ohk = _iota_eq(B, k).astype(dtype)
-        w_k = jnp.sum(ohk * weight, axis=0)
-        if not prm.eta_interp:
-            eta = w_k
-        else:
-            km = jnp.clip(k - 1, 0, B - 1)
-            kp = jnp.clip(k + 1, 0, B - 1)
-            ohm = _iota_eq(B, km).astype(dtype)
-            ohp = _iota_eq(B, kp).astype(dtype)
-            w_km = jnp.sum(ohm * weight, axis=0)
-            w_kp = jnp.sum(ohp * weight, axis=0)
-            bw_k = jnp.sum(ohk * binw, axis=0)
-            bw_km = jnp.sum(ohm * binw, axis=0)
-            bw_kp = jnp.sum(ohp * binw, axis=0)
-            mub_k = jnp.sum(ohk * mub, axis=0)
-            mub_km = jnp.sum(ohm * mub, axis=0)
-            grad_up = 2.0 * (w_kp - w_k) / (bw_k + bw_kp)
-            grad_dn = 2.0 * (w_k - w_km) / (bw_k + bw_km)
-            eta_first = w_k + (mu - mub_k) * grad_up
-            eta_last = w_k + (mu - mub_k) * grad_dn
-            eta_mid_up = w_k + (mu - mub_k) * grad_up
-            eta_mid_dn = w_km + (mu - mub_km) * grad_dn
-            eta = jnp.where(
-                k == start_bin,
-                eta_first,
-                jnp.where(
-                    k == end_bin,
-                    eta_last,
-                    jnp.where(mu > mub_k, eta_mid_up, eta_mid_dn),
-                ),
-            )
-        wall = (mu < my_min) | (mu > my_max)
-        walled = jnp.where(wall, ETA_WALL, eta)
-        # pre-window walkers sample the wall-less global curve
-        # (window seeding; see engine._eta)
-        return jnp.where(in_window, walled, eta)
+        """eta(mu) on a walker block (shared eta_lookup above)."""
+        return eta_lookup(
+            self.grid, self.prm.eta_interp, weight, mu, my_min,
+            my_max, start_bin, end_bin, in_window, binw, mub,
+        )
 
     def _eta_of(self, wgt, basew, wf, wi, mu, binw, mub):
         # TOTAL weight view: per-walker delta slab + the read-only
@@ -310,64 +386,29 @@ class FusedCycle:
 
     def _wl_update(self, e, wgt, basew, hist, baseh, uh, wf, wi, binw,
                    mub, wl_active, cyc_f, enabled):
-        """Per-move WL update on refs (engine._wl_update;
-        mc_update_wl_bins, mc_moves.F90:1597-1689)."""
-        prm, grid = self.prm, self.grid
+        """Per-move WL update on refs (shared wl_move_update above;
+        engine._wl_update / mc_update_wl_bins, mc_moves.F90:1597-1689)."""
+        prm = self.prm
         if prm.num_lattices != 2:
             return
-        B = grid.nbins
-        dtype = wgt.dtype
         mu = wf[WF_MU]
-
         active = enabled & wl_active                    # scalar
         # health gate (engine._wl_update): poisoned walkers must not
         # write into the shared WL arrays
         healthy = jnp.isfinite(e[0]) & jnp.isfinite(e[1])
-        k = mu_to_bin(grid, mu)
-        in_grid = (k >= 0) & (k < B)
-        kc = jnp.clip(k, 0, B - 1)
-        upd = (in_grid & active & healthy).astype(dtype)  # [W]
-        ohk = _iota_eq(B, kc).astype(dtype)
-        oh = ohk * upd[None, :]
-        bw_kc = jnp.sum(ohk * binw, axis=0)
-        incr = grid.av_binwidth / bw_kc                 # [W]
-
-        hist[...] = hist[...] + oh * incr[None, :]
-
-        if self._samplerun:
-            # unbiased histogram, frozen weights (1625-1632); mask
-            # BEFORE the exp (eta wall would poison via exp(1e30)*0)
-            eta_val = self._eta_of(wgt, basew, wf, wi, mu, binw, mub)
-            arg = jnp.where(upd > 0, eta_val - self.log_norm, -1.0)
-            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
-            uh[...] = uh[...] + oh * u_incr[None, :]
-            return
-
-        f = wf[WF_F]
-        if prm.wl_swetnam:
-            # Swetnam RMS-flatness f (mc_moves.F90:1636-1653), from
-            # the TOTAL histogram view (delta slab + master base)
-            sumh = wf[WF_SUMHIST] + upd
-            wf[WF_SUMHIST, :] = sumh
-            h_now = hist[...] + baseh[...]
-            binfrac = binw / (prm.mu_max - prm.mu_min - 1.0)
-            dev = (
-                h_now * binw / jnp.maximum(sumh, 1.0)[None, :] - binfrac
-            )
-            rms = jnp.sqrt(jnp.mean(dev * dev, axis=0))
-            f_new = jnp.log(jnp.maximum(rms, 1e-300)) * prm.wl_alpha * B
-            f_new = jnp.minimum(f_new, prm.wl_factor)
-            f = jnp.where(active & (upd > 0), f_new, f)
+        eta_fn = lambda m: self._eta_of(                # noqa: E731
+            wgt, basew, wf, wi, m, binw, mub
+        )
+        f, sumh = wl_move_update(
+            prm, self.grid, self._samplerun, self.log_norm,
+            wgt, basew, hist, baseh, uh, eta_fn, binw,
+            mu, wf[WF_F], wf[WF_SUMHIST], wi[WI_INVT] != 0, cyc_f,
+            active, healthy,
+        )
+        if not self._samplerun and (prm.wl_swetnam or prm.wl_useinvt):
             wf[WF_F, :] = f
-        elif prm.wl_useinvt:
-            # 1/t schedule once active (mc_moves.F90:1655-1658)
-            f_invt = jnp.minimum(f, B / (cyc_f * prm.nwater))
-            f = jnp.where((wi[WI_INVT] != 0) & active, f_invt, f)
-            wf[WF_F, :] = f
-
-        # min-shift deferred to the delta-sync (see engine._wl_update:
-        # per-update shifting ratchets in f32)
-        wgt[...] = wgt[...] + oh * (incr * f)[None, :]
+            if prm.wl_swetnam:
+                wf[WF_SUMHIST, :] = sumh
 
     def _trial_vectors(self, ut, wf, wi, h, recip):
         """Per-step random displacement + per-lattice trial vectors

@@ -122,6 +122,7 @@ def main() -> None:
         mpi_sync_int=10, latt_sync_int=10_000,
         n_walkers=W, dtype="float32", fused="off",
         cell_pallas=os.environ.get("LN_PALLAS", "auto"),
+        cell_trials=int(os.environ.get("LN_TRIALS", "1")),
     )
     grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
                           dtype=jnp.float32)

@@ -458,11 +458,22 @@ def test_multitrial_chain_matches_numpy_oracle(system):
         )
         e[l] = np.asarray(el)
 
-    # frozen eta curve
-    weight0 = eng._weight_total(s)
-    eta = lambda mu_v: np.asarray(                   # noqa: E731
-        eng._eta_from_weight(s, weight0, jnp.asarray(mu_v))
-    )
+    # PER-MOVE WL (plain schedule, fresh zero masters): the oracle
+    # carries the evolving weight/histogram and evaluates eta against
+    # the CURRENT curve before every trial, exactly like the engine
+    from mc_water_ls_mw_tpu.mcmc.bins import mu_to_bin
+
+    B_bins = grid.nbins
+    weight_np = np.asarray(st.weight).copy()
+    hist_np = np.asarray(st.hist).copy()
+    f_np = np.asarray(st.f)
+    bw = np.asarray(grid.binwidth)
+    av_bw = float(grid.av_binwidth)
+
+    def eta(mu_v):
+        return np.asarray(eng._eta_from_weight(
+            s, jnp.asarray(weight_np), jnp.asarray(mu_v)
+        ))
 
     beta = prm.beta
     vol = np.asarray(st.volume)
@@ -496,6 +507,17 @@ def test_multitrial_chain_matches_numpy_oracle(system):
             mu = np.where(accept, mu_new, mu)
             j = np.where(accept, t, j)
             n_acc += accept
+            # per-move WL update at the post-trial mu
+            kb = np.asarray(mu_to_bin(grid, jnp.asarray(mu)))
+            healthy = np.isfinite(energy).all(axis=0)
+            upd = (has_mover[k] & healthy
+                   & (kb >= 0) & (kb < B_bins))
+            kc = np.clip(kb, 0, B_bins - 1)
+            for w in range(W):
+                if upd[w]:
+                    incr = av_bw / bw[kc[w]]
+                    hist_np[kc[w], w] += incr
+                    weight_np[kc[w], w] += incr * f_np[w]
             # always-switch attempt after the trial
             de10 = beta * (energy[1] - energy[0])
             dsw = np.where(ls == 0, de10 + sw_c, -(de10 + sw_c))
@@ -518,6 +540,12 @@ def test_multitrial_chain_matches_numpy_oracle(system):
     np.testing.assert_array_equal(
         np.asarray(s2.acc[2]), n_swacc
     )
+    np.testing.assert_allclose(
+        np.asarray(s2.hist), hist_np, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.weight), weight_np, atol=1e-12
+    )
     # accepted movers sit at their final points
     r2 = np.asarray(s2.r)
     for k in range(K):
@@ -527,6 +555,126 @@ def test_multitrial_chain_matches_numpy_oracle(system):
                 r2[l, :, mover_slot[k, w], w] for l in range(2)
             ])
             np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def _assert_states_equal(a, b, tpa=None, tpb=None):
+    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+    np.testing.assert_array_equal(np.asarray(a.att), np.asarray(b.att))
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+    if tpa is not None:
+        np.testing.assert_array_equal(np.asarray(tpa), np.asarray(tpb))
+    np.testing.assert_array_equal(np.asarray(a.r), np.asarray(b.r))
+    np.testing.assert_allclose(
+        np.asarray(a.mu), np.asarray(b.mu), rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.energy), np.asarray(b.energy), rtol=0, atol=1e-10
+    )
+    for fa, fb in zip(a.moments, b.moments):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(a.hist), np.asarray(b.hist), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.weight), np.asarray(b.weight), rtol=0, atol=1e-11
+    )
+
+
+def test_chain_kernel_matches_xla_chain(system):
+    """The fused chain+WL kernel (mcmc/chain_pallas.py, interpret
+    mode) reproduces the XLA per-move chain bit-for-bit: identical
+    accept decisions, states, WL weight/histogram slabs and
+    counters."""
+    prm, grid, st, eaux, caux, cg = system
+    W = prm.n_walkers
+    out = []
+    for chain in ("off", "on"):
+        prm_f = dataclasses.replace(
+            prm, cell_pallas="off", cell_chain=chain
+        )
+        eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
+        assert eng.use_chain_kernel == (chain == "on")
+        s2, tpm = _run_substep(eng, st, cg, W)
+        out.append((s2, tpm))
+    (a, tpa), (b, tpb) = out
+    assert int(np.asarray(a.acc)[0].sum()) > 0
+    assert float(np.asarray(a.hist).sum()) > 0
+    _assert_states_equal(a, b, tpa, tpb)
+
+
+@pytest.mark.slow
+def test_chain_kernel_full_stack_matches(system_unique):
+    """All three multi-trial configurations agree on the production
+    CF=27 grid: pure XLA, apply-kernel + XLA chain, and the fully
+    fused points+apply+chain kernels (cell_chain auto-on)."""
+    prm, grid, st, eaux, caux, cg = system_unique
+    W = prm.n_walkers
+    out = []
+    for pallas, chain in (("off", "off"), ("apply", "off"),
+                          ("apply", "auto")):
+        prm_f = dataclasses.replace(
+            prm, cell_pallas=pallas, cell_chain=chain
+        )
+        eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
+        s2, tpm = _run_substep(eng, st, cg, W, table_row=3)
+        out.append((s2, tpm))
+    (a, tpa) = out[0]
+    assert int(np.asarray(a.acc)[0].sum()) > 0
+    for (b, tpb) in out[1:]:
+        _assert_states_equal(a, b, tpa, tpb)
+
+
+def test_chain_kernel_lowers_for_tpu(system):
+    """Offline Mosaic lowering gate for the chain+WL kernel."""
+    prm, grid, st, eaux, caux, cg = system
+    from mc_water_ls_mw_tpu.mcmc.chain_pallas import (
+        CF_ROWS,
+        CI_ROWS,
+        ChainWLPallas,
+    )
+    import contextlib
+
+    @contextlib.contextmanager
+    def x64_off():
+        jax.config.update("jax_enable_x64", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    f32 = jnp.float32
+    B = grid.nbins
+    K = cg.cells_per_color
+    with x64_off():
+        import dataclasses as dc
+        prm32 = dc.replace(prm, dtype="float32")
+        grid32 = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                                dtype=f32)
+        for W, T in ((512, 4), (128, 2)):
+            P = T + 1
+            kern = ChainWLPallas(prm32, grid32, K, T, 0.0)
+            kern.interpret = False
+            args = (
+                jnp.zeros((K * T,), jnp.int32),
+                jnp.zeros((2,), jnp.int32),
+                jnp.zeros((CF_ROWS, W), f32),
+                jnp.zeros((CI_ROWS, W), jnp.int32),
+                jnp.zeros((B, W), f32), jnp.zeros((B, W), f32),
+                jnp.zeros((B, W), f32), jnp.zeros((B, W), f32),
+                jnp.zeros((B, W), f32),
+                jnp.zeros((B, 1), f32), jnp.zeros((B, 1), f32),
+                jnp.zeros((2 * K * P, W), f32),
+                jnp.zeros((K * P, W), f32),
+                jnp.zeros((K, W), f32),
+                jnp.zeros((K * T, W), f32),
+                jnp.zeros((K * T, W), f32),
+            )
+            exp = jax.export.export(
+                jax.jit(kern._invoke), platforms=["tpu"]
+            )(*args)
+            assert len(exp.mlir_module_serialized) > 0
 
 
 def test_points_kernel_lowers_for_tpu(system):
