@@ -434,7 +434,8 @@ class CellEngine(Engine):
         )
         return self._unpack(small, pks), tpm
 
-    def _select_movers(self, s: CellState, pks, fc, u_sel):
+    def _select_movers(self, s: CellState, pks, fc, u_sel,
+                       fc_local=None):
         """Mover selection, uniform over the STATIC fine cell's
         occupants (rank-packed slots are contiguous per fine cell
         and never move between rebins, so ranks [0, occ) are exactly
@@ -443,11 +444,20 @@ class CellEngine(Engine):
         move faces the same occupancy and the same 1/occ selection
         probability.  All reads/writes are whole-fine-cell [cap,W]
         block ops at the STATIC block tables (dynamic per-walker
-        scalar scatter/gather serialises on TPU)."""
+        scalar scatter/gather serialises on TPU).
+
+        ``fc`` are GLOBAL fine ids (occupancy lives in the global
+        slot2mol array); ``fc_local`` are the rows of ``pks`` holding
+        those cells (identical to ``fc`` in the unsharded engine; the
+        spatially sharded engine passes its device-local row ids -
+        parallel/spatial.py)."""
         cg = self.cellgrid
-        K, cap = self.K, cg.cap
-        W = s.r.shape[-1]
-        dtype = s.r.dtype
+        cap = cg.cap
+        K = fc.shape[0]
+        W = s.mu.shape[-1]
+        dtype = pks[0].dtype
+        if fc_local is None:
+            fc_local = fc
         occ_mol = _cell_take(s.slot2mol, fc[:, None], cap)
         #                                            [K,cap,W]
         occ_sel = jnp.sum(
@@ -458,13 +468,18 @@ class CellEngine(Engine):
             jnp.maximum(occ_sel - 1, 0),
         )                                                     # [K,W]
         mover_fc = jnp.broadcast_to(fc[:, None], (K, W))
-        mover_slot = mover_fc * cap + rank                    # [K,W]
+        # slot ids in the frame of the ``pks`` rows: the energy
+        # kernels self-mask the mover against candidate slot ids
+        # computed from the (possibly device-local) coverage tables
+        mover_slot = (
+            jnp.broadcast_to(fc_local[:, None], (K, W)) * cap + rank
+        )                                                     # [K,W]
         oh_sel = (
             jnp.arange(cap, dtype=jnp.int32)[None, :, None]
             == rank[:, None, :]
         )                                                     # [K,cap,W]
 
-        blk_pk = [pk[fc] for pk in pks]          # L x [K,R,cap,W]
+        blk_pk = [pk[fc_local] for pk in pks]    # L x [K,R,cap,W]
         blk_r = jnp.stack([
             jnp.moveaxis(b[:, PK_R0:PK_R0 + 3], 1, 0) for b in blk_pk
         ])                                            # [L,3,K,cap,W]
@@ -526,14 +541,44 @@ class CellEngine(Engine):
         per mover), pregenerated by _one_cycle - one big fused
         threefry call per cycle instead of per-walker fold-in chains
         inside every sequential sub-step."""
+        (rank, oh_sel, blk_r, p_old, p_new, has_mover, in_cell, dE,
+         per) = self._propose_t1(s, pks, fc, cand_cells_b, cand_off_b,
+                                 u)
+
+        small, accepts, trans_type = self._chain_t1(
+            s, dE, in_cell, has_mover, codes_k, u[:, 5, :],
+            u[:, 6, :], switch_ok,
+        )
+
+        pks, tpm_slab = self._apply_t1(
+            s, pks, tpm_slab, fc, cand_cells_b, cand_off_b, rank,
+            oh_sel, blk_r, p_old, p_new, per, accepts, has_mover,
+            trans_type,
+        )
+        return small, pks, tpm_slab
+
+    def _propose_t1(self, s: CellState, pks, fc, cand_cells_b,
+                    cand_off_b, u, fc_local=None, valid=None):
+        """Sub-step phase 1 (T=1): mover selection, displacement
+        proposal, fine-cell wall, parallel Delta-E of the movers in
+        both lattices.  Pure w.r.t. state - no chain coupling - so
+        the spatially sharded engine (parallel/spatial.py) runs it
+        per device shard on local tables.
+
+        ``fc``: GLOBAL fine ids [K]; ``fc_local``: rows of ``pks``
+        holding those cells (None = fc, the unsharded case);
+        ``valid``: occupancy mask matching the ``pks`` rows (None =
+        from the global slot2mol)."""
         prm, model, cg = self.prm, self.model, self.cellgrid
-        L = s.r.shape[0]
-        W = s.r.shape[-1]
-        K, cap = self.K, cg.cap
-        dtype = s.r.dtype
+        L = s.h.shape[0]
+        W = s.mu.shape[-1]
+        cap = cg.cap
+        if fc_local is None:
+            fc_local = fc
 
         (rank, mover_fc, mover_slot, oh_sel, blk_r, p_old, mover_mol,
-         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :])
+         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :],
+                                          fc_local)
 
         # displacement: random direction x U(-1,1)*max_trans in the
         # active lattice, same fractional displacement in the partner
@@ -589,12 +634,13 @@ class CellEngine(Engine):
             per = [
                 self.mover_kernel(
                     pks[l], s.h[l], cand_cells_b, cand_off_b,
-                    fc, rank, p_old[l], p_new[l],
+                    fc_local, rank, p_old[l], p_new[l],
                 )
                 for l in range(L)
             ]
         else:
-            valid = self._slab_valid(s)
+            if valid is None:
+                valid = self._slab_valid(s)
             per = [
                 mover_energies(
                     jnp.moveaxis(
@@ -613,22 +659,33 @@ class CellEngine(Engine):
         e_old = jnp.stack([p[0] for p in per])                # [L,K,W]
         e_new = jnp.stack([p[1] for p in per])
         dE = e_new - e_old                                    # [L,K,W]
+        return (rank, oh_sel, blk_r, p_old, p_new, has_mover,
+                in_cell, dE, per)
 
-        # ---- exact sequential accept/reject chain over the K movers.
-        #
-        # The chain carries ONLY the scalar fields the acceptance rule
-        # couples globally (mu, ls, per-lattice energy): a carry that
-        # dragged the multi-MB slabs/histograms through nwater
-        # sequential scan steps per cycle dominated runtime on TPU.
-        # eta lookups use the weight array FROZEN at substep start and
-        # the <= K WL weight/histogram increments are applied in one
-        # batched scatter after the chain ("micro-batched WL": within
-        # one colour sub-step a walker's own weight updates become
-        # visible only at the sub-step boundary - the same deferred-
-        # visibility semantics the reference already accepts BETWEEN
-        # walkers via mpi_sync_int-delayed delta-allreduces,
-        # comms_mpi.f90:244-277.  Sample runs have frozen weights, so
-        # there the chain is exactly the serial one.)
+    def _chain_t1(self, s: CellState, dE, in_cell, has_mover,
+                  codes_k, u_acc, u_sw, switch_ok):
+        """Sub-step phase 2 (T=1): the exact sequential accept/reject
+        chain over the K movers, plus the batched WL/histogram update
+        and counters.  Operates on [K, W] tables only - the spatially
+        sharded engine runs it REPLICATED on every device after
+        all-gathering the per-mover tables into global chain order.
+
+        The chain carries ONLY the scalar fields the acceptance rule
+        couples globally (mu, ls, per-lattice energy): a carry that
+        dragged the multi-MB slabs/histograms through nwater
+        sequential scan steps per cycle dominated runtime on TPU.
+        eta lookups use the weight array FROZEN at substep start and
+        the <= K WL weight/histogram increments are applied in one
+        batched scatter after the chain ("micro-batched WL": within
+        one colour sub-step a walker's own weight updates become
+        visible only at the sub-step boundary - the same deferred-
+        visibility semantics the reference already accepts BETWEEN
+        walkers via mpi_sync_int-delayed delta-allreduces,
+        comms_mpi.f90:244-277.  Sample runs have frozen weights, so
+        there the chain is exactly the serial one.)"""
+        prm = self.prm
+        W = s.mu.shape[-1]
+        dtype = s.mu.dtype
         trans_type = codes_k == TRANS
         sw_type = codes_k == SWITCH
         if prm.mc_always_switch:
@@ -700,7 +757,7 @@ class CellEngine(Engine):
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
             trans_type, sw_try, has_mover, in_cell,
-            u[:, 5, :], u[:, 6, :],
+            u_acc, u_sw,
         )
         # fully unrolled: the body is a handful of [W]-sized ops, and
         # per-iteration loop overhead on the remote-TPU platform is
@@ -739,12 +796,24 @@ class CellEngine(Engine):
                 ),
             min_dmu=min_dmu, max_dmu=max_dmu,
         )
+        return small, accepts, trans_type
 
-        # ---- apply accepted movers to the packed slabs (independent,
-        # so parallel application equals the sequential composition).
-        # All writes are fine-cell block updates at the static
-        # block/coverage tables; same-colour stencils are disjoint
-        # (see __init__), so every scatter below has UNIQUE indices.
+    def _apply_t1(self, s: CellState, pks, tpm_slab, fc,
+                  cand_cells_b, cand_off_b, rank, oh_sel, blk_r,
+                  p_old, p_new, per, accepts, has_mover, trans_type):
+        """Sub-step phase 3 (T=1): apply accepted movers to the
+        packed slabs (independent, so parallel application equals the
+        sequential composition).  All writes are fine-cell block
+        updates at the static block/coverage tables; same-colour
+        stencils are disjoint (see __init__), so every scatter below
+        has UNIQUE indices.  ``fc`` here indexes the rows of ``pks``
+        (device-LOCAL in the spatially sharded engine); ``accepts``,
+        ``has_mover`` and ``trans_type`` must be sliced to the same
+        movers."""
+        cap = self.cellgrid.cap
+        L = len(pks)
+        W = pks[0].shape[-1]
+        nslot = tpm_slab.shape[0]
         accf = accepts                                          # [K,W]
         mask_acc = accf[:, None, :] & oh_sel                # [K,cap,W]
 
@@ -796,7 +865,7 @@ class CellEngine(Engine):
             inc, unique_indices=True
         ).reshape(nslot, W)
 
-        return small, pks, tpm_slab
+        return pks, tpm_slab
 
     def _substep_multi(self, s: CellState, pks, tpm_slab, fc,
                        cand_cells_b, cand_off_b, u, codes_kt,
