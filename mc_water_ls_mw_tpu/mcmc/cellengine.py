@@ -458,7 +458,11 @@ class CellEngine(Engine):
         dtype = pks[0].dtype
         if fc_local is None:
             fc_local = fc
-        occ_mol = _cell_take(s.slot2mol, fc[:, None], cap)
+        # occupancy rows live in the same frame as the ``pks`` rows
+        # (the spatially sharded engine passes a local-with-halo
+        # slot2mol aligned with its local slabs; unsharded, fc_local
+        # == fc and this is the global array)
+        occ_mol = _cell_take(s.slot2mol, fc_local[:, None], cap)
         #                                            [K,cap,W]
         occ_sel = jnp.sum(
             occ_mol >= 0, axis=1, dtype=jnp.int32

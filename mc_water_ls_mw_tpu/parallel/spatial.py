@@ -47,6 +47,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..ops.cells import CellGrid
 
@@ -226,3 +227,404 @@ def build_spatial_plan(cg: CellGrid, fc_stack: np.ndarray,
         mover_idx=mover_idx, fc_local=fc_local,
         cand_local=cand_local, own_fc=own_fc, own_cand=own_cand,
     )
+
+
+# ----------------------------------------------------------------------
+# runtime: the spatially sharded cell engine
+# ----------------------------------------------------------------------
+
+def make_spatial_mesh(devices=None):
+    """1-D device mesh over the ``space`` axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("space",))
+
+
+class SpatialCellEngine:
+    """Cell engine with the fine grid sharded across a ``space`` mesh
+    axis: ONE large system's slabs are split into contiguous
+    fine-layer blocks per device, halo-refreshed by ring ppermute;
+    boundary movers are computed redundantly and the acceptance chain
+    runs replicated on psum-assembled [K, W] tables (see the module
+    docstring for the full argument).
+
+    v1 scope: the translation sub-step scan is sharded; everything at
+    cycle rank (rebin, scheduled volume moves, delta-sync, chain
+    resync) runs on the gathered global state exactly as the
+    unsharded engine - those paths are rare (list_update_int /
+    mpi_sync_int cadence) and already validated.  Requires
+    cell_trials == 1 and cell_pallas == 'off' (the XLA sub-step path;
+    kernel variants take local tables the same way and follow).
+
+    Implemented as a wrapper that drives a plain CellEngine's
+    phase-split methods (_propose_t1 / _chain_t1) plus a
+    duplicate-safe scatter-ADD apply (_apply_spatial below): schedule
+    padding entries may alias slab rows, so every write is an add of
+    a masked-to-zero contribution, exact under XLA duplicate-index
+    semantics without uniqueness promises."""
+
+    def __init__(self, prm, model, grid, aux, cellgrid, cellaux,
+                 mesh):
+        import dataclasses as _dc
+
+        import jax
+
+        from ..mcmc.cellengine import CellEngine
+
+        if int(prm.cell_trials) != 1:
+            raise NotImplementedError(
+                "spatial sharding v1 supports cell_trials == 1"
+            )
+        prm = _dc.replace(prm, cell_pallas="off", cell_chain="off")
+        self.inner = CellEngine(prm, model, grid, aux, cellgrid,
+                                cellaux)
+        self.prm = self.inner.prm
+        self.grid = grid
+        self.aux = aux
+        self.cellgrid = cellgrid
+        self.smesh = mesh
+        self.ndev = int(np.prod(mesh.devices.shape))
+        self.plan = build_spatial_plan(
+            cellgrid, np.asarray(self.inner.fc_stack), self.ndev
+        )
+        p = self.plan
+        # [D, T, ...] device-major table stacks (device slice hoisted
+        # out of the sub-step scan)
+        self.t_mover_idx = jnp.asarray(p.mover_idx.transpose(1, 0, 2))
+        self.t_fc_local = jnp.asarray(p.fc_local.transpose(1, 0, 2))
+        self.t_cand_local = jnp.asarray(
+            p.cand_local.transpose(1, 0, 2, 3)
+        )
+        self.t_own_fc = jnp.asarray(p.own_fc.transpose(1, 0, 2))
+        self.run_cycles = jax.jit(self._run_cycles,
+                                  static_argnums=(1,))
+
+    # -- helpers -------------------------------------------------------
+
+    def _halo(self, x_own, rows_halo):
+        """[rows_owned, ...] -> [rows_owned + 2*rows_halo, ...] by the
+        ±1 ring shift (lo halo = down neighbour's LAST owned rows, hi
+        halo = up neighbour's FIRST; test_halo_sources...ring)."""
+        import jax
+
+        D = self.ndev
+        up = [(i, (i + 1) % D) for i in range(D)]
+        dn = [(i, (i - 1) % D) for i in range(D)]
+        lo = jax.lax.ppermute(x_own[-rows_halo:], "space", up)
+        hi = jax.lax.ppermute(x_own[:rows_halo], "space", dn)
+        return jnp.concatenate([x_own, lo, hi], axis=0)
+
+    def _apply_spatial(self, eng, pks_loc, tpm3, fc_l, cand_l,
+                       oh_sel, p_old, p_new, per, accepts, has_count):
+        """Duplicate-safe apply: pure scatter-ADDs of masked-to-zero
+        contributions (algebraically identical to CellEngine._apply_t1
+        + _scatter_moments, whose coordinate/own-moment SETs assume
+        unique indices the padded spatial schedules cannot promise)."""
+        cg = self.cellgrid
+        cap = cg.cap
+        L = len(pks_loc)
+        K, CF = cand_l.shape
+        W = pks_loc[0].shape[-1]
+        from ..ops.cells import PK_R0
+
+        accf = accepts                                       # [K,W]
+        mask_acc = accf[:, None, :] & oh_sel             # [K,cap,W]
+        dp = p_new - p_old                             # [L,3,K,W]
+        cand_flat = cand_l.reshape(-1)
+        out = []
+        for l in range(L):
+            pk = pks_loc[l]
+            # coordinates: += dp at the accepted mover's slot
+            dcoord = jnp.where(
+                mask_acc[None], dp[l][:, :, None, :], 0.0
+            )                                        # [3,K,cap,W]
+            pk = pk.at[fc_l, PK_R0:PK_R0 + 3].add(
+                jnp.moveaxis(dcoord, 0, 1)
+            )
+            # wing-moment deltas of the stencil cells
+            _, _, co, cn = per[l]
+            d_stack = jnp.stack([
+                (fn - fo).reshape(K, -1, cap, W)
+                for fo, fn in zip(co.delta(), cn.delta())
+            ], axis=2)                            # [K,CF,10,cap,W]
+            acc_b = accf[:, None, None, None, :]
+            pk = pk.at[cand_flat, 0:10].add(
+                jnp.where(acc_b, d_stack, 0.0).reshape(
+                    K * CF, 10, cap, W
+                )
+            )
+            # the mover's own moments: += (new_own - current) at its
+            # one-hot slot (gather-after-add makes this the SET of
+            # _scatter_moments_one, but duplicate-safe)
+            own_stack = jnp.stack(list(cn.own), axis=1)   # [K,10,W]
+            cur = pk[fc_l, 0:10]                      # [K,10,cap,W]
+            d_own = jnp.where(
+                mask_acc[:, None],
+                own_stack[:, :, None, :] - cur, 0.0,
+            )
+            pk = pk.at[fc_l, 0:10].add(d_own)
+            out.append(pk)
+
+        inc = (has_count[:, None, :] & oh_sel).astype(jnp.int32)
+        tpm3 = tpm3.at[fc_l].add(inc)
+        return out, tpm3
+
+    # -- the sharded sub-step scan --------------------------------------
+
+    def _sharded_scan(self, s, codes, u_all, switch_ok, n_sub):
+        """shard_map region: per-device sub-step scan with halo
+        refresh, psum-assembled chain tables, local apply."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        eng = self.inner
+        cg = self.cellgrid
+        plan = self.plan
+        cap = cg.cap
+        K = eng.K
+        D = self.ndev
+        W = s.mu.shape[-1]
+        rows_halo = plan.rows_halo
+        rows_owned = plan.rows_owned
+
+        pks = eng._pack(s)                    # L x [nfine,R,cap,W]
+        s2m3 = s.slot2mol.reshape(cg.nfine, cap, W)
+        # strip the big per-walker slabs from the replicated carry
+        s_sc = s._replace(
+            r=s.r[:, :, :0],
+            moments=type(s.moments)(*(f[:, :0] for f in s.moments)),
+            slot2mol=s.slot2mol[:0], mol2slot=s.mol2slot[:0],
+        )
+
+        def region(s_sc, pks_own, s2m_own, u_all, codes, switch_ok):
+            d = jax.lax.axis_index("space")
+            mv_d = jax.lax.dynamic_index_in_dim(
+                self.t_mover_idx, d, 0, keepdims=False
+            )                                        # [T,K_loc]
+            fcl_d = jax.lax.dynamic_index_in_dim(
+                self.t_fc_local, d, 0, keepdims=False
+            )
+            cnd_d = jax.lax.dynamic_index_in_dim(
+                self.t_cand_local, d, 0, keepdims=False
+            )
+            own_d = jax.lax.dynamic_index_in_dim(
+                self.t_own_fc, d, 0, keepdims=False
+            )
+            # occupancy is static inside the scan (rebins happen
+            # outside): build the local-with-halo view once
+            if D > 1:
+                s2m_loc = self._halo(s2m_own, rows_halo)
+            else:
+                s2m_loc = s2m_own
+            s2m_flat = s2m_loc.reshape(-1, W)
+            valid_loc = s2m_flat >= 0
+            tpm3_own = jnp.zeros((rows_owned, cap, W), jnp.int32)
+
+            def body(carry, xs):
+                st, pks_o, tpm_o = carry
+                sid, u = xs                         # u [K,n_u,W]
+                tbl = jnp.mod(sid, eng.n_tables)
+                if D > 1:
+                    pks_loc = [self._halo(p, rows_halo)
+                               for p in pks_o]
+                else:
+                    pks_loc = pks_o
+                mv = jnp.take(mv_d, tbl, axis=0)      # [K_loc]
+                vj = mv >= 0
+                mvc = jnp.maximum(mv, 0)
+                fc_l = jnp.take(fcl_d, tbl, axis=0)
+                cand_l = jnp.take(cnd_d, tbl, axis=0)
+                ownf = jnp.take(own_d, tbl, axis=0) & vj
+                fc_row = jnp.take(eng.fc_stack, tbl, axis=0)
+                off_row = jnp.take(eng.off_stack, tbl, axis=0)
+                fc_g = jnp.take(fc_row, mvc, axis=0)  # global ids
+                off_g = jnp.take(off_row, mvc, axis=0)
+                u_loc = jnp.take(u, mvc, axis=0)   # [K_loc,n_u,W]
+                codes_k = jax.lax.dynamic_slice(
+                    codes, (sid * K,), (K,)
+                )
+
+                st_loc = st._replace(slot2mol=s2m_flat)
+                (rank, oh_sel, blk_r, p_old, p_new, has_mover,
+                 in_cell, dE, per) = eng._propose_t1(
+                    st_loc, pks_loc, fc_g, cand_l, off_g, u_loc,
+                    fc_local=fc_l, valid=valid_loc,
+                )
+                has_mover = has_mover & vj[:, None]
+
+                # one-owner scatter + psum -> replicated global
+                # chain tables in canonical mover order
+                def to_global(x):
+                    """[.., K_loc, W] -> replicated [.., K, W]: one
+                    owner per mover contributes (own_fc is one-hot
+                    across devices), padding rows add zero."""
+                    was_bool = x.dtype == jnp.bool_
+                    xi = x.astype(jnp.int32) if was_bool else x
+                    xk = jnp.moveaxis(xi, -2, 0)   # [K_loc,..,W]
+                    msk = ownf.reshape(
+                        (ownf.shape[0],) + (1,) * (xk.ndim - 1)
+                    )
+                    xo = jnp.where(msk, xk, 0)
+                    z = jnp.zeros(
+                        (K,) + xk.shape[1:], xk.dtype
+                    ).at[mvc].add(xo)
+                    z = jax.lax.psum(
+                        jnp.moveaxis(z, 0, -2), "space"
+                    )
+                    return z.astype(bool) if was_bool else z
+
+                dE_g = to_global(dE)
+                in_g = to_global(in_cell)
+                has_g = to_global(has_mover)
+
+                st2, accepts_g, _tt = eng._chain_t1(
+                    st, dE_g, in_g, has_g, codes_k,
+                    u[:, 5, :], u[:, 6, :], switch_ok,
+                )
+                acc_l = (
+                    jnp.take(accepts_g, mvc, axis=0)
+                    & vj[:, None]
+                )
+                tt_l = jnp.take(_tt, mvc, axis=0) & vj
+                has_count = (
+                    has_mover & ownf[:, None] & tt_l[:, None]
+                )
+
+                tpm3 = jnp.concatenate([
+                    tpm_o,
+                    jnp.zeros((2 * rows_halo, cap, W), jnp.int32),
+                ]) if D > 1 else tpm_o
+                pks_new, tpm3 = self._apply_spatial(
+                    eng, pks_loc, tpm3, fc_l, cand_l, oh_sel,
+                    p_old, p_new, per, acc_l, has_count,
+                )
+                pks_o = [p[:rows_owned] for p in pks_new]
+                return (st2, pks_o, tpm3[:rows_owned]), None
+
+            (st, pks_o, tpm_o), _ = jax.lax.scan(
+                body, (s_sc, list(pks_own), tpm3_own),
+                (jnp.arange(n_sub, dtype=jnp.int32), u_all),
+            )
+            return st, pks_o, tpm_o
+
+        sh = P("space")
+        rep = P()
+        out = shard_map(
+            region, mesh=self.smesh,
+            in_specs=(rep, sh, sh, rep, rep, rep),
+            out_specs=(rep, sh, sh),
+            check_vma=False,
+        )(s_sc, pks, s2m3, u_all, codes, switch_ok)
+        st, pks_g, tpm_g = out
+        st = st._replace(slot2mol=s.slot2mol, mol2slot=s.mol2slot)
+        st = eng._unpack(st, list(pks_g))
+        return st, tpm_g.reshape(cg.nslot, W)
+
+    # -- cycle / driver --------------------------------------------------
+
+    def _one_cycle(self, s):
+        """CellEngine._one_cycle with the sub-step scan replaced by
+        the sharded region (the pre/post cycle-rank phases run on the
+        global state unchanged)."""
+        import jax
+
+        eng = self.inner
+        prm = self.prm
+        dtype = s.r.dtype
+        L = s.r.shape[0]
+        W = s.r.shape[-1]
+        T = eng.trials_per_cycle
+        cycle = s.cycle + 1
+        s = s._replace(cycle=cycle)
+
+        if prm.parallel_strategy == "dd" and L == 2:
+            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
+            in_window = jnp.where(
+                cycle < prm.eq_mc_cycles,
+                now_in,
+                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
+                          jnp.ones_like(s.in_window)),
+            )
+            s = s._replace(in_window=in_window)
+
+        s = jax.lax.cond(
+            cycle % prm.list_update_int == 0,
+            eng._rebin, lambda x: x, s,
+        )
+
+        ck = jax.random.fold_in(s.shared_key, cycle)
+        xi = jax.random.uniform(ck, (T,), dtype=dtype)
+        transP, volP, swP = eng.probs
+        from ..mcmc.cellengine import NOOP, SWITCH, TRANS, VOL
+        codes = jnp.where(
+            xi < transP, TRANS,
+            jnp.where(xi < volP, VOL,
+                      jnp.where(xi < swP, SWITCH, NOOP)),
+        )
+
+        if prm.parallel_strategy == "dd":
+            switch_ok_scalar = cycle >= prm.eq_mc_cycles
+        else:
+            switch_ok_scalar = jnp.asarray(True)
+        switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
+
+        n_sub = eng.sweeps_per_cycle * eng.n_tables
+        K = eng.K
+        u_all = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, cycle),
+                (n_sub, K, 7), dtype=dtype,
+            ),
+            out_axes=3,
+        )(s.key)
+
+        s, tpm_slab = self._sharded_scan(
+            s, codes, u_all, switch_ok, n_sub
+        )
+        from ..ops.cells import gather_from_slab
+        s = s._replace(
+            trans_per_mol=s.trans_per_mol
+            + gather_from_slab(tpm_slab, s.mol2slot)
+        )
+
+        if prm.mc_ensemble == "npt" and prm.allow_vol:
+            s = eng._scheduled_volume_moves(s, codes, cycle,
+                                            switch_ok)
+
+        avg = s.avg_energy + s.energy
+        if prm.mc_ensemble == "npt":
+            avg = avg + prm.pressure * s.volume
+        s = s._replace(avg_energy=avg)
+
+        if prm.num_lattices == 2:
+            s = jax.lax.cond(
+                cycle % prm.mpi_sync_int == 0,
+                eng._sync_all, lambda x: x, s,
+            )
+            s = jax.lax.cond(
+                cycle % prm.latt_sync_int == 0,
+                eng._resync_chains, lambda x: x, s,
+            )
+
+        from ..mcmc.engine import _take_lat
+        T_w = min(prm.therm_walkers, W)
+        e_ls = _take_lat(s.energy, s.ls)
+        sample = {
+            "cycle": cycle,
+            "E_ls": e_ls[:T_w],
+            "mu": s.mu[:T_w],
+            "vol": s.volume[:, :T_w],
+            "ls": s.ls[:T_w],
+        }
+        return s, sample
+
+    def _run_cycles(self, s, n_cycles: int):
+        import jax
+
+        def body(carry, _):
+            return self._one_cycle(carry)
+
+        return jax.lax.scan(body, s, None, length=n_cycles)
