@@ -331,21 +331,20 @@ class CellEngine(Engine):
         # keeps the WL slabs VMEM-resident for the whole K*T chain.
         self.use_chain_kernel = False
         if prm.cell_chain == "on":
-            if self.T == 1:
-                raise ValueError(
-                    "cell_chain='on' requires cell_trials > 1 (the "
-                    "single-trial sub-step keeps its micro-batched "
-                    "XLA chain)"
-                )
             if prm.num_lattices != 2:
                 raise ValueError(
                     "cell_chain='on' requires num_lattices = 2"
                 )
             self.use_chain_kernel = True
         elif prm.cell_chain == "auto":
+            # any T (the kernel loop is T-agnostic): running the T=1
+            # sub-step through the chain kernel gives it PER-MOVE WL
+            # semantics too, erasing the micro-batched-WL
+            # approximation wherever the kernels run (the XLA
+            # fallback chain _chain_t1 is the only remaining
+            # micro-batched path; VALIDATION section d)
             self.use_chain_kernel = (
-                self.T > 1 and prm.num_lattices == 2
-                and self.use_cell_pallas
+                prm.num_lattices == 2 and self.use_cell_pallas
             )
         elif prm.cell_chain != "off":
             raise ValueError(f"cell_chain={prm.cell_chain!r}")
@@ -549,10 +548,34 @@ class CellEngine(Engine):
          per) = self._propose_t1(s, pks, fc, cand_cells_b, cand_off_b,
                                  u)
 
-        small, accepts, trans_type = self._chain_t1(
-            s, dE, in_cell, has_mover, codes_k, u[:, 5, :],
-            u[:, 6, :], switch_ok,
-        )
+        trans_type = codes_k == TRANS
+        if self.use_chain_kernel:
+            # run the T=1 chain through the fused chain+WL kernel in
+            # its point-table form (P=2: point 0 = current, point 1 =
+            # the proposal): eta lookups see every earlier WL
+            # increment and each update lands immediately - the
+            # reference's exact per-move cadence (mc_update_wl_bins,
+            # mc_moves.F90:1597-1689), not the micro-batched XLA
+            # chain's sub-step-boundary lag
+            e_pts = jnp.stack([
+                jnp.stack([p[0], p[1]], axis=0) for p in per
+            ])                                         # [L,P=2,K,W]
+            # the T=1 two-endpoint wall check is already folded into
+            # in_cell; point 0 is trivially "in cell"
+            in_pts = jnp.stack(
+                [jnp.ones_like(in_cell), in_cell]
+            )                                          # [P,K,W]
+            two, cmu, sw_c = self._hoisted_chain_terms(s)
+            small, j_oh_f, _en = self._chain_kernel_substep(
+                s, e_pts, in_pts, has_mover, codes_k,
+                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c,
+            )
+            accepts = j_oh_f[:, 1, :]
+        else:
+            small, accepts, _tt = self._chain_t1(
+                s, dE, in_cell, has_mover, codes_k, u[:, 5, :],
+                u[:, 6, :], switch_ok,
+            )
 
         pks, tpm_slab = self._apply_t1(
             s, pks, tpm_slab, fc, cand_cells_b, cand_off_b, rank,
@@ -920,16 +943,70 @@ class CellEngine(Engine):
         [4:4+3T] candidates, [4+3T:4+4T] accept, [4+4T:4+5T] switch.
         ``codes_kt``: [K*T] move-type codes, trial (k, t) at k*T + t.
         """
+        K = self.K
+        T = self.T
+        W = s.mu.shape[-1]
+
+        (rank, oh_sel, blk_r, p_old, pts, in_cell, has_mover, e,
+         owns, cs) = self._propose_tm(s, pks, fc, cand_cells_b,
+                                      cand_off_b, u)
+
+        two, cmu, sw_c = self._hoisted_chain_terms(s)
+        if self.use_chain_kernel:
+            small, j_oh_f, en_per_mover = self._chain_kernel_substep(
+                s, e, in_cell, has_mover, codes_kt,
+                u[:, 4 + 3 * T:4 + 4 * T, :].reshape(K * T, W),
+                u[:, 4 + 4 * T:4 + 5 * T, :].reshape(K * T, W),
+                switch_ok, cmu, sw_c,
+            )
+        else:
+            small, j_oh_f, en_per_mover = self._chain_xla_substep(
+                s, e, in_cell, has_mover, codes_kt, u, switch_ok,
+                two, cmu, sw_c,
+            )
+
+        pks = self._apply_tm(
+            s, pks, fc, cand_cells_b, cand_off_b, rank, oh_sel,
+            blk_r, p_old, pts, owns, cs, j_oh_f,
+        )
+
+        # per-slot trial counter: all enabled translation trials of
+        # the mover land on its slot
+        cap = self.cellgrid.cap
+        nslot = tpm_slab.shape[0]
+        inc = en_per_mover[:, None, :] * oh_sel.astype(jnp.int32)
+        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
+            inc, unique_indices=True
+        ).reshape(nslot, W)
+
+        return small, pks, tpm_slab
+
+    def _propose_tm(self, s: CellState, pks, fc, cand_cells_b,
+                    cand_off_b, u, fc_local=None, valid=None):
+        """Multi-trial phase 1: mover selection, the anchored-window
+        candidate points, per-point fine-cell wall and the P-point
+        energy table in both lattices.  Pure w.r.t. state (no chain
+        coupling), so the spatially sharded engine runs it per device
+        shard on local tables (``fc_local``/``valid`` as in
+        _propose_t1).
+
+        Returns (rank, oh_sel, blk_r, p_old, pts [P,L,3,K,W],
+        in_cell [P,K,W], has_mover [K,W], e [L,P,K,W], owns
+        (per lattice: P Moments [K,W]), cs (XLA path per-candidate
+        structures, None under the points kernel))."""
         prm, model, cg = self.prm, self.model, self.cellgrid
-        L = s.r.shape[0]
-        W = s.r.shape[-1]
+        L = s.h.shape[0]
+        W = s.mu.shape[-1]
         K, cap = self.K, cg.cap
         T = self.T
         P = T + 1
-        dtype = s.r.dtype
+        dtype = pks[0].dtype
+        if fc_local is None:
+            fc_local = fc
 
         (rank, mover_fc, mover_slot, oh_sel, blk_r, p_old, mover_mol,
-         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :])
+         has_mover) = self._select_movers(s, pks, fc, u[:, 0, :],
+                                          fc_local)
 
         # anchored-window candidate displacements from x0 in the
         # active lattice: v_t = a + b_t with a, b_t ~ U(-mt, mt)^3
@@ -983,14 +1060,15 @@ class CellEngine(Engine):
         if self.use_cell_pallas:
             per = [
                 self.points_kernel(
-                    pks[l], s.h[l], cand_cells_b, cand_off_b, fc,
-                    rank, jnp.moveaxis(pts[:, l], 0, 1),
+                    pks[l], s.h[l], cand_cells_b, cand_off_b,
+                    fc_local, rank, jnp.moveaxis(pts[:, l], 0, 1),
                 )
                 for l in range(L)
             ]
         else:
             nslot = pks[0].shape[0] * cap
-            valid = self._slab_valid(s)
+            if valid is None:
+                valid = self._slab_valid(s)
             per = [
                 mover_point_energies(
                     jnp.moveaxis(
@@ -1008,32 +1086,24 @@ class CellEngine(Engine):
             cs = [p[2] for p in per]
         e = jnp.stack([p[0] for p in per])             # [L,P,K,W]
         owns = [p[1] for p in per]     # per lattice: P Moments [K,W]
+        return (rank, oh_sel, blk_r, p_old, pts, in_cell, has_mover,
+                e, owns, cs)
 
-        # ---- acceptance chain, K movers x T trials, energies from
-        # the precomputed point table.  PER-MOVE Wang-Landau: unlike
-        # the T=1 sub-step's micro-batching, every trial's eta lookup
-        # sees all earlier WL increments and each weight/histogram
-        # update lands immediately - exactly the reference's cadence
-        # (mc_update_wl_bins after every translation trial,
-        # mc_moves.F90:1597-1689).  Affordable here because the fused
-        # chain kernel keeps the WL slabs VMEM-resident for the whole
-        # K*T chain (mcmc/chain_pallas.py); the XLA fallback carries
-        # them through the scan (the equivalence-oracle path).
-        two, cmu, sw_c = self._hoisted_chain_terms(s)
-        if self.use_chain_kernel:
-            small, j_oh_f, en_per_mover = self._chain_kernel_substep(
-                s, e, in_cell, has_mover, codes_kt, u, switch_ok,
-                cmu, sw_c,
-            )
-        else:
-            small, j_oh_f, en_per_mover = self._chain_xla_substep(
-                s, e, in_cell, has_mover, codes_kt, u, switch_ok,
-                two, cmu, sw_c,
-            )
-
-        # ---- apply each mover's FINAL point (one apply per T
-        # trials; the accepted point's net moment update equals the
-        # point-0 -> point-j delta, path-independently)
+    def _apply_tm(self, s: CellState, pks, fc, cand_cells_b,
+                  cand_off_b, rank, oh_sel, blk_r, p_old, pts, owns,
+                  cs, j_oh_f):
+        """Multi-trial phase 3: apply each mover's FINAL point (one
+        apply per T trials; the accepted point's net moment update
+        equals the point-0 -> point-j delta, path-independently).
+        ``fc`` indexes the rows of ``pks`` (device-LOCAL in the
+        spatially sharded engine)."""
+        cg = self.cellgrid
+        cap = cg.cap
+        L = len(pks)
+        K = j_oh_f.shape[0]
+        P = j_oh_f.shape[1]
+        W = pks[0].shape[-1]
+        dtype = pks[0].dtype
         jf = j_oh_f.astype(dtype)                       # [K,P,W]
         jf_p = jnp.moveaxis(jf, 1, 0)                   # [P,K,W]
         p_fin = jnp.sum(pts * jf_p[:, None, None], axis=0)
@@ -1099,16 +1169,7 @@ class CellEngine(Engine):
                     cap, W,
                 ))
             pks = new_pks
-
-        # per-slot trial counter: all enabled translation trials of
-        # the mover land on its slot
-        nslot = pks[0].shape[0] * cap
-        inc = en_per_mover[:, None, :] * oh_sel.astype(jnp.int32)
-        tpm_slab = tpm_slab.reshape(-1, cap, W).at[fc].add(
-            inc, unique_indices=True
-        ).reshape(nslot, W)
-
-        return small, pks, tpm_slab
+        return pks
 
     def _chain_xla_substep(self, s: CellState, e, in_cell, has_mover,
                            codes_kt, u, switch_ok, two, cmu, sw_c):
@@ -1252,11 +1313,14 @@ class CellEngine(Engine):
         return small, j_oh_f, en_per_mover
 
     def _chain_kernel_substep(self, s: CellState, e, in_cell,
-                              has_mover, codes_kt, u, switch_ok,
+                              has_mover, codes_kt, ua, uz, switch_ok,
                               cmu, sw_c):
         """Fused-kernel chain (mcmc/chain_pallas.py): same semantics
         as _chain_xla_substep, with the WL slabs VMEM-resident for
-        the whole K x T chain.  Returns the same triple."""
+        the whole K x T chain.  ``ua``/``uz`` [K*T, W] accept/switch
+        uniforms (callers slice their own uniform blocks: the
+        multi-trial sub-step's layout differs from T=1's).  Returns
+        the same triple."""
         from .chain_pallas import (
             CF_CMU, CF_E0, CF_E1, CF_F, CF_MAX_DMU, CF_MIN_DMU,
             CF_MU, CF_MU_MAX, CF_MU_MIN, CF_ROWS, CF_SUMHIST, CF_SWC,
@@ -1322,8 +1386,6 @@ class CellEngine(Engine):
             K * P, W
         ).astype(dtype)
         hasm = has_mover.astype(dtype)
-        ua = u[:, 4 + 3 * T:4 + 4 * T, :].reshape(K * T, W)
-        uz = u[:, 4 + 4 * T:4 + 5 * T, :].reshape(K * T, W)
 
         cf2, ci2, wgt2, hist2, uh2, joh, cnt = self.chain_kernel(
             codes_kt, flags, cf, ci, s.weight, s.hist, s.uhist,
@@ -1651,6 +1713,63 @@ class CellEngine(Engine):
     # ------------------------------------------------------------------
 
     def _one_cycle(self, s: CellState):
+        return self._cycle_with(s, self._substep_scan)
+
+    def _substep_scan(self, s: CellState, codes, u_all, switch_ok,
+                      n_sub):
+        """Single scan over ALL sub-steps of the cycle; the body
+        traces ONE sub-step and indexes the stacked (colour, block)
+        tables dynamically (row t = sid % n_tables; colours outer,
+        blocks inner, repeating every sweep).  Per-slot trial counts
+        accumulate in slab layout (slot assignments are fixed between
+        rebins); the caller folds them into trans_per_mol."""
+        W = s.r.shape[-1]
+        K = self.K
+        Tm = self.T
+        tpm_slab0 = jnp.zeros(
+            (self.cellgrid.nslot, W), dtype=jnp.int32
+        )
+        substep_fn = self._substep if Tm == 1 else self._substep_multi
+
+        def substep_body(carry, xs):
+            st, pks, tslab = carry
+            sid, u = xs
+            tbl = jnp.mod(sid, self.n_tables)
+            fc = jnp.take(self.fc_stack, tbl, axis=0)
+            cand = jnp.take(self.cand_stack, tbl, axis=0)
+            off = jnp.take(self.off_stack, tbl, axis=0)
+            codes_k = jax.lax.dynamic_slice(
+                codes, (sid * K * Tm,), (K * Tm,)
+            )
+            st, pks, tslab = substep_fn(
+                st, pks, tslab, fc, cand, off, u, codes_k, switch_ok,
+            )
+            return (st, pks, tslab), None
+
+        # the scan carries the PACKED per-lattice slabs (see _pack);
+        # the canonical r / moments slabs are shrunk to zero-size
+        # placeholders for the scan (nothing inside reads them, and
+        # carrying multi-GB stale copies through ~10^3 iterations
+        # wastes HBM) and re-extracted from the packed carry after
+        s_sc = s._replace(
+            r=s.r[:, :, :0],
+            moments=Moments(*(f[:, :0] for f in s.moments)),
+        )
+        (s_sc, pks, tpm_slab), _ = jax.lax.scan(
+            substep_body, (s_sc, self._pack(s), tpm_slab0),
+            (jnp.arange(n_sub, dtype=jnp.int32), u_all),
+        )
+        return self._unpack(s_sc, pks), tpm_slab
+
+    def _cycle_with(self, s: CellState, scan_fn):
+        """The cycle skeleton shared by the unsharded and spatially
+        sharded engines: dd window tracking, rebin cadence, the
+        move-type schedule, the sub-step scan (``scan_fn`` - the only
+        part that differs), scheduled volume moves, delta-sync /
+        chain-resync cadences and the therm sample.
+
+        ``scan_fn(s, codes, u_all, switch_ok, n_sub) -> (s,
+        tpm_slab)`` runs all sub-steps of the cycle."""
         prm = self.prm
         dtype = s.r.dtype
         L = s.r.shape[0]
@@ -1693,23 +1812,11 @@ class CellEngine(Engine):
             switch_ok_scalar = jnp.asarray(True)
         switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
 
-        # sweeps of 8 colour sub-steps; per-slot trial counts
-        # accumulate in slab layout and fold into trans_per_mol once
-        # per cycle (slot assignments are fixed between rebins)
-        tpm_slab0 = jnp.zeros(
-            (self.cellgrid.nslot, W), dtype=jnp.int32
-        )
-
-        # single scan over ALL sub-steps of the cycle; the body traces
-        # ONE sub-step and indexes the stacked (colour, block) tables
-        # dynamically (row t = sid % n_tables; colours outer, blocks
-        # inner, repeating every sweep)
         # pregenerate the whole cycle's sub-step uniforms in ONE
         # fused threefry block [n_sub, K, n_u, W] (per-walker streams
         # keyed on (walker key, cycle)); the scan body just slices it
         n_sub = self.sweeps_per_cycle * self.n_tables
-        Tm = self.T
-        n_u = 7 if Tm == 1 else 4 + 5 * Tm
+        n_u = 7 if self.T == 1 else 4 + 5 * self.T
         u_all = jax.vmap(
             lambda k: jax.random.uniform(
                 jax.random.fold_in(k, cycle),
@@ -1717,37 +1824,8 @@ class CellEngine(Engine):
             ),
             out_axes=3,
         )(s.key)                                  # [n_sub,K,n_u,W]
-        substep_fn = self._substep if Tm == 1 else self._substep_multi
 
-        def substep_body(carry, xs):
-            st, pks, tslab = carry
-            sid, u = xs
-            tbl = jnp.mod(sid, self.n_tables)
-            fc = jnp.take(self.fc_stack, tbl, axis=0)
-            cand = jnp.take(self.cand_stack, tbl, axis=0)
-            off = jnp.take(self.off_stack, tbl, axis=0)
-            codes_k = jax.lax.dynamic_slice(
-                codes, (sid * K * Tm,), (K * Tm,)
-            )
-            st, pks, tslab = substep_fn(
-                st, pks, tslab, fc, cand, off, u, codes_k, switch_ok,
-            )
-            return (st, pks, tslab), None
-
-        # the scan carries the PACKED per-lattice slabs (see _pack);
-        # the canonical r / moments slabs are shrunk to zero-size
-        # placeholders for the scan (nothing inside reads them, and
-        # carrying multi-GB stale copies through ~10^3 iterations
-        # wastes HBM) and re-extracted from the packed carry after
-        s_sc = s._replace(
-            r=s.r[:, :, :0],
-            moments=Moments(*(f[:, :0] for f in s.moments)),
-        )
-        (s_sc, pks, tpm_slab), _ = jax.lax.scan(
-            substep_body, (s_sc, self._pack(s), tpm_slab0),
-            (jnp.arange(n_sub, dtype=jnp.int32), u_all),
-        )
-        s = self._unpack(s_sc, pks)
+        s, tpm_slab = scan_fn(s, codes, u_all, switch_ok, n_sub)
         s = s._replace(
             trans_per_mol=s.trans_per_mol
             + gather_from_slab(tpm_slab, s.mol2slot)

@@ -131,6 +131,34 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
                 f"  computed {e_now[l].mean():12.6f} eV"
                 f"  max drift {np.abs(drift[l]).max():12.3e} eV")
 
+    # per-window statistics (dd): the per-rank nodeNNN.log blocks of
+    # the reference (io.f90:1105-1144, mc_monitor_stats:1734-1794)
+    # collapse to per-window rows here, so a stuck or poisoned
+    # walker surfaces in its window's row instead of vanishing into
+    # ensemble means
+    if prm.parallel_strategy == "dd" and _nwin(state) > 1:
+        wid = np.asarray(state.window_id)
+        inw = np.asarray(state.in_window)
+        mu_w = np.asarray(state.mu, dtype=np.float64)
+        f_all = np.asarray(state.f, dtype=np.float64)
+        logs.my("# window  walkers in-win acc-tr%  acc-sw%"
+                "            f  max|drift|eV           mu range")
+        for w in range(_nwin(state)):
+            m = wid == w
+            if not m.any():
+                continue
+            at_n = max(att[TRANS][m].sum(), 1.0)
+            sw_n = max(att[SWITCH][m].sum(), 1.0)
+            at = 100.0 * acc[TRANS][m].sum() / at_n
+            asw = 100.0 * acc[SWITCH][m].sum() / sw_n
+            dmax = float(np.abs(drift[:, m]).max())
+            logs.my(
+                f"# win{w:4d} {int(m.sum()):8d} {int(inw[m].sum()):6d}"
+                f" {at:7.2f} {asw:8.2f} {f_all[m].max():12.3e}"
+                f" {dmax:13.3e}"
+                f" [{mu_w[m].min():9.1f},{mu_w[m].max():9.1f}]"
+            )
+
     # reset accumulators (mc_monitor_stats:1797-1810)
     state = state._replace(
         att=jnp.zeros_like(state.att),

@@ -736,8 +736,11 @@ class MoverApplyPallas:
             self._kernel,
             grid_spec=grid_spec,
             out_shape=[
+                # pk.shape[0], not self.nfine: the spatially sharded
+                # engine passes device-LOCAL slabs (owned + halo +
+                # dummy rows, parallel/spatial.py)
                 jax.ShapeDtypeStruct(
-                    (self.nfine, PK_ROWS, cap, Wl), dtype
+                    (pk.shape[0], PK_ROWS, cap, Wl), dtype
                 )
             ],
             input_output_aliases={2: 0},

@@ -87,6 +87,12 @@ class SpatialPlan:
     rows_owned: int         # owned slab rows (= layers_owned*nf2*nf3)
     rows_halo: int          # halo rows per side (= halo_layers*nf2*nf3)
     K_loc: int              # padded movers per (table, device)
+    dummy_row: int          # local row id of the all-invalid DUMMY
+                            # row appended after owned(+halo) rows;
+                            # schedule padding entries point here so
+                            # in-place kernels never revisit a REAL
+                            # row (writes to it are garbage by
+                            # design and never read back)
 
     # [D, nfine] int32: local row of each global fine id, -1 if the
     # id is neither owned by nor in the halo of device d
@@ -196,32 +202,40 @@ def build_spatial_plan(cg: CellGrid, fc_stack: np.ndarray,
         (len(s) for rows in sched for s in rows), default=0
     )
 
+    # local slab layout: [owned | lo halo | hi halo | DUMMY] (halos
+    # only materialised for ndev > 1); schedule padding entries and
+    # out-of-halo masked candidates point at the dummy row, which is
+    # all-invalid - its energies are zero, in-place kernel writes to
+    # it are garbage by design, and it is dropped with the halos
+    dummy_row = rows_owned + (2 * rows_halo if ndev > 1 else 0)
     mover_idx = np.full((T, ndev, K_loc), -1, dtype=np.int32)
-    fc_local = np.zeros((T, ndev, K_loc), dtype=np.int32)
-    cand_local = np.zeros((T, ndev, K_loc, CF), dtype=np.int32)
+    fc_local = np.full((T, ndev, K_loc), dummy_row, dtype=np.int32)
+    cand_local = np.full((T, ndev, K_loc, CF), dummy_row,
+                         dtype=np.int32)
     own_fc = np.zeros((T, ndev, K_loc), dtype=bool)
     own_cand = np.zeros((T, ndev, K_loc, CF), dtype=bool)
     for t in range(T):
         row_fc = fc_stack[t].astype(np.int64)
         cand = cg.full_cells[row_fc].astype(np.int64)      # [K, CF]
-        for d in range(ndev):
+        for t_d in range(ndev):
+            d = t_d
             idx = sched[d][t]
             k = len(idx)
             loc = loc_of_global[d]
             mover_idx[t, d, :k] = idx
             fc_local[t, d, :k] = loc[row_fc[idx]]
-            cand_local[t, d, :k] = np.maximum(loc[cand[idx]], 0)
+            cl = loc[cand[idx]]
+            cand_local[t, d, :k] = np.where(cl >= 0, cl, dummy_row)
             own_fc[t, d, :k] = owner[row_fc[idx]] == d
             own_cand[t, d, :k] = (
                 (owner[cand[idx]] == d) & cg.full_mask[None, :]
             )
-            # padding entries point at row 0 with all-False ownership
-            # (they are also masked by mover_idx == -1)
 
     return SpatialPlan(
         ndev=ndev, reach=reach, halo_layers=halo_layers,
         layers_owned=layers_owned,
         rows_owned=rows_owned, rows_halo=rows_halo, K_loc=K_loc,
+        dummy_row=dummy_row,
         loc_of_global=loc_of_global,
         halo_lo_src=halo_lo_src, halo_hi_src=halo_hi_src,
         mover_idx=mover_idx, fc_local=fc_local,
@@ -250,36 +264,51 @@ class SpatialCellEngine:
     runs replicated on psum-assembled [K, W] tables (see the module
     docstring for the full argument).
 
-    v1 scope: the translation sub-step scan is sharded; everything at
+    Scope: the translation sub-step scan is sharded; everything at
     cycle rank (rebin, scheduled volume moves, delta-sync, chain
     resync) runs on the gathered global state exactly as the
     unsharded engine - those paths are rare (list_update_int /
-    mpi_sync_int cadence) and already validated.  Requires
-    cell_trials == 1 and cell_pallas == 'off' (the XLA sub-step path;
-    kernel variants take local tables the same way and follow).
+    mpi_sync_int cadence) and already validated.  Supported kernel
+    modes match the unsharded engine minus the per-candidate-delta
+    scatter: cell_pallas in ('off', 'apply', 'auto') - the Pallas
+    energies/points/apply kernels are row-id agnostic and run on the
+    device-LOCAL slabs and tables; cell_chain any value (the chain
+    kernel runs REPLICATED on the psum-assembled global tables);
+    cell_trials >= 1 (T > 1 requires the in-place apply kernel - the
+    XLA multi-trial apply uses unique-index scatter SETS the padded
+    spatial schedules cannot promise).
 
     Implemented as a wrapper that drives a plain CellEngine's
-    phase-split methods (_propose_t1 / _chain_t1) plus a
-    duplicate-safe scatter-ADD apply (_apply_spatial below): schedule
-    padding entries may alias slab rows, so every write is an add of
-    a masked-to-zero contribution, exact under XLA duplicate-index
-    semantics without uniqueness promises."""
+    phase-split methods (_propose_t1/_propose_tm, _chain_t1/
+    _chain_*_substep, _apply_tm) plus, on the T=1 XLA path, a
+    duplicate-safe scatter-ADD apply (_apply_spatial below).  With
+    the in-place kernels, duplicate safety comes from the plan's
+    DUMMY row instead: padding entries read/write only the
+    all-invalid dummy row, so every REAL row is visited at most once
+    (global same-colour disjointness + the injective local row map)
+    and the kernels' in-place semantics hold unchanged."""
 
     def __init__(self, prm, model, grid, aux, cellgrid, cellaux,
                  mesh):
-        import dataclasses as _dc
-
         import jax
 
         from ..mcmc.cellengine import CellEngine
 
-        if int(prm.cell_trials) != 1:
-            raise NotImplementedError(
-                "spatial sharding v1 supports cell_trials == 1"
+        if prm.cell_pallas == "on":
+            raise ValueError(
+                "spatial sharding supports cell_pallas in ('off', "
+                "'apply', 'auto'): the 'on' per-candidate-delta "
+                "scatter path has no duplicate-safe spatial apply"
             )
-        prm = _dc.replace(prm, cell_pallas="off", cell_chain="off")
         self.inner = CellEngine(prm, model, grid, aux, cellgrid,
                                 cellaux)
+        if self.inner.T > 1 and not self.inner.use_cell_apply:
+            raise ValueError(
+                "cell_trials > 1 under spatial sharding requires "
+                "the in-place apply kernel: set cell_pallas='apply' "
+                "(needs a disjoint-stencil grid; on CPU 'auto' "
+                "disables kernels, so pass 'apply' explicitly)"
+            )
         self.prm = self.inner.prm
         self.grid = grid
         self.aux = aux
@@ -373,6 +402,20 @@ class SpatialCellEngine:
 
     # -- the sharded sub-step scan --------------------------------------
 
+    def _localise(self, x_own, fill):
+        """Owned rows -> the local slab frame: [owned | lo halo | hi
+        halo (ndev > 1 only) | DUMMY], the dummy row filled with
+        ``fill`` (invalid occupancy / zero packed data)."""
+        rows_halo = self.plan.rows_halo
+        parts = (
+            [self._halo(x_own, rows_halo)]
+            if self.ndev > 1 else [x_own]
+        )
+        parts.append(
+            jnp.full((1,) + x_own.shape[1:], fill, x_own.dtype)
+        )
+        return jnp.concatenate(parts, axis=0)
+
     def _sharded_scan(self, s, codes, u_all, switch_ok, n_sub):
         """shard_map region: per-device sub-step scan with halo
         refresh, psum-assembled chain tables, local apply."""
@@ -385,9 +428,9 @@ class SpatialCellEngine:
         plan = self.plan
         cap = cg.cap
         K = eng.K
+        Tm = eng.T
         D = self.ndev
         W = s.mu.shape[-1]
-        rows_halo = plan.rows_halo
         rows_owned = plan.rows_owned
 
         pks = eng._pack(s)                    # L x [nfine,R,cap,W]
@@ -415,10 +458,7 @@ class SpatialCellEngine:
             )
             # occupancy is static inside the scan (rebins happen
             # outside): build the local-with-halo view once
-            if D > 1:
-                s2m_loc = self._halo(s2m_own, rows_halo)
-            else:
-                s2m_loc = s2m_own
+            s2m_loc = self._localise(s2m_own, -1)
             s2m_flat = s2m_loc.reshape(-1, W)
             valid_loc = s2m_flat >= 0
             tpm3_own = jnp.zeros((rows_owned, cap, W), jnp.int32)
@@ -427,11 +467,7 @@ class SpatialCellEngine:
                 st, pks_o, tpm_o = carry
                 sid, u = xs                         # u [K,n_u,W]
                 tbl = jnp.mod(sid, eng.n_tables)
-                if D > 1:
-                    pks_loc = [self._halo(p, rows_halo)
-                               for p in pks_o]
-                else:
-                    pks_loc = pks_o
+                pks_loc = [self._localise(p, 0) for p in pks_o]
                 mv = jnp.take(mv_d, tbl, axis=0)      # [K_loc]
                 vj = mv >= 0
                 mvc = jnp.maximum(mv, 0)
@@ -444,16 +480,9 @@ class SpatialCellEngine:
                 off_g = jnp.take(off_row, mvc, axis=0)
                 u_loc = jnp.take(u, mvc, axis=0)   # [K_loc,n_u,W]
                 codes_k = jax.lax.dynamic_slice(
-                    codes, (sid * K,), (K,)
+                    codes, (sid * K * Tm,), (K * Tm,)
                 )
-
                 st_loc = st._replace(slot2mol=s2m_flat)
-                (rank, oh_sel, blk_r, p_old, p_new, has_mover,
-                 in_cell, dE, per) = eng._propose_t1(
-                    st_loc, pks_loc, fc_g, cand_l, off_g, u_loc,
-                    fc_local=fc_l, valid=valid_loc,
-                )
-                has_mover = has_mover & vj[:, None]
 
                 # one-owner scatter + psum -> replicated global
                 # chain tables in canonical mover order
@@ -476,31 +505,27 @@ class SpatialCellEngine:
                     )
                     return z.astype(bool) if was_bool else z
 
-                dE_g = to_global(dE)
-                in_g = to_global(in_cell)
-                has_g = to_global(has_mover)
-
-                st2, accepts_g, _tt = eng._chain_t1(
-                    st, dE_g, in_g, has_g, codes_k,
-                    u[:, 5, :], u[:, 6, :], switch_ok,
-                )
-                acc_l = (
-                    jnp.take(accepts_g, mvc, axis=0)
-                    & vj[:, None]
-                )
-                tt_l = jnp.take(_tt, mvc, axis=0) & vj
-                has_count = (
-                    has_mover & ownf[:, None] & tt_l[:, None]
-                )
-
                 tpm3 = jnp.concatenate([
                     tpm_o,
-                    jnp.zeros((2 * rows_halo, cap, W), jnp.int32),
-                ]) if D > 1 else tpm_o
-                pks_new, tpm3 = self._apply_spatial(
-                    eng, pks_loc, tpm3, fc_l, cand_l, oh_sel,
-                    p_old, p_new, per, acc_l, has_count,
-                )
+                    jnp.zeros(
+                        (s2m_loc.shape[0] - rows_owned, cap, W),
+                        jnp.int32,
+                    ),
+                ])
+
+                if Tm == 1:
+                    st2, pks_new, tpm3 = self._substep_t1(
+                        eng, st, st_loc, pks_loc, tpm3, fc_g, fc_l,
+                        cand_l, off_g, u, u_loc, codes_k, switch_ok,
+                        valid_loc, vj, mvc, ownf, to_global,
+                    )
+                else:
+                    st2, pks_new, tpm3 = self._substep_tm(
+                        eng, st, st_loc, pks_loc, tpm3, fc_g, fc_l,
+                        cand_l, off_g, u, u_loc, codes_k, switch_ok,
+                        valid_loc, vj, mvc, ownf, to_global,
+                    )
+
                 pks_o = [p[:rows_owned] for p in pks_new]
                 return (st2, pks_o, tpm3[:rows_owned]), None
 
@@ -523,103 +548,147 @@ class SpatialCellEngine:
         st = eng._unpack(st, list(pks_g))
         return st, tpm_g.reshape(cg.nslot, W)
 
+    def _substep_t1(self, eng, st, st_loc, pks_loc, tpm3, fc_g, fc_l,
+                    cand_l, off_g, u, u_loc, codes_k, switch_ok,
+                    valid_loc, vj, mvc, ownf, to_global):
+        """T=1 sub-step inside the region: local propose, replicated
+        chain (XLA micro-batched or the fused chain+WL kernel on the
+        assembled point tables), local apply (in-place kernel or the
+        duplicate-safe scatter-ADD path)."""
+        from ..mcmc.cellengine import TRANS
+
+        cap = self.cellgrid.cap
+
+        (rank, oh_sel, blk_r, p_old, p_new, has_mover,
+         in_cell, dE, per) = eng._propose_t1(
+            st_loc, pks_loc, fc_g, cand_l, off_g, u_loc,
+            fc_local=fc_l, valid=valid_loc,
+        )
+        has_mover = has_mover & vj[:, None]
+
+        has_g = to_global(has_mover)
+        if eng.use_chain_kernel:
+            # point-table form (P=2) on one-owner-assembled ABSOLUTE
+            # energies; ua/uz in canonical order from the replicated
+            # uniform block (cellengine._substep kernel branch)
+            e_loc = jnp.stack([
+                jnp.stack([p[0], p[1]], axis=0) for p in per
+            ])                                     # [L,2,K_loc,W]
+            e_g = to_global(e_loc)
+            in1_g = to_global(in_cell)
+            in_pts = jnp.stack([jnp.ones_like(in1_g), in1_g])
+            two, cmu, sw_c = eng._hoisted_chain_terms(st)
+            st2, j_oh_g, _en = eng._chain_kernel_substep(
+                st, e_g, in_pts, has_g, codes_k,
+                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c,
+            )
+            accepts_g = j_oh_g[:, 1, :]
+            tt_g = jnp.broadcast_to(
+                (codes_k == TRANS)[:, None], accepts_g.shape
+            )
+        else:
+            dE_g = to_global(dE)
+            in_g = to_global(in_cell)
+            st2, accepts_g, _tt = eng._chain_t1(
+                st, dE_g, in_g, has_g, codes_k,
+                u[:, 5, :], u[:, 6, :], switch_ok,
+            )
+            tt_g = jnp.broadcast_to(
+                _tt[:, None], accepts_g.shape
+            )
+
+        acc_l = jnp.take(accepts_g, mvc, axis=0) & vj[:, None]
+        tt_l = jnp.take(tt_g, mvc, axis=0) & vj[:, None]
+        has_count = has_mover & ownf[:, None] & tt_l
+
+        if eng.use_cell_pallas and eng.use_cell_apply:
+            # in-place apply kernel on the LOCAL slab (owned + halo +
+            # dummy): real rows are visited at most once (global
+            # disjointness + injective row map; padding lands on the
+            # dummy row), so the kernel's visit-once requirement
+            # holds; halo/dummy writes are dropped by the caller
+            pks_new = [
+                eng.apply_kernel(
+                    pks_loc[l], st.h[l], cand_l, off_g, fc_l, rank,
+                    acc_l, p_old[l], p_new[l], per[l][2],
+                )
+                for l in range(len(pks_loc))
+            ]
+            W = acc_l.shape[-1]
+            inc = (has_count[:, None, :] & oh_sel).astype(jnp.int32)
+            tpm3 = tpm3.at[fc_l].add(inc)
+        else:
+            pks_new, tpm3 = self._apply_spatial(
+                eng, pks_loc, tpm3, fc_l, cand_l, oh_sel,
+                p_old, p_new, per, acc_l, has_count,
+            )
+        return st2, pks_new, tpm3
+
+    def _substep_tm(self, eng, st, st_loc, pks_loc, tpm3, fc_g, fc_l,
+                    cand_l, off_g, u, u_loc, codes_k, switch_ok,
+                    valid_loc, vj, mvc, ownf, to_global):
+        """Multi-trial sub-step inside the region: local anchored-
+        window propose (P-point tables via the points kernel on the
+        local slab), replicated chain on the psum-assembled
+        [L, P, K, W] energy table, local in-place apply of each
+        mover's final point."""
+        K = eng.K
+        Tm = eng.T
+        P = Tm + 1
+        W = st.mu.shape[-1]
+
+        (rank, oh_sel, blk_r, p_old, pts, in_cell, has_mover, e,
+         owns, cs) = eng._propose_tm(
+            st_loc, pks_loc, fc_g, cand_l, off_g, u_loc,
+            fc_local=fc_l, valid=valid_loc,
+        )
+        has_mover = has_mover & vj[:, None]
+
+        e_g = to_global(e)                          # [L,P,K,W]
+        in_g = to_global(in_cell)                   # [P,K,W]
+        has_g = to_global(has_mover)
+
+        two, cmu, sw_c = eng._hoisted_chain_terms(st)
+        if eng.use_chain_kernel:
+            st2, j_oh_g, en_g = eng._chain_kernel_substep(
+                st, e_g, in_g, has_g, codes_k,
+                u[:, 4 + 3 * Tm:4 + 4 * Tm, :].reshape(K * Tm, W),
+                u[:, 4 + 4 * Tm:4 + 5 * Tm, :].reshape(K * Tm, W),
+                switch_ok, cmu, sw_c,
+            )
+        else:
+            st2, j_oh_g, en_g = eng._chain_xla_substep(
+                st, e_g, in_g, has_g, codes_k, u, switch_ok,
+                two, cmu, sw_c,
+            )
+
+        # local slice of the accepted-point one-hot; padded movers
+        # stay at point 0 (no accept, no apply)
+        iota_p = jnp.arange(P, dtype=jnp.int32)[None, :, None]
+        j_loc = jnp.where(
+            vj[:, None, None],
+            jnp.take(j_oh_g, mvc, axis=0),
+            iota_p == 0,
+        )                                           # [K_loc,P,W]
+        pks_new = eng._apply_tm(
+            st, pks_loc, fc_l, cand_l, off_g, rank, oh_sel, blk_r,
+            p_old, pts, owns, cs, j_loc,
+        )
+        en_l = jnp.take(en_g, mvc, axis=0) * (
+            ownf.astype(jnp.int32)[:, None]
+        )                                           # [K_loc,W]
+        inc = en_l[:, None, :] * oh_sel.astype(jnp.int32)
+        tpm3 = tpm3.at[fc_l].add(inc)
+        return st2, pks_new, tpm3
+
     # -- cycle / driver --------------------------------------------------
 
     def _one_cycle(self, s):
-        """CellEngine._one_cycle with the sub-step scan replaced by
-        the sharded region (the pre/post cycle-rank phases run on the
-        global state unchanged)."""
-        import jax
-
-        eng = self.inner
-        prm = self.prm
-        dtype = s.r.dtype
-        L = s.r.shape[0]
-        W = s.r.shape[-1]
-        T = eng.trials_per_cycle
-        cycle = s.cycle + 1
-        s = s._replace(cycle=cycle)
-
-        if prm.parallel_strategy == "dd" and L == 2:
-            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
-            in_window = jnp.where(
-                cycle < prm.eq_mc_cycles,
-                now_in,
-                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
-                          jnp.ones_like(s.in_window)),
-            )
-            s = s._replace(in_window=in_window)
-
-        s = jax.lax.cond(
-            cycle % prm.list_update_int == 0,
-            eng._rebin, lambda x: x, s,
-        )
-
-        ck = jax.random.fold_in(s.shared_key, cycle)
-        xi = jax.random.uniform(ck, (T,), dtype=dtype)
-        transP, volP, swP = eng.probs
-        from ..mcmc.cellengine import NOOP, SWITCH, TRANS, VOL
-        codes = jnp.where(
-            xi < transP, TRANS,
-            jnp.where(xi < volP, VOL,
-                      jnp.where(xi < swP, SWITCH, NOOP)),
-        )
-
-        if prm.parallel_strategy == "dd":
-            switch_ok_scalar = cycle >= prm.eq_mc_cycles
-        else:
-            switch_ok_scalar = jnp.asarray(True)
-        switch_ok = jnp.broadcast_to(switch_ok_scalar, (W,))
-
-        n_sub = eng.sweeps_per_cycle * eng.n_tables
-        K = eng.K
-        u_all = jax.vmap(
-            lambda k: jax.random.uniform(
-                jax.random.fold_in(k, cycle),
-                (n_sub, K, 7), dtype=dtype,
-            ),
-            out_axes=3,
-        )(s.key)
-
-        s, tpm_slab = self._sharded_scan(
-            s, codes, u_all, switch_ok, n_sub
-        )
-        from ..ops.cells import gather_from_slab
-        s = s._replace(
-            trans_per_mol=s.trans_per_mol
-            + gather_from_slab(tpm_slab, s.mol2slot)
-        )
-
-        if prm.mc_ensemble == "npt" and prm.allow_vol:
-            s = eng._scheduled_volume_moves(s, codes, cycle,
-                                            switch_ok)
-
-        avg = s.avg_energy + s.energy
-        if prm.mc_ensemble == "npt":
-            avg = avg + prm.pressure * s.volume
-        s = s._replace(avg_energy=avg)
-
-        if prm.num_lattices == 2:
-            s = jax.lax.cond(
-                cycle % prm.mpi_sync_int == 0,
-                eng._sync_all, lambda x: x, s,
-            )
-            s = jax.lax.cond(
-                cycle % prm.latt_sync_int == 0,
-                eng._resync_chains, lambda x: x, s,
-            )
-
-        from ..mcmc.engine import _take_lat
-        T_w = min(prm.therm_walkers, W)
-        e_ls = _take_lat(s.energy, s.ls)
-        sample = {
-            "cycle": cycle,
-            "E_ls": e_ls[:T_w],
-            "mu": s.mu[:T_w],
-            "vol": s.volume[:, :T_w],
-            "ls": s.ls[:T_w],
-        }
-        return s, sample
+        """The shared CellEngine cycle skeleton with the sub-step
+        scan replaced by the sharded region (the pre/post cycle-rank
+        phases run on the global state unchanged -
+        cellengine._cycle_with)."""
+        return self.inner._cycle_with(s, self._sharded_scan)
 
     def _run_cycles(self, s, n_cycles: int):
         import jax

@@ -143,6 +143,11 @@ def test_sample_dd_end_to_end(tmp_path, examples_dir):
         assert (tmp_path / f"histogram_{w:03d}.dat").exists()
     log = (tmp_path / "mc.log").read_text()
     assert "delta G" in log
+    # per-window monitor rows (the reference's per-rank nodeNNN.log
+    # statistics, io.f90:1105-1144, collapsed to one row per window)
+    nlog = (tmp_path / "node000.log").read_text()
+    for w in range(4):
+        assert f"# win{w:4d}" in nlog
 
 
 @pytest.mark.slow

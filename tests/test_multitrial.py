@@ -709,3 +709,209 @@ def test_points_kernel_lowers_for_tpu(system):
                 jax.jit(kern._invoke), platforms=["tpu"]
             )(*args)
             assert len(exp.mlir_module_serialized) > 0
+
+
+# ----------------------------------------------------------------------
+# T=1 through the chain+WL kernel (per-move WL everywhere the kernels
+# run; the micro-batched XLA chain _chain_t1 remains only as the
+# CPU/fallback path - VALIDATION section d)
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def system_t1():
+    return _system(12, 7, 18, T=1)
+
+
+def test_chain_kernel_t1_matches_numpy_oracle(system_t1):
+    """Move-for-move numpy replay of one T=1 sub-step run through the
+    fused chain+WL kernel: the reference's direction x uniform-radius
+    proposal (mc_water_translation, mc_moves.F90:1021-1039), the
+    two-endpoint fine-cell wall, PER-MOVE Wang-Landau at the
+    post-trial mu (mc_update_wl_bins cadence) and the always-switch
+    attempt.  Pins that routing T=1 through the kernel preserves the
+    T=1 proposal law and gives it the reference's exact WL cadence."""
+    prm, grid, st, eaux, caux, cg = system_t1
+    W, cap = prm.n_walkers, cg.cap
+    prm_k = dataclasses.replace(
+        prm, cell_pallas="off", cell_chain="on"
+    )
+    eng = CellEngine(prm_k, MW, grid, eaux, cg, caux)
+    assert eng.T == 1 and eng.use_chain_kernel
+    K = eng.K
+    row, cycle = 5, 2
+
+    s = st._replace(cycle=jnp.asarray(1, jnp.int32))
+    n_u = 4 + 5 * 1
+    u = jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, cycle), (K, n_u), dtype=s.r.dtype,
+        ),
+        out_axes=2,
+    )(s.key)
+    s2, _ = _run_substep(eng, st, cg, W, table_row=row, cycle=cycle)
+
+    # ---- numpy replay ------------------------------------------------
+    un = np.asarray(u)                               # [K,n_u,W]
+    fc = np.asarray(eng.fc_stack[row])
+    cand = np.asarray(eng.cand_stack[row])
+    off = np.asarray(eng.off_stack[row])
+    s2m = np.asarray(st.slot2mol)
+    occ_mol = s2m.reshape(cg.nfine, cap, W)[fc]
+    occ = (occ_mol >= 0).sum(axis=1)
+    rank = np.minimum((un[:, 0, :] * occ).astype(np.int64),
+                      np.maximum(occ - 1, 0))
+    mover_slot = fc[:, None] * cap + rank
+    mover_mol = np.take_along_axis(
+        occ_mol, rank[:, None, :], axis=1
+    )[:, 0]
+    has_mover = (occ > 0) & (mover_mol >= 0)
+
+    r_np = np.asarray(st.r)
+    iw = np.arange(W)[None, :]
+    p_old = np.stack([
+        np.stack([r_np[l, a][mover_slot, iw] for a in range(3)])
+        for l in range(2)
+    ])                                               # [L,3,K,W]
+
+    # reference T=1 proposal: direction x U(-1,1)*max_trans
+    mt = np.asarray(st.max_trans)
+    d = 2.0 * un[:, 1:4, :] - 1.0                    # [K,3,W]
+    d = np.moveaxis(d, 1, 0)                         # [3,K,W]
+    inv_norm = 1.0 / np.sqrt(
+        np.maximum((d * d).sum(axis=0), 1e-30)
+    )
+    rmag = (2.0 * un[:, 4, :] - 1.0) * mt * inv_norm
+    v = d * rmag                                     # [3,K,W]
+
+    recip = np.asarray(st.recip)
+    h_np = np.asarray(st.h)
+    ls0 = np.asarray(st.ls)
+    p_new = np.empty_like(p_old)
+    for w in range(W):
+        A = recip[ls0[w], :, :, w]
+        sfrac = (A.T @ v[:, :, w]) / (2 * np.pi)
+        for l in range(2):
+            dl = v[:, :, w] if l == ls0[w] else h_np[l, :, :, w] @ sfrac
+            p_new[l, :, :, w] = p_old[l, :, :, w] + dl
+
+    # two-endpoint fine-cell wall (mid frame, lattice-0 coords)
+    dfrac0 = np.asarray(eng.cellaux.dfrac0)
+    dmid = 0.5 * dfrac0[:, np.maximum(mover_mol, 0)]
+    from mc_water_ls_mw_tpu.ops.cells import cell_of_frac
+    in_cell = np.ones((K, W), dtype=bool)
+    for w in range(W):
+        for p in (p_old, p_new):
+            f = (recip[0, :, :, w].T @ p[0, :, :, w]) \
+                / (2 * np.pi) - dmid[:, :, w]
+            cid = np.asarray(cell_of_frac(
+                cg, jnp.asarray(f), st.origin, level="fine",
+            ))
+            in_cell[:, w] &= cid == fc
+
+    # old/new energies via the pinned two-point evaluation
+    e = np.empty((2, 2, K, W))                       # [L,point,K,W]
+    for l in range(2):
+        mom_l = Moments(*(f[l] for f in st.moments))
+        eo, en_, _, _ = mover_energies(
+            st.r[l], mom_l, st.slot2mol >= 0, st.h[l],
+            jnp.asarray(cand), jnp.asarray(off), cg.full_mask, cap,
+            jnp.asarray(mover_slot), jnp.asarray(p_old[l]),
+            jnp.asarray(p_new[l]), MW,
+        )
+        e[l, 0] = np.asarray(eo)
+        e[l, 1] = np.asarray(en_)
+
+    from mc_water_ls_mw_tpu.mcmc.bins import mu_to_bin
+
+    B_bins = grid.nbins
+    weight_np = np.asarray(st.weight).copy()
+    hist_np = np.asarray(st.hist).copy()
+    f_np = np.asarray(st.f)
+    bw = np.asarray(grid.binwidth)
+    av_bw = float(grid.av_binwidth)
+
+    def eta(mu_v):
+        return np.asarray(eng._eta_from_weight(
+            s, jnp.asarray(weight_np), jnp.asarray(mu_v)
+        ))
+
+    beta = prm.beta
+    vol = np.asarray(st.volume)
+    lv10 = np.log(vol[1] / vol[0])
+    pterm = beta * prm.pressure * (vol[1] - vol[0])
+    cmu = -pterm + prm.nwater * lv10
+    sw_c = pterm - prm.nwater * lv10
+    mu = np.asarray(st.mu).copy()
+    ls = ls0.copy()
+    energy = np.asarray(st.energy).copy()
+    n_acc = np.zeros(W, dtype=int)
+    n_swacc = np.zeros(W, dtype=int)
+    for k in range(K):
+        dE = e[:, 1, k, :] - e[:, 0, k, :]           # [2,W]
+        dmu = (dE[0] - dE[1]) * beta
+        mu_new = mu + dmu
+        diff = beta * dE[np.minimum(ls, 1), np.arange(W)] \
+            + eta(mu_new) - eta(mu)
+        ok = np.isfinite(diff) & np.isfinite(mu_new)
+        accept = (in_cell[k] & has_mover[k] & ok
+                  & (un[k, 5, :] < np.exp(-diff)))
+        energy = np.where(accept[None], energy + dE, energy)
+        mu = np.where(accept, mu_new, mu)
+        n_acc += accept
+        # per-move WL at the post-trial mu (accept OR reject)
+        kb = np.asarray(mu_to_bin(grid, jnp.asarray(mu)))
+        healthy = np.isfinite(energy).all(axis=0)
+        upd = has_mover[k] & healthy & (kb >= 0) & (kb < B_bins)
+        kc = np.clip(kb, 0, B_bins - 1)
+        for w in range(W):
+            if upd[w]:
+                incr = av_bw / bw[kc[w]]
+                hist_np[kc[w], w] += incr
+                weight_np[kc[w], w] += incr * f_np[w]
+        # always-switch attempt
+        de10 = beta * (energy[1] - energy[0])
+        dsw = np.where(ls == 0, de10 + sw_c, -(de10 + sw_c))
+        sw_acc = np.isfinite(dsw) & (un[k, 6, :] < np.exp(-dsw))
+        ls = np.where(sw_acc, 1 - ls, ls)
+        mu = np.where(sw_acc, cmu - de10, mu)
+        n_swacc += sw_acc
+
+    np.testing.assert_allclose(np.asarray(s2.mu), mu, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(s2.ls), ls)
+    np.testing.assert_allclose(
+        np.asarray(s2.energy), energy, atol=1e-10
+    )
+    np.testing.assert_array_equal(np.asarray(s2.acc[0]), n_acc)
+    np.testing.assert_array_equal(np.asarray(s2.acc[2]), n_swacc)
+    np.testing.assert_allclose(
+        np.asarray(s2.hist), hist_np, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.weight), weight_np, atol=1e-12
+    )
+    assert int(n_acc.sum()) > 0
+
+
+def test_chain_kernel_t1_samplerun_matches_xla(system_t1):
+    """With FROZEN weights (samplerun) the micro-batched XLA T=1
+    chain is exactly the serial chain, so the kernel and XLA paths
+    must agree bit-for-bit - accept decisions, unbiased histogram,
+    counters and final states."""
+    prm, grid, st, eaux, caux, cg = system_t1
+    W = prm.n_walkers
+    out = []
+    for chain in ("off", "on"):
+        prm_f = dataclasses.replace(
+            prm, cell_pallas="off", cell_chain=chain,
+            samplerun=True,
+        )
+        eng = CellEngine(prm_f, MW, grid, eaux, cg, caux)
+        assert eng.use_chain_kernel == (chain == "on")
+        s2, tpm = _run_substep(eng, st, cg, W)
+        out.append((s2, tpm))
+    (a, tpa), (b, tpb) = out
+    assert int(np.asarray(a.acc)[0].sum()) > 0
+    _assert_states_equal(a, b, tpa, tpb)
+    np.testing.assert_allclose(
+        np.asarray(a.uhist), np.asarray(b.uhist), rtol=0, atol=1e-11
+    )
