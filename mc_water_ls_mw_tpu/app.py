@@ -32,6 +32,21 @@ from .io.xmol import read_lattices
 from .parallel.mesh import make_mesh, shard_state
 
 
+class CapacityOverflow(RuntimeError):
+    """A rebin exceeded the slab capacity: the affected walkers are
+    corrupt from that rebin on, but the last checkpoint predates it
+    (the audit runs BEFORE the checkpoint write).  run_input_file
+    catches this, regrows cell_cap and resumes from that checkpoint
+    via the slab-capacity migration path (io/checkpoint.py)."""
+
+    def __init__(self, cap, overflow):
+        self.cap = int(cap)
+        self.overflow = int(overflow)
+        super().__init__(
+            f"cell occupancy exceeded capacity {cap} by {overflow}"
+        )
+
+
 class Timer:
     """Queue-time guard (timer.f90:105-127)."""
 
@@ -261,10 +276,17 @@ class Application:
         writers.write_psf("mW.psf", prm.nwater, prm.num_lattices)
         writers.write_dcd_header("mW.dcd", prm.nwater * prm.num_lattices)
 
-        # restart (mc_init:825-854)
+        # restart (mc_init:825-854).  For the cell engine a stored
+        # checkpoint with a SMALLER slab capacity is migrated to the
+        # current one (the cell_cap regrow path after a
+        # CapacityOverflow abort; io/checkpoint.migrate_cell_cap)
         self.start_cycle = 0
         if self.restart:
-            loaded = ckpt.load_checkpoint(state, ".")
+            migrate = None
+            if self.cellgrid is not None:
+                migrate = (self.cellgrid.nfine, self.cellgrid.cap)
+            loaded = ckpt.load_checkpoint(state, ".",
+                                          cell_migrate=migrate)
             if loaded is None:
                 raise RuntimeError(
                     "checkpoint files present but unreadable"
@@ -412,6 +434,15 @@ class Application:
                 self.state = wl.compute_deltaG(
                     eng, self.state, self.logs, self.aux
                 )
+            # large-N slab-capacity audit BEFORE the checkpoint write:
+            # an overflowing walker has two molecules sharing a slot
+            # and is corrupt - it must never be persisted, so the last
+            # checkpoint always predates the corrupting rebin
+            if self.cellgrid is not None:
+                ovf = int(np.asarray(self.state.occ_overflow).max())
+                if ovf > 0:
+                    raise CapacityOverflow(self.cellgrid.cap, ovf)
+
             if cycle % prm.chkpt_dump_int == 0:
                 self.ckpt_writer.write(self.state)
 
@@ -433,15 +464,6 @@ class Application:
                     f"window after {prm.eq_mc_cycles} MC cycles"
                 )
 
-            # large-N slab-capacity audit: an overflowing walker has
-            # two molecules sharing a slot and is corrupt
-            if self.cellgrid is not None:
-                ovf = int(np.asarray(self.state.occ_overflow).max())
-                if ovf > 0:
-                    raise RuntimeError(
-                        f"cell occupancy exceeded capacity by {ovf}; "
-                        "increase cell_cap in the &tpu namelist"
-                    )
 
         # final checkpoint (main.f90:246)
         self.ckpt_writer.write(self.state)
@@ -450,11 +472,33 @@ class Application:
 
 
 def run_input_file(path, overrides=None, max_cycles=None, workdir=None,
-                   profile_dir=None):
-    """Programmatic entry: run an ice.input file to completion."""
+                   profile_dir=None, use_mesh=True):
+    """Programmatic entry: run an ice.input file to completion.
+
+    Cell-engine capacity resilience: if a rebin overflows the slab
+    capacity mid-run (CapacityOverflow - e.g. an unlucky thermal
+    rebin late in a long run), the run is relaunched with a regrown
+    cell_cap and resumes from the last good checkpoint through the
+    capacity-migration loader instead of dying with a config hint
+    (the reference's crash-surviving dual-checkpoint standard,
+    mc_moves.F90:336-350, applied to a failure mode it never had)."""
+    import dataclasses
+
     prm = read_input(path, extra_overrides=overrides)
-    app = Application(
-        prm, workdir=workdir or os.path.dirname(os.path.abspath(path))
-    )
-    app.setup()
-    return app.run(max_cycles=max_cycles, profile_dir=profile_dir)
+    wd = workdir or os.path.dirname(os.path.abspath(path))
+    for attempt in range(4):
+        app = Application(prm, workdir=wd, use_mesh=use_mesh)
+        app.setup()
+        try:
+            return app.run(max_cycles=max_cycles,
+                           profile_dir=profile_dir)
+        except CapacityOverflow as err:
+            if attempt == 3:
+                raise
+            new_cap = err.cap + max(2, err.overflow, err.cap // 8)
+            app.logs.g(
+                f"# Slab capacity {err.cap} overflowed by "
+                f"{err.overflow}: regrowing cell_cap to {new_cap} "
+                "and resuming from the last good checkpoint"
+            )
+            prm = dataclasses.replace(prm, cell_cap=new_cap)

@@ -85,14 +85,89 @@ class CheckpointWriter:
         return path
 
 
-def load_checkpoint(template: SamplerState, directory="."):
+def _leaf_field_names(state):
+    """Flat leaf index -> owning field name (leaves flatten in field
+    order for a NamedTuple pytree)."""
+    names = []
+    for name, field in zip(type(state)._fields, state):
+        names.extend([name] * len(jax.tree.leaves(field)))
+    return names
+
+
+def migrate_cell_cap(template, leaves, names, nfine: int,
+                     cap_new: int):
+    """Repack a cell-engine checkpoint's slab leaves from an old slab
+    capacity to ``cap_new`` (the cell_cap regrow path after an
+    occupancy-overflow abort; see Application.run's audit).
+
+    Slab arrays are [.., nslot = nfine*cap, ..]: reshape to
+    (nfine, cap_old), pad each fine cell's slot axis at the END
+    (rank packing - occupied ranks stay contiguous, ops/cells slot
+    convention) and reflatten; ``mol2slot`` values are remapped
+    fc*cap_old + r -> fc*cap_new + r.  Returns the migrated leaves or
+    raises ValueError when the stored layout is not a smaller-cap
+    variant of the template."""
+    out = []
+    cap_old = None
+    for tpl, arr, name in zip(jax.tree.leaves(template), leaves,
+                              names):
+        ts, ss = tuple(tpl.shape), tuple(arr.shape)
+        if ts == ss:
+            if name == "mol2slot":
+                # shapes match but slot ids are cap-dependent
+                if cap_old is None:
+                    raise ValueError(
+                        "mol2slot before any slab leaf; cannot "
+                        "infer old capacity"
+                    )
+                arr = (arr // cap_old) * cap_new + arr % cap_old
+            out.append(arr)
+            continue
+        # exactly one axis may differ, and it must be the slot axis
+        diffs = [d for d, (a, b) in enumerate(zip(ts, ss)) if a != b]
+        if (len(ts) != len(ss) or len(diffs) != 1
+                or ts[diffs[0]] != nfine * cap_new
+                or ss[diffs[0]] % nfine != 0):
+            raise ValueError(
+                f"field {name}: stored shape {ss} is not a slab-"
+                f"capacity variant of {ts}"
+            )
+        d = diffs[0]
+        this_cap = ss[d] // nfine
+        if cap_old is None:
+            cap_old = this_cap
+        elif this_cap != cap_old:
+            raise ValueError("inconsistent stored slab capacities")
+        if cap_old >= cap_new:
+            raise ValueError(
+                f"stored capacity {cap_old} >= new {cap_new}: only "
+                "capacity GROWTH can be migrated (shrinking could "
+                "drop occupied slots)"
+            )
+        fill = -1 if name == "slot2mol" else 0
+        a5 = arr.reshape(ss[:d] + (nfine, cap_old) + ss[d + 1:])
+        pad = [(0, 0)] * a5.ndim
+        pad[d + 1] = (0, cap_new - cap_old)
+        a5 = np.pad(a5, pad, constant_values=fill)
+        out.append(a5.reshape(ts))
+    if cap_old is None:
+        raise ValueError("no slab-shaped field differed; nothing to "
+                         "migrate")
+    return out, cap_old
+
+
+def load_checkpoint(template: SamplerState, directory=".",
+                    cell_migrate=None):
     """Probe both slots, restore the newer readable one
     (mc_checkpoint_load:417-448).  Returns (state, cycle) or None.
 
     A slot whose stored fingerprint disagrees with the template's
     (different nbins / n_walkers / nwater / engine kind / dtype) is an
     incompatible run configuration: refused with a clear error instead
-    of a cryptic positional mis-load."""
+    of a cryptic positional mis-load.  Exception: with
+    ``cell_migrate=(nfine, cap_new)`` a cell-engine checkpoint whose
+    only layout difference is a SMALLER slab capacity is repacked to
+    the new capacity (migrate_cell_cap) instead of refused."""
     leaves_t, treedef = jax.tree.flatten(template)
     want_fp = state_fingerprint(template)
     # legacy (round-2 early) fingerprint format: per-field
@@ -118,19 +193,33 @@ def load_checkpoint(template: SamplerState, directory="."):
 
     candidates = []
     mismatches = []
+    migrated_from = None
     for path in checkpoint_paths(directory):
         if not os.path.exists(path):
             continue
         try:
             with np.load(path) as data:
+                matched = True
                 if "__fingerprint__" in data:
                     got_fp = bytes(
                         data["__fingerprint__"].tobytes()
                     ).decode()
                     if got_fp != want_fp and got_fp != want_legacy():
-                        mismatches.append((path, got_fp))
-                        continue
+                        matched = False
                 leaves = [data[f"leaf{i}"] for i in range(len(leaves_t))]
+            if not matched:
+                if cell_migrate is None:
+                    mismatches.append((path, got_fp))
+                    continue
+                try:
+                    leaves, cap_old = migrate_cell_cap(
+                        template, leaves, _leaf_field_names(template),
+                        *cell_migrate,
+                    )
+                    migrated_from = cap_old
+                except ValueError:
+                    mismatches.append((path, got_fp))
+                    continue
             state = jax.tree.unflatten(treedef, [
                 np.asarray(l) for l in leaves
             ])
@@ -156,4 +245,7 @@ def load_checkpoint(template: SamplerState, directory="."):
         lambda tpl, arr: jax.numpy.asarray(arr, dtype=tpl.dtype),
         template, state,
     )
+    if migrated_from is not None:
+        path = f"{path} (slab capacity migrated {migrated_from} -> " \
+               f"{cell_migrate[1]})"
     return state, cycle, path

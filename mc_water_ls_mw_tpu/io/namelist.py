@@ -119,7 +119,8 @@ _GROUPS = {
     ],
     "parallelisation": ["parallel_strategy", "window_overlap"],
     "tpu": [
-        "n_walkers", "n_windows", "neighbour_capacity", "dtype",
+        "n_walkers", "n_windows", "dd_seeding", "neighbour_capacity",
+        "dtype",
         "seed", "therm_walkers", "minu", "tile",
         "largen", "largen_threshold", "cell_cap", "relabel", "stack",
         "nbr_table", "trans_wall", "fused", "cell_pallas",

@@ -1779,16 +1779,10 @@ class CellEngine(Engine):
         cycle = s.cycle + 1
         s = s._replace(cycle=cycle)
 
-        # dd-mode window tracking (mc_cycle:181-210)
+        # dd-mode window tracking (mc_cycle:181-210; shared
+        # Engine._dd_track_window honours dd_seeding)
         if prm.parallel_strategy == "dd" and L == 2:
-            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
-            in_window = jnp.where(
-                cycle < prm.eq_mc_cycles,
-                now_in,
-                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
-                          jnp.ones_like(s.in_window)),
-            )
-            s = s._replace(in_window=in_window)
+            s = self._dd_track_window(s, cycle)
 
         # re-draw the grid origin + rebin on the reference's Verlet
         # cadence (mc_cycle:218-222)
@@ -2028,12 +2022,18 @@ def init_cell_state(
             mu0 = jnp.zeros((W,), dtype=dtype)
 
         # warm-start weights load into the master rows (full global
-        # curve in every row - window seeding, see state.init_state);
-        # per-walker arrays hold only growth since the last sync
+        # curve in every row - window seeding, see state.init_state;
+        # dd_seeding=False restores the reference's per-window
+        # masking, mc_init:808-814); per-walker arrays hold only
+        # growth since the last sync
+        w0rows = np.broadcast_to(weight0_np, (nwin, B)).copy()
+        if (not prm.dd_seeding) and nwin > 1:
+            binrange = np.arange(B)
+            for wdx in range(nwin):
+                sbx, ebx = wins[wdx][0], wins[wdx][1]
+                w0rows[wdx, (binrange < sbx) | (binrange > ebx)] = 0.0
         master_eta = DS(
-            jnp.broadcast_to(
-                jnp.asarray(weight0_np, dtype=dtype), (nwin, B)
-            ),
+            jnp.asarray(w0rows, dtype=dtype),
             jnp.zeros((nwin, B), dtype=dtype),
         )
 

@@ -125,7 +125,7 @@ class ChainWLPallas:
             return eta_lookup(
                 grid, prm.eta_interp, wgto[...] + basew_ref[...],
                 mu_v, mu_min, mu_max, start_b, end_b, inwin, binw,
-                mub,
+                mub, seeding=prm.dd_seeding,
             )
 
         W = mu.shape[0]

@@ -93,6 +93,17 @@ class RunParams:
     # ---- TPU-native extensions (no reference counterpart) ----
     n_walkers: int = 32          # vmapped ensemble size (SURVEY.md §7)
     n_windows: int = 8           # dd-mode mu-window count (ref: MPI size)
+    dd_seeding: bool = True      # dd equilibration semantics: True =
+                                 # window seeding (pre-window walkers
+                                 # sample the wall-less GLOBAL weight
+                                 # curve and in_window is non-sticky
+                                 # during eq); False = reference
+                                 # semantics (unbiased pre-window
+                                 # sampling, reach-once sticky flag,
+                                 # warm-start weights masked to each
+                                 # window - mc_init:808-814,
+                                 # mc_cycle:181-210, eta_weight:913).
+                                 # A/B-validated: test_window_seeding_ab
     neighbour_capacity: int = 40 # padded list capacity (ref maxneigh=50)
     dtype: str = "float32"       # compute dtype ('float64' = parity mode)
     fused: str = "auto"          # whole-cycle Pallas kernel: on/off/auto

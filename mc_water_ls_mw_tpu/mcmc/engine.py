@@ -234,6 +234,32 @@ class Engine:
         h = s.hist if hist is None else hist
         return h + base[s.window_id].T
 
+    def _dd_track_window(self, s: SamplerState, cycle):
+        """dd-mode in_window tracking (mc_cycle:181-210).
+
+        dd_seeding=True (default): non-sticky during equilibration -
+        the flag mirrors the CURRENT position each cycle, frozen at
+        the eq boundary, all-True after (confinement then comes from
+        the eta wall pulling strays into their windows).
+        dd_seeding=False: the reference's reach-once semantics - the
+        flag LATCHES on first entry and the eta wall confines the
+        walker from that moment on."""
+        prm = self.prm
+        now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
+        ones = jnp.ones_like(s.in_window)
+        if prm.dd_seeding:
+            in_window = jnp.where(
+                cycle < prm.eq_mc_cycles,
+                now_in,
+                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
+                          ones),
+            )
+        else:
+            in_window = jnp.where(
+                cycle <= prm.eq_mc_cycles, s.in_window | now_in, ones
+            )
+        return s._replace(in_window=in_window)
+
     def _eta(self, s: SamplerState, mu):
         """Multicanonical weight eta(mu) per walker (batched form of
         bins.eta_weight; reference mc_moves.F90:893-964)."""
@@ -283,8 +309,11 @@ class Engine:
         # this is the reference's unbiased approach (mc_moves.F90:913);
         # with a warm-started global curve the landscape is flat, so
         # walkers diffuse to far-tail windows the unbiased walk could
-        # never climb to (window seeding - see runs/n216_wl_dd)
-        return jnp.where(s.in_window, walled, eta)
+        # never climb to (window seeding - see runs/n216_wl_dd).
+        # dd_seeding=False restores the reference's strictly unbiased
+        # pre-window sampling (A/B: test_window_seeding_ab)
+        pre = eta if self.prm.dd_seeding else jnp.zeros_like(eta)
+        return jnp.where(s.in_window, walled, pre)
 
     # ------------------------------------------------------------------
     # Wang-Landau per-move update (mc_update_wl_bins, mc_moves.F90:1597-1689)
@@ -932,14 +961,7 @@ class Engine:
 
         # dd-mode window tracking (mc_cycle:181-210)
         if prm.parallel_strategy == "dd" and L == 2:
-            now_in = (s.mu > s.my_mu_min) & (s.mu < s.my_mu_max)
-            in_window = jnp.where(
-                cycle < prm.eq_mc_cycles,
-                now_in,
-                jnp.where(cycle == prm.eq_mc_cycles, s.in_window,
-                          jnp.ones_like(s.in_window)),
-            )
-            s = s._replace(in_window=in_window)
+            s = self._dd_track_window(s, cycle)
 
         # (no Verlet rebuild: the dense moment formulation evaluates
         # exact current neighbourhoods every move - the reference's

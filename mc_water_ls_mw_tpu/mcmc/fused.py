@@ -79,7 +79,8 @@ def _iota_eq(n, idx):
 
 
 def eta_lookup(grid: BinGrid, interp: bool, weight, mu, my_min,
-               my_max, start_bin, end_bin, in_window, binw, mub):
+               my_max, start_bin, end_bin, in_window, binw, mub,
+               seeding: bool = True):
     """eta(mu) on a walker block via one-hot lookups - the in-kernel
     form of engine._eta / bins.eta_weight (mc_moves.F90:893-964),
     shared by the fused whole-cycle kernel and the cell engine's
@@ -123,9 +124,11 @@ def eta_lookup(grid: BinGrid, interp: bool, weight, mu, my_min,
         )
     wall = (mu < my_min) | (mu > my_max)
     walled = jnp.where(wall, ETA_WALL, eta)
-    # pre-window walkers sample the wall-less global curve
-    # (window seeding; see engine._eta)
-    return jnp.where(in_window, walled, eta)
+    # pre-window walkers sample the wall-less global curve (window
+    # seeding) or, with dd_seeding=False, no bias at all - the
+    # reference's eta_weight:913 semantics (see engine._eta)
+    pre = eta if seeding else jnp.zeros_like(eta)
+    return jnp.where(in_window, walled, pre)
 
 
 def wl_move_update(prm: RunParams, grid: BinGrid, samplerun: bool,
@@ -371,6 +374,7 @@ class FusedCycle:
         return eta_lookup(
             self.grid, self.prm.eta_interp, weight, mu, my_min,
             my_max, start_bin, end_bin, in_window, binw, mub,
+            seeding=self.prm.dd_seeding,
         )
 
     def _eta_of(self, wgt, basew, wf, wi, mu, binw, mub):

@@ -269,17 +269,25 @@ def init_state(
     # Warm-start weights load into the MASTER rows; per-walker arrays
     # start at zero (they hold only growth since the last sync).
     # NOTE: the reference masks warm-start weights to each rank's
-    # window (mc_init:808-814).  Here every master row keeps the FULL
-    # global curve: WL updates only ever touch in-window bins (the
-    # eta wall confines the walker), and the unmasked curve is what
-    # lets pre-window walkers diffuse across a flat landscape to
-    # far-tail windows during equilibration (window seeding,
-    # engine._eta).  With a cold start (weights zero) this is
-    # identical to the reference.
+    # window (mc_init:808-814).  With dd_seeding (default) every
+    # master row keeps the FULL global curve: WL updates only ever
+    # touch in-window bins (the eta wall confines the walker), and
+    # the unmasked curve is what lets pre-window walkers diffuse
+    # across a flat landscape to far-tail windows during
+    # equilibration (window seeding, engine._eta).  With a cold start
+    # (weights zero) this is identical to the reference.
+    # dd_seeding=False restores the reference's per-window masking
+    # (A/B: test_window_seeding_ab).
+    w0rows = np.broadcast_to(
+        np.asarray(weight0, dtype=np.float64), (nwin, B)
+    ).copy()
+    if (not prm.dd_seeding) and nwin > 1:
+        bins = np.arange(B)
+        for wdx in range(nwin):
+            sbx, ebx = wins[wdx][0], wins[wdx][1]
+            w0rows[wdx, (bins < sbx) | (bins > ebx)] = 0.0
     master_eta = DS(
-        jnp.broadcast_to(
-            jnp.asarray(weight0, dtype=dtype), (nwin, B)
-        ),
+        jnp.asarray(w0rows, dtype=dtype),
         jnp.zeros((nwin, B), dtype=dtype),
     )
 

@@ -17,8 +17,38 @@ scripts/compare_dd_mw.py.
 
 Usage: WL_QTIME=<seconds> python run.py   (from this directory)
 """
-import os, sys
+import os, subprocess, sys, time
 sys.path.insert(0, "/root/repo")
+
+# Claim-probe loop (scripts/run_n216_pipeline.sh recipe): the shared
+# axon chip lease wedges; probing in short-lived subprocesses until a
+# claim succeeds keeps THIS process from parking forever inside its
+# first device call (the watchdog's stale timer is much coarser).
+_PROBE = (
+    "import jax,os,signal\n"
+    "try:\n"
+    "    d = jax.devices()\n"
+    "except Exception as e:\n"
+    "    print('CLAIM FAIL', type(e).__name__, flush=True)\n"
+    "    os.kill(os.getpid(), signal.SIGKILL)\n"
+    "print('DEVICE OK', d, flush=True)\n"
+    "os._exit(0)\n"
+)
+for attempt in range(40):
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", _PROBE], timeout=150, check=False,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc == 0:
+        break
+    print(f"claim attempt {attempt} failed (rc={rc}); retrying",
+          flush=True)
+    time.sleep(60)
+else:
+    sys.exit("no device claim after 40 attempts")
+
 from mc_water_ls_mw_tpu.app import run_input_file
 
 qtime = float(os.environ.get("WL_QTIME", "11400"))

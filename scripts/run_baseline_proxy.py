@@ -76,6 +76,8 @@ def main():
     f216 = os.path.join(tmp, "n216.txt")
     dump(f216, r216, H216, bohr=True)
 
+    nconc = int(os.environ.get("PROXY_NPROC", "1"))
+
     out = {}
     for name, path, cyc in (("n48", f48, cyc48), ("n216", f216, cyc216)):
         res = subprocess.run(
@@ -85,6 +87,35 @@ def main():
         sys.stderr.write(res.stdout)
         last = [l for l in res.stdout.splitlines() if l.startswith("{")]
         out[name] = json.loads(last[-1])
+
+    if nconc > 1:
+        # PROXY_NPROC concurrent ranks, the reference's 8-rank MPI
+        # shape (each rank an independent chain; the O(nbins)~200-
+        # double allreduce every mpi_sync_int~250 cycles is noise
+        # next to the per-move work, so independent processes are a
+        # faithful aggregate-throughput stand-in).  NOTE this image
+        # exposes a single virtualised core (nproc == 1), so N
+        # concurrent ranks timeshare it: the measured aggregate is
+        # the CONTENTION floor, and the x8 single-core extrapolation
+        # (assuming 8 dedicated cores, generous to the baseline)
+        # remains the fair denominator - both are recorded.
+        procs = [
+            subprocess.Popen(
+                [exe, f216, str(cyc216)], stdout=subprocess.PIPE,
+                text=True,
+            )
+            for _ in range(nconc)
+        ]
+        agg = 0.0
+        for pr in procs:
+            so, _ = pr.communicate()
+            last = [l for l in so.splitlines() if l.startswith("{")]
+            agg += json.loads(last[-1])["moves_per_s"]
+        out[f"n216_x{nconc}_concurrent"] = {
+            "ranks": nconc,
+            "aggregate_moves_per_s": agg,
+            "host_cores": os.cpu_count(),
+        }
     print(json.dumps(out))
 
 

@@ -104,9 +104,13 @@ def test_sharded_equals_unsharded(setup):
         )
 
 
+@pytest.mark.slow
 def test_sharded_runs_on_four_devices(setup):
-    """Wider mesh smoke: D=4 shards one cycle and keeps the audit
-    invariants (energy vs recompute) intact."""
+    """Wider mesh smoke: D=4 shards one FULL cycle (every cycle-rank
+    phase) and keeps the audit invariants (energy vs recompute)
+    intact.  Slow-profile: the sub-step-granularity kernel tests
+    below cover D=2 in the fast profile (D=4/8 slow), and the driver
+    dryrun exercises full sharded cycles."""
     prm, grid, cg, eaux, caux, state = setup
     if cg.n[0] % 4:
         pytest.skip("geometry not 4-divisible")
@@ -117,3 +121,201 @@ def test_sharded_runs_on_four_devices(setup):
     _, drift = seng.inner.audit_energy(s)
     assert float(jnp.max(jnp.abs(drift))) < 1e-9
     assert int(s.att.sum()) > 0
+
+
+# ----------------------------------------------------------------------
+# substep-level exactness: Pallas kernels and multi-trial under the
+# spatial mesh (interpret mode; one sub-step keeps the interpreted
+# kernel grids affordable - a full cycle at N=8064 runs ~10^3 of them)
+# ----------------------------------------------------------------------
+
+def _substep_pair(prm, grid, cg, eaux, caux, state, ndev,
+                  cycle=1):
+    """Run ONE identical sub-step through the unsharded scan and the
+    D-device sharded region; return both (state, tpm) pairs."""
+    import dataclasses as dc
+
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    mesh = make_spatial_mesh(jax.devices()[:ndev])
+    seng = SpatialCellEngine(prm, MW, grid, eaux, cg, caux, mesh)
+    K, T = eng.K, eng.T
+    W = prm.n_walkers
+    n_u = 7 if T == 1 else 4 + 5 * T
+    s = state._replace(cycle=jnp.asarray(cycle, jnp.int32))
+    codes = jnp.zeros((K * T,), jnp.int32)          # all TRANS
+    sw_ok = jnp.ones((W,), dtype=bool)
+    u_all = jax.vmap(
+        lambda k: jax.random.uniform(
+            jax.random.fold_in(k, cycle), (1, K, n_u),
+            dtype=s.r.dtype,
+        ),
+        out_axes=3,
+    )(s.key)
+    a, tpa = eng._substep_scan(s, codes, u_all, sw_ok, 1)
+    b, tpb = seng._sharded_scan(s, codes, u_all, sw_ok, 1)
+    jax.block_until_ready(b.mu)
+    return (a, tpa), (b, tpb)
+
+
+def _assert_pair_equal(a, tpa, b, tpb):
+    np.testing.assert_array_equal(np.asarray(a.ls), np.asarray(b.ls))
+    np.testing.assert_array_equal(np.asarray(a.att), np.asarray(b.att))
+    np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+    np.testing.assert_array_equal(np.asarray(tpa), np.asarray(tpb))
+    np.testing.assert_array_equal(np.asarray(a.hist),
+                                  np.asarray(b.hist))
+    for name in ("mu", "energy", "weight", "r"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, name)),
+            np.asarray(getattr(b, name)),
+            rtol=0, atol=1e-9, err_msg=name,
+        )
+    for i, (fa, fb) in enumerate(zip(a.moments, b.moments)):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=0, atol=1e-9,
+            err_msg=f"moments[{i}]",
+        )
+    assert int(np.asarray(a.acc)[0].sum()) > 0    # something moved
+
+
+def test_sharded_substep_apply_kernel_d2(setup):
+    """cell_pallas='apply' (fused energies + in-place apply kernels,
+    interpret mode) under a 2-device spatial mesh == the same kernels
+    unsharded: the dummy-row plan keeps every real slab row visited
+    at most once, so the in-place kernel semantics survive sharding."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup
+    if not bool(np.all(cg.full_mask)):
+        pytest.skip("grid not unpadded")
+    prm2 = dc.replace(prm, cell_pallas="apply")
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm2, grid, cg, eaux, caux, state, ndev=2
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
+
+
+def test_sharded_substep_chain_kernel_d2(setup):
+    """T=1 with BOTH the apply kernel and the fused chain+WL kernel
+    (cell_chain='on', replicated on the psum-assembled point tables)
+    under a 2-device mesh == unsharded."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup
+    prm2 = dc.replace(prm, cell_pallas="apply", cell_chain="on")
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm2, grid, cg, eaux, caux, state, ndev=2
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
+
+
+def test_sharded_substep_multitrial_d2(setup):
+    """cell_trials=2 (anchored-window multi-trial: points kernel +
+    chain with per-move WL + in-place apply of the final point)
+    under a 2-device mesh == unsharded."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup
+    prm2 = dc.replace(prm, cell_pallas="apply", cell_trials=2)
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm2, grid, cg, eaux, caux, state, ndev=2
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
+
+
+@pytest.mark.slow
+def test_sharded_substep_multitrial_chain_kernel_d4(setup):
+    """The full kernel stack (points + chain+WL + apply) with T=2 on
+    a 4-device mesh == unsharded - D=4 shards each coarse x-cell to
+    its own device (layers_owned == halo depth, the tightest legal
+    partition of this geometry)."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup
+    if cg.n[0] % 4:
+        pytest.skip("geometry not 4-divisible")
+    prm2 = dc.replace(
+        prm, cell_pallas="apply", cell_trials=2, cell_chain="on"
+    )
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm2, grid, cg, eaux, caux, state, ndev=4
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
+
+
+def test_spatial_rejects_unsupported_knobs(setup):
+    """Explicitly requested unsupported modes must raise, not
+    silently downgrade (round-2 advisor item)."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup
+    mesh = make_spatial_mesh(jax.devices()[:2])
+    with pytest.raises(ValueError, match="cell_pallas"):
+        SpatialCellEngine(
+            dc.replace(prm, cell_pallas="on"),
+            MW, grid, eaux, cg, caux, mesh,
+        )
+    with pytest.raises(ValueError, match="apply"):
+        # T>1 without the apply kernel (CPU 'auto' disables kernels)
+        SpatialCellEngine(
+            dc.replace(prm, cell_trials=2, cell_pallas="auto"),
+            MW, grid, eaux, cg, caux, mesh,
+        )
+
+
+# ----------------------------------------------------------------------
+# D=8: needs 8 coarse x-cells (layers_owned >= halo depth), i.e. a
+# longer box than the 4x4x4 fixture - built once at module scope
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def setup_wide():
+    r0, H0 = stacking_switch_pair(28, 8, 18)     # N = 16128
+    N = r0.shape[1]
+    prm = RunParams(
+        nwater=N, num_lattices=2, n_walkers=2, dtype="float64",
+        mc_ensemble="npt", temperature=200.0,
+        list_update_int=2, latt_sync_int=3, mpi_sync_int=2,
+        eq_mc_cycles=0, mc_vol_prob=1.0 / N, allow_vol=True,
+        mc_always_switch=True, allow_switch=True,
+        mu_min=-1000.0, mu_max=1000.0,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float64)
+    mismatch, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mismatch)
+    assert shape[0] % 8 == 0, shape
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mismatch,
+    )
+    state, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    return prm, grid, cg, eaux, caux, state
+
+
+@pytest.mark.slow
+def test_sharded_substep_d8(setup_wide):
+    """8-device spatial mesh on the N=16128 pair: XLA sub-step path
+    equality (the widest mesh the test image's virtual CPU devices
+    support)."""
+    prm, grid, cg, eaux, caux, state = setup_wide
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm, grid, cg, eaux, caux, state, ndev=8
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
+
+
+@pytest.mark.slow
+def test_sharded_substep_apply_kernel_d8(setup_wide):
+    """8-device mesh with the in-place apply kernel stack + T=2
+    multi-trial: the full production configuration at maximum test
+    width."""
+    import dataclasses as dc
+
+    prm, grid, cg, eaux, caux, state = setup_wide
+    prm2 = dc.replace(
+        prm, cell_pallas="apply", cell_trials=2, cell_chain="on"
+    )
+    (a, tpa), (b, tpb) = _substep_pair(
+        prm2, grid, cg, eaux, caux, state, ndev=8
+    )
+    _assert_pair_equal(a, tpa, b, tpb)
