@@ -452,17 +452,40 @@ class Application:
                 self.logs.g("!============================================!")
                 break
 
-            # dd-mode equilibration window check (mc_cycle:187-201)
+            # dd-mode equilibration window check (mc_cycle:187-201).
+            # Reference semantics (dd_seeding=False): reach-once
+            # flags, hard abort - a rank outside its window would
+            # sample the wrong statistics forever.  Seeding semantics
+            # (default): membership is INSTANTANEOUS at the eq
+            # boundary, and post-eq the eta walls pull any stray into
+            # its window on first contact while its out-of-window
+            # WL/histogram writes land in bins the per-window
+            # flatness and stitching EXCLUDE - so strays are
+            # statistically harmless (just idle walkers, visible in
+            # the per-window monitor rows); warn, don't kill the run.
             if (
                 prm.parallel_strategy == "dd"
                 and prm.num_lattices == 2
                 and cycle >= prm.eq_mc_cycles
                 and not bool(np.asarray(self.state.in_window).all())
             ):
-                raise RuntimeError(
-                    "Not all walkers have reached their designated "
-                    f"window after {prm.eq_mc_cycles} MC cycles"
+                n_out = int(
+                    (~np.asarray(self.state.in_window)).sum()
                 )
+                if prm.dd_seeding:
+                    self.logs.g(
+                        f"# WARNING: {n_out} walkers not inside "
+                        f"their mu-window at cycle {cycle} (eta "
+                        "walls capture them on first contact; "
+                        "out-of-window WL writes are excluded from "
+                        "flatness/stitching)"
+                    )
+                else:
+                    raise RuntimeError(
+                        "Not all walkers have reached their "
+                        f"designated window after {prm.eq_mc_cycles}"
+                        " MC cycles"
+                    )
 
 
         # final checkpoint (main.f90:246)

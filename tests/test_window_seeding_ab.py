@@ -44,10 +44,14 @@ def _run_dd(tmp_path, examples_dir, name, seed, seeding, cycles,
         # 28 walkers: NOT divisible by the 8 virtual devices, so the
         # run stays unsharded (GSPMD overhead at 4 walkers/device
         # dominates CPU wall time; mesh correctness is pinned by
-        # test_mesh / test_mesh_soak, not here)
-        "n_walkers": 28, "n_windows": 4, "dtype": "float64",
+        # test_mesh / test_mesh_soak, not here).  TWO windows (split
+        # at mu=0): walkers drift into their half within the short
+        # test equilibration under BOTH eq semantics - wider window
+        # counts need the production-scale equilibration budget the
+        # N=216 dd run provides (runs/n216_wl_dd, 8 windows)
+        "n_walkers": 28, "n_windows": 2, "dtype": "float64",
         "dd_seeding": seeding, "seed": seed,
-        "eq_mc_cycles": 100, "mpi_sync_int": 10,
+        "eq_mc_cycles": 300, "mpi_sync_int": 10,
         "monitor_int": cycles, "flat_chk_int": 200,
         "deltaG_int": cycles, "chkpt_dump_int": 10 * cycles,
         "file_output_int": 200, "traj_output_int": 10 * cycles,
