@@ -310,6 +310,17 @@ def check_flatness(eng: Engine, state: SamplerState, logs) -> SamplerState:
             halve |= sel
             firstcycle[sel] = False
 
+        if flat.any() and not (prm.parallel_strategy == "mw"
+                               or nwin == 1):
+            # dd f-history: the reference's rank-0 wlf.dat records
+            # comms_get_max(f) across ranks (mc_check_flatness:
+            # 2068-2082 with :279-297); here max over windows, before
+            # and after this event's halvings
+            fmax_pre = float(f.max())
+            f_post = np.where(halve, 0.5 * f, f)
+            writers.append_wlf("wlf.dat", cycle, fmax_pre,
+                               float(f_post.max()))
+
     f = np.where(halve, 0.5 * f, f)
     if reset_w.any():
         # (comms_set_histogram, mc_check_flatness:1977, 2106)

@@ -405,7 +405,11 @@ class SpatialCellEngine:
     def _localise(self, x_own, fill):
         """Owned rows -> the local slab frame: [owned | lo halo | hi
         halo (ndev > 1 only) | DUMMY], the dummy row filled with
-        ``fill`` (invalid occupancy / zero packed data)."""
+        ``fill`` (invalid occupancy / zero packed data).  Called ONCE
+        per scan - inside the sub-step loop only the halo rows are
+        refreshed in place (_refresh_halo); a per-sub-step concat
+        would copy the whole multi-100MB slab through HBM every
+        sub-step (measured 7x whole-engine slowdown)."""
         rows_halo = self.plan.rows_halo
         parts = (
             [self._halo(x_own, rows_halo)]
@@ -415,6 +419,38 @@ class SpatialCellEngine:
             jnp.full((1,) + x_own.shape[1:], fill, x_own.dtype)
         )
         return jnp.concatenate(parts, axis=0)
+
+    def _refresh_halo(self, x_loc):
+        """In-place halo refresh of a LOCAL slab [owned | lo | hi |
+        dummy]: the ±1 ring shift of the neighbours' owned edge rows
+        (same sources as _halo), written with static-offset dynamic
+        updates so the scan carry never copies.  The dummy row needs
+        no refresh: its validity row is zero forever, so stale
+        garbage written to it by padded movers is never read as
+        data."""
+        import jax
+
+        D = self.ndev
+        rows_halo = self.plan.rows_halo
+        rows_owned = self.plan.rows_owned
+        up = [(i, (i + 1) % D) for i in range(D)]
+        dn = [(i, (i - 1) % D) for i in range(D)]
+        lo = jax.lax.ppermute(
+            jax.lax.slice_in_dim(
+                x_loc, rows_owned - rows_halo, rows_owned, axis=0
+            ),
+            "space", up,
+        )
+        hi = jax.lax.ppermute(
+            jax.lax.slice_in_dim(x_loc, 0, rows_halo, axis=0),
+            "space", dn,
+        )
+        x_loc = jax.lax.dynamic_update_slice_in_dim(
+            x_loc, lo, rows_owned, axis=0
+        )
+        return jax.lax.dynamic_update_slice_in_dim(
+            x_loc, hi, rows_owned + rows_halo, axis=0
+        )
 
     def _sharded_scan(self, s, codes, u_all, switch_ok, n_sub):
         """shard_map region: per-device sub-step scan with halo
@@ -461,13 +497,20 @@ class SpatialCellEngine:
             s2m_loc = self._localise(s2m_own, -1)
             s2m_flat = s2m_loc.reshape(-1, W)
             valid_loc = s2m_flat >= 0
-            tpm3_own = jnp.zeros((rows_owned, cap, W), jnp.int32)
+            rows_slab = s2m_loc.shape[0]
+            tpm3_loc0 = jnp.zeros((rows_slab, cap, W), jnp.int32)
+            # the scan CARRIES the localised slabs (owned + halo +
+            # dummy); each sub-step only refreshes the halo rows in
+            # place - re-localising per sub-step would stream the
+            # whole slab through HBM every sub-step
+            pks_loc0 = [self._localise(p, 0) for p in pks_own]
 
             def body(carry, xs):
-                st, pks_o, tpm_o = carry
+                st, pks_loc, tpm3 = carry
                 sid, u = xs                         # u [K,n_u,W]
                 tbl = jnp.mod(sid, eng.n_tables)
-                pks_loc = [self._localise(p, 0) for p in pks_o]
+                if D > 1:
+                    pks_loc = [self._refresh_halo(p) for p in pks_loc]
                 mv = jnp.take(mv_d, tbl, axis=0)      # [K_loc]
                 vj = mv >= 0
                 mvc = jnp.maximum(mv, 0)
@@ -505,14 +548,6 @@ class SpatialCellEngine:
                     )
                     return z.astype(bool) if was_bool else z
 
-                tpm3 = jnp.concatenate([
-                    tpm_o,
-                    jnp.zeros(
-                        (s2m_loc.shape[0] - rows_owned, cap, W),
-                        jnp.int32,
-                    ),
-                ])
-
                 if Tm == 1:
                     st2, pks_new, tpm3 = self._substep_t1(
                         eng, st, st_loc, pks_loc, tpm3, fc_g, fc_l,
@@ -525,15 +560,16 @@ class SpatialCellEngine:
                         cand_l, off_g, u, u_loc, codes_k, switch_ok,
                         valid_loc, vj, mvc, ownf, to_global,
                     )
+                return (st2, pks_new, tpm3), None
 
-                pks_o = [p[:rows_owned] for p in pks_new]
-                return (st2, pks_o, tpm3[:rows_owned]), None
-
-            (st, pks_o, tpm_o), _ = jax.lax.scan(
-                body, (s_sc, list(pks_own), tpm3_own),
+            (st, pks_loc, tpm_loc), _ = jax.lax.scan(
+                body, (s_sc, pks_loc0, tpm3_loc0),
                 (jnp.arange(n_sub, dtype=jnp.int32), u_all),
             )
-            return st, pks_o, tpm_o
+            # drop halo + dummy rows once, after the whole scan (tpm
+            # halo rows stay zero: counts are owner-masked)
+            return (st, [p[:rows_owned] for p in pks_loc],
+                    tpm_loc[:rows_owned])
 
         sh = P("space")
         rep = P()

@@ -58,7 +58,7 @@ def main():
     block = int(os.environ.get("MT_BLOCK", "10"))
     timed = int(os.environ.get("MT_TIMED", "5"))
     pallas = os.environ.get("MT_PALLAS", "apply")
-    disjoint = os.environ.get("MT_DISJOINT", "1") == "1"
+    disjoint = os.environ.get("MT_DISJOINT", "0") == "1"
 
     print("devices:", jax.devices())
     r0, H0 = stacking_switch_pair(nx, ny, m)

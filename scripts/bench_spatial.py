@@ -54,7 +54,7 @@ def main():
     cycles = int(os.environ.get("SP_CYCLES", "5"))
     pallas = os.environ.get("SP_PALLAS", "apply")
     T = int(os.environ.get("SP_TRIALS", "1"))
-    disjoint = os.environ.get("SP_DISJOINT", "1") == "1"
+    disjoint = os.environ.get("SP_DISJOINT", "0") == "1"
 
     devs = jax.devices()
     print("devices:", devs)
