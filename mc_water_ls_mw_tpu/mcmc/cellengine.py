@@ -997,7 +997,10 @@ class CellEngine(Engine):
         prm, model, cg = self.prm, self.model, self.cellgrid
         L = s.h.shape[0]
         W = s.mu.shape[-1]
-        K, cap = self.K, cg.cap
+        # K here is the LOCAL mover count (fc rows): the spatially
+        # sharded engine passes padded per-device schedules whose
+        # K_loc differs from the canonical self.K
+        K, cap = fc.shape[0], cg.cap
         T = self.T
         P = T + 1
         dtype = pks[0].dtype
