@@ -577,6 +577,17 @@ class SpatialCellEngine:
             region, mesh=self.smesh,
             in_specs=(rep, sh, sh, rep, rep, rep),
             out_specs=(rep, sh, sh),
+            # check_vma=True would statically verify the P() chain
+            # outputs are device-invariant, but it requires explicit
+            # pvary plumbing through every replicated-x-varying op in
+            # the region (tried 2026-08-20: fails at trace time).
+            # The replication invariant is instead checked
+            # DYNAMICALLY by the full-cycle equality test: any
+            # non-replicated chain state on a non-zero device would
+            # contaminate the next sub-step's one-owner psum and
+            # break the 10^3-sub-step bit-equality vs the unsharded
+            # engine (tests/test_spatial_engine.py
+            # test_sharded_equals_unsharded).
             check_vma=False,
         )(s_sc, pks, s2m3, u_all, codes, switch_ok)
         st, pks_g, tpm_g = out
