@@ -1510,12 +1510,19 @@ class CellEngine(Engine):
 
         if prm.samplerun:
             # frozen weights: eta at the recorded mu's is exactly the
-            # serial chain's (engine._wl_update NaN/overflow guards)
+            # serial chain's (engine._wl_update NaN/overflow guards;
+            # walled entries GATED out - see engine._wl_update's
+            # dd-boundary note)
             eta_val = jax.vmap(lambda m: self._eta(s, m))(mu_t)
+            unwalled = eta_val < 1e29
             arg = jnp.where(
-                upd > 0, eta_val - self.aux.log_unbiased_norm, -1.0
+                (upd > 0) & unwalled,
+                eta_val - self.aux.log_unbiased_norm, -1.0,
             )
-            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+            u_incr = jnp.where(
+                unwalled,
+                incr * jnp.exp(jnp.minimum(arg, 60.0)), 0.0,
+            )
             uhist = s.uhist + jnp.sum(
                 oh * u_incr[:, None, :], axis=0
             )

@@ -354,12 +354,24 @@ class Engine:
             # unbiased histogram with frozen weights (1625-1632).
             # Mask BEFORE the exp: out-of-window walkers carry the
             # eta wall (1e30) and exp(wall) * 0 would poison the
-            # histogram with NaN.
+            # histogram with NaN.  The wall must also GATE the
+            # increment entirely: in f32 a switch-accept refreshes mu
+            # from scratch, and near a dd window boundary the
+            # refreshed mu can land marginally outside the continuous
+            # wall while still binning INTO the window's edge bin -
+            # an exp(60)-clamped walled increment there poisons the
+            # per-window histogram scale (found by the round-3
+            # runs/n216_sample_dd production; mw mode has no walls
+            # and is unaffected)
             eta_val = self._eta(s, s.mu)
+            unwalled = eta_val < 1e29
             arg = jnp.where(
-                upd > 0, eta_val - self.aux.log_unbiased_norm, -1.0
+                (upd > 0) & unwalled,
+                eta_val - self.aux.log_unbiased_norm, -1.0,
             )
-            u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+            u_incr = jnp.where(
+                unwalled, incr * jnp.exp(jnp.minimum(arg, 60.0)), 0.0
+            )
             uhist = s.uhist + oh * u_incr[None, :]
             return s._replace(hist=hist, uhist=uhist)
 

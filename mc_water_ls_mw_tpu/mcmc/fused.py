@@ -162,10 +162,19 @@ def wl_move_update(prm: RunParams, grid: BinGrid, samplerun: bool,
 
     if samplerun:
         # unbiased histogram, frozen weights (1625-1632); mask
-        # BEFORE the exp (eta wall would poison via exp(1e30)*0)
+        # BEFORE the exp (eta wall would poison via exp(1e30)*0),
+        # and GATE walled entries out entirely: an f32 switch-accept
+        # mu refresh near a dd window boundary can bin a marginally
+        # out-of-wall mu into the window's edge bin, where a clamped
+        # exp(60) increment poisons the per-window scale (see
+        # engine._wl_update)
         eta_val = eta_fn(mu)
-        arg = jnp.where(upd > 0, eta_val - log_norm, -1.0)
-        u_incr = incr * jnp.exp(jnp.minimum(arg, 60.0))
+        unwalled = eta_val < 1e29
+        arg = jnp.where((upd > 0) & unwalled, eta_val - log_norm,
+                        -1.0)
+        u_incr = jnp.where(
+            unwalled, incr * jnp.exp(jnp.minimum(arg, 60.0)), 0.0
+        )
         uh[...] = uh[...] + oh * u_incr[None, :]
         return f, sumhist
 
