@@ -192,12 +192,17 @@ def init_state(
     N = prm.nwater
     B = grid.nbins
 
+    # static image shifts covering the Verlet radius for all lattices.
+    # Computed from the INCOMING host arrays before any device_put: the
+    # shift range is purely host-side, and a device->host round-trip
+    # here is both pointless and a crash site when the shared TPU lease
+    # wedges between the claim probe and first use (BENCH_r03 rc=1).
+    H0_host = np.asarray(H0, dtype=np.float64)
+    bounds = [cell_shift_range(H0_host[l], model.rskin)
+              for l in range(L)]
+
     r0 = jnp.asarray(r0, dtype=dtype)
     H0 = jnp.asarray(H0, dtype=dtype)
-
-    # static image shifts covering the Verlet radius for all lattices
-    bounds = [cell_shift_range(np.asarray(H0[l]), model.rskin)
-              for l in range(L)]
     bmax = tuple(max(b[d] for b in bounds) for d in range(3))
     shifts = jnp.asarray(enumerate_shifts(bmax))
 

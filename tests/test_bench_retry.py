@@ -1,0 +1,44 @@
+"""Forced-failure test of bench.py's retry path (VERDICT r3 weak #1).
+
+Round 3 recorded no headline number because the shared TPU lease
+wedged after the claim probe and the single-process bench had no
+second chance.  The hardened bench runs each case in a killable child
+and retries; this test forces the first child attempt to crash
+(BENCH_FORCE_FAIL_ATTEMPTS=1) and asserts the orchestrator still
+produces the one-line JSON with attempts == 2.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_bench_retries_after_child_crash():
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        BENCH_FORCE_FAIL_ATTEMPTS="1",
+        BENCH_NWATER="48",
+        BENCH_WALKERS="8",
+        BENCH_CYCLES="2",
+        BENCH_SYNC_INT="2",
+        BENCH_CLAIM_WAIT="600",
+        BENCH_CHILD_TIMEOUT="500",
+    )
+    res = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=str(REPO),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["unit"] == "moves/s"
+    assert out["value"] > 0
+    # first attempt was forced to die; the row must record the retry
+    assert out["rows"][0]["attempts"] == 2
+    # the forced crash was visible to the orchestrator
+    assert "attempt 1 died" in res.stderr
