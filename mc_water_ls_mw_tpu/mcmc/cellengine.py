@@ -188,10 +188,6 @@ class CellEngine(Engine):
     def __init__(self, prm: RunParams, model: SWParams, grid: BinGrid,
                  aux: EngineAux, cellgrid: CellGrid, cellaux: CellAux,
                  mesh=None):
-        if prm.minu:
-            raise NotImplementedError(
-                "MINU variant not supported by the large-N cell engine"
-            )
         prm = dataclasses.replace(prm, fused="off")
         super().__init__(prm, model, grid, aux, mesh=mesh)
         self.cellgrid = cellgrid
@@ -507,14 +503,19 @@ class CellEngine(Engine):
         sub-step chain) — the chain body then costs a handful of [W]
         ops per trial instead of logs.
 
-        Returns (two, cmu, sw_c):
+        Returns (two, cmu, sw_c, minu_c):
           * mu from scratch = beta*(E0 - E1) + cmu (mc_moves:856-862)
           * switch rule dsw = sgn(ls) * (beta*(E1 - E0) + sw_c)
             (mc_lattice_switch, mc_moves.F90:1558-1559)
+          * MINU lattice pick (mc_moves.F90:1119-1126): lsn = 1 iff
+            beta*(E'1 - E'0) + minu_c < 0 (argmin of the trial
+            enthalpies, first-min-on-ties like Fortran minloc;
+            engine._translate's enth convention - the PV term only
+            under npt)
         """
         prm = self.prm
         two = prm.num_lattices == 2
-        cmu = sw_c = None
+        cmu = sw_c = minu_c = None
         vol0 = s.volume
         if two:
             rh = self.aux.ref_enthalpy
@@ -528,7 +529,10 @@ class CellEngine(Engine):
                 sw_c = pterm - prm.nwater * lv10
             if prm.leshift:
                 sw_c = sw_c - prm.beta * (rh[1] - rh[0])
-        return two, cmu, sw_c
+            minu_c = sw_c
+            if prm.mc_ensemble == "npt":
+                minu_c = sw_c + prm.nwater * lv10
+        return two, cmu, sw_c, minu_c
 
     def _substep(self, s: CellState, pks, tpm_slab, fc, cand_cells_b,
                  cand_off_b, u, codes_k, switch_ok):
@@ -565,10 +569,10 @@ class CellEngine(Engine):
             in_pts = jnp.stack(
                 [jnp.ones_like(in_cell), in_cell]
             )                                          # [P,K,W]
-            two, cmu, sw_c = self._hoisted_chain_terms(s)
+            two, cmu, sw_c, minu_c = self._hoisted_chain_terms(s)
             small, j_oh_f, _en = self._chain_kernel_substep(
                 s, e_pts, in_pts, has_mover, codes_k,
-                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c,
+                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c, minu_c,
             )
             accepts = j_oh_f[:, 1, :]
         else:
@@ -728,7 +732,7 @@ class CellEngine(Engine):
         eta_fn = lambda mu_v: self._eta_from_weight(   # noqa: E731
             s, weight0, mu_v
         )
-        two, cmu, sw_c = self._hoisted_chain_terms(s)
+        two, cmu, sw_c, minu_c = self._hoisted_chain_terms(s)
 
         def body(carry, xs):
             mu, ls, energy = carry
@@ -738,6 +742,7 @@ class CellEngine(Engine):
             # counts and still updates the WL histogram at current mu,
             # exactly like any Metropolis rejection)
             enabled = tt & has_k
+            ls_next = ls
             if two:
                 dmu = (dE_k[0] - dE_k[1]) * prm.beta
                 mu_new = mu + dmu
@@ -745,6 +750,22 @@ class CellEngine(Engine):
                 eta_new = eta_fn(mu_new)
                 dE_ls = _take_lat(dE_k, ls)
                 diffkT = prm.beta * dE_ls + eta_new - eta_old
+                if prm.minu:
+                    # #ifdef MINU: fold a switch to the lower-enthalpy
+                    # lattice into the move (mc_moves.F90:1119-1140;
+                    # same convention as engine._translate)
+                    e_new = energy + dE_k              # [L,W]
+                    g10 = prm.beta * (e_new[1] - e_new[0]) + minu_c
+                    lsn = jnp.where(g10 < 0, 1, 0).astype(ls.dtype)
+                    E_lsn = jnp.where(lsn == 0, e_new[0], e_new[1])
+                    E_cur = jnp.where(ls == 0, energy[0], energy[1])
+                    sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
+                    alt = (
+                        prm.beta * (E_lsn - E_cur)
+                        + eta_new - eta_old + sgn_c
+                    )
+                    diffkT = jnp.where(lsn != ls, alt, diffkT)
+                    ls_next = lsn
             else:
                 dmu = jnp.zeros((W,), dtype=dtype)
                 mu_new = mu
@@ -757,6 +778,8 @@ class CellEngine(Engine):
 
             energy = jnp.where(accept[None, :], energy + dE_k, energy)
             mu = jnp.where(accept, mu_new, mu)
+            if two and prm.minu:
+                ls = jnp.where(accept, ls_next, ls)
             mu_trans = mu          # mu after the translation trial:
             healthy = jnp.all(jnp.isfinite(energy), axis=0)
             # switch attempt after the move (mc_always_switch,
@@ -951,18 +974,18 @@ class CellEngine(Engine):
          owns, cs) = self._propose_tm(s, pks, fc, cand_cells_b,
                                       cand_off_b, u)
 
-        two, cmu, sw_c = self._hoisted_chain_terms(s)
+        two, cmu, sw_c, minu_c = self._hoisted_chain_terms(s)
         if self.use_chain_kernel:
             small, j_oh_f, en_per_mover = self._chain_kernel_substep(
                 s, e, in_cell, has_mover, codes_kt,
                 u[:, 4 + 3 * T:4 + 4 * T, :].reshape(K * T, W),
                 u[:, 4 + 4 * T:4 + 5 * T, :].reshape(K * T, W),
-                switch_ok, cmu, sw_c,
+                switch_ok, cmu, sw_c, minu_c,
             )
         else:
             small, j_oh_f, en_per_mover = self._chain_xla_substep(
                 s, e, in_cell, has_mover, codes_kt, u, switch_ok,
-                two, cmu, sw_c,
+                two, cmu, sw_c, minu_c,
             )
 
         pks = self._apply_tm(
@@ -1175,7 +1198,8 @@ class CellEngine(Engine):
         return pks
 
     def _chain_xla_substep(self, s: CellState, e, in_cell, has_mover,
-                           codes_kt, u, switch_ok, two, cmu, sw_c):
+                           codes_kt, u, switch_ok, two, cmu, sw_c,
+                           minu_c=None):
         """XLA implementation of the K x T multi-trial chain with
         PER-MOVE WL - the chain kernel's equivalence oracle and the
         fallback on non-disjoint grids / CPU.  The scan carries the
@@ -1219,6 +1243,7 @@ class CellEngine(Engine):
                 dE_k = e_k[:, t] - e_cur                    # [L,W]
                 enabled = tt & has_k
                 inc_ok = in_cur & inc_k[t]
+                ls_next = ls
                 if two:
                     dmu = (dE_k[0] - dE_k[1]) * prm.beta
                     mu_new = mu + dmu
@@ -1227,6 +1252,29 @@ class CellEngine(Engine):
                     eta_new = self._eta_from_weight(s0, wtot, mu_new)
                     dE_ls = _take_lat(dE_k, ls)
                     diffkT = prm.beta * dE_ls + eta_new - eta_old
+                    if prm.minu:
+                        # #ifdef MINU fold-in (mc_moves.F90:1119-1140;
+                        # engine._translate convention)
+                        e_new = energy + dE_k
+                        g10 = (
+                            prm.beta * (e_new[1] - e_new[0]) + minu_c
+                        )
+                        lsn = jnp.where(g10 < 0, 1, 0).astype(
+                            ls.dtype
+                        )
+                        E_lsn = jnp.where(
+                            lsn == 0, e_new[0], e_new[1]
+                        )
+                        E_cur = jnp.where(
+                            ls == 0, energy[0], energy[1]
+                        )
+                        sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
+                        alt = (
+                            prm.beta * (E_lsn - E_cur)
+                            + eta_new - eta_old + sgn_c
+                        )
+                        diffkT = jnp.where(lsn != ls, alt, diffkT)
+                        ls_next = lsn
                 else:
                     dmu = jnp.zeros((W,), dtype=dtype)
                     mu_new = mu
@@ -1242,6 +1290,8 @@ class CellEngine(Engine):
                     accept[None, :], energy + dE_k, energy
                 )
                 mu = jnp.where(accept, mu_new, mu)
+                if two and prm.minu:
+                    ls = jnp.where(accept, ls_next, ls)
                 j_oh = jnp.where(accept[None, :], iota_p == t, j_oh)
 
                 # per-move WL at mu after the trial (engine._wl_update
@@ -1317,7 +1367,7 @@ class CellEngine(Engine):
 
     def _chain_kernel_substep(self, s: CellState, e, in_cell,
                               has_mover, codes_kt, ua, uz, switch_ok,
-                              cmu, sw_c):
+                              cmu, sw_c, minu_c=None):
         """Fused-kernel chain (mcmc/chain_pallas.py): same semantics
         as _chain_xla_substep, with the WL slabs VMEM-resident for
         the whole K x T chain.  ``ua``/``uz`` [K*T, W] accept/switch
@@ -1326,7 +1376,8 @@ class CellEngine(Engine):
         the same triple."""
         from .chain_pallas import (
             CF_CMU, CF_E0, CF_E1, CF_F, CF_MAX_DMU, CF_MIN_DMU,
-            CF_MU, CF_MU_MAX, CF_MU_MIN, CF_ROWS, CF_SUMHIST, CF_SWC,
+            CF_MINUC, CF_MU, CF_MU_MAX, CF_MU_MIN, CF_ROWS,
+            CF_SUMHIST, CF_SWC,
             CI_END, CI_INVT, CI_INWIN, CI_LS, CI_OCCOK, CI_ROWS,
             CI_START, CI_SWOK, CN_ACC, CN_EN, CN_FIXED, CN_SWACC,
             CN_SWEN, FL_CYCLE, FL_WL_ACTIVE,
@@ -1353,6 +1404,9 @@ class CellEngine(Engine):
         )
         cf_rows[CF_CMU] = cmu
         cf_rows[CF_SWC] = sw_c
+        cf_rows[CF_MINUC] = (
+            minu_c if minu_c is not None else jnp.zeros_like(cmu)
+        )
         cf = jnp.stack([r.astype(dtype) for r in cf_rows])
 
         ci_rows = [None] * CI_ROWS

@@ -44,7 +44,8 @@ from .fused import TRANS, SWITCH, eta_lookup, wl_move_update
 CF_MU, CF_E0, CF_E1, CF_F, CF_SUMHIST = 0, 1, 2, 3, 4
 CF_MIN_DMU, CF_MAX_DMU = 5, 6
 CF_MU_MIN, CF_MU_MAX, CF_CMU, CF_SWC = 7, 8, 9, 10
-CF_ROWS = 11
+CF_MINUC = 11
+CF_ROWS = 12
 # ci: int per-walker rows (aliased; LS mutates)
 CI_LS, CI_START, CI_END, CI_INWIN, CI_INVT = 0, 1, 2, 3, 4
 CI_OCCOK, CI_SWOK = 5, 6
@@ -105,6 +106,7 @@ class ChainWLPallas:
         mu_max = cf_ref[CF_MU_MAX]
         cmu = cf_ref[CF_CMU]
         sw_c = cf_ref[CF_SWC]
+        minu_c = cf_ref[CF_MINUC]
         ls = ci_ref[CI_LS]
         start_b = ci_ref[CI_START]
         end_b = ci_ref[CI_END]
@@ -168,6 +170,22 @@ class ChainWLPallas:
                 eta_new = eta_of(mu_new)
                 dE_ls = jnp.where(ls == 0, dE0, dE1)
                 diffkT = prm.beta * dE_ls + eta_new - eta_old
+                if prm.minu:
+                    # #ifdef MINU fold-in (mc_moves.F90:1119-1140;
+                    # engine._translate convention): switch to the
+                    # lower-enthalpy lattice as part of the move
+                    en0 = e0 + dE0
+                    en1 = e1 + dE1
+                    g10 = prm.beta * (en1 - en0) + minu_c
+                    lsn = jnp.where(g10 < 0.0, 1, 0)
+                    E_lsn = jnp.where(lsn == 0, en0, en1)
+                    E_cur = jnp.where(ls == 0, e0, e1)
+                    sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
+                    alt = (
+                        prm.beta * (E_lsn - E_cur)
+                        + eta_new - eta_old + sgn_c
+                    )
+                    diffkT = jnp.where(lsn != ls, alt, diffkT)
                 ok = jnp.isfinite(diffkT) & jnp.isfinite(mu_new)
                 enabled = tt & has_k
                 accept = (
@@ -178,6 +196,8 @@ class ChainWLPallas:
                 e0 = e0 + accf * dE0
                 e1 = e1 + accf * dE1
                 mu = jnp.where(accept, mu_new, mu)
+                if prm.minu:
+                    ls = jnp.where(accept, lsn, ls)
                 j_rows = [
                     jnp.where(accept,
                               jnp.full((W,), 1.0 if p == t else 0.0,
