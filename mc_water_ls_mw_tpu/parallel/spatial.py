@@ -327,8 +327,36 @@ class SpatialCellEngine:
             p.cand_local.transpose(1, 0, 2, 3)
         )
         self.t_own_fc = jnp.asarray(p.own_fc.transpose(1, 0, 2))
-        self.run_cycles = jax.jit(self._run_cycles,
-                                  static_argnums=(1,))
+        self._jit_run_cycles = jax.jit(self._run_cycles,
+                                       static_argnums=(1,))
+
+    # -- sharding-stable entry -----------------------------------------
+    #
+    # The region's out_specs hand some state leaves back with
+    # NamedShardings attached (pks/tpm are sharded over "space" at the
+    # boundary and _unpack mixes them into r/moments).  Feeding that
+    # output state into a second run_cycles call then presents jit
+    # with DIFFERENT input shardings than the first call - and jit
+    # re-lowers and re-compiles.  Round 3 measured this recompile as
+    # an "8x spatial slowdown" / "11x shard_map composite pathology"
+    # (DESIGN.md 5c): every bench timed exactly the second call, whose
+    # wall time is ~pure XLA compile (probe_resharding_recompile.py -
+    # call3 runs at full unsharded parity).  Pinning every leaf to a
+    # canonical replicated NamedSharding at entry AND exit makes the
+    # call a sharding fixed point: one compile, ever.
+
+    def _canon_state(self, s):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.smesh, P())
+        return jax.tree.map(lambda _: rep, s)
+
+    def run_cycles(self, s, n_cycles: int):
+        import jax
+
+        s = jax.device_put(s, self._canon_state(s))
+        return self._jit_run_cycles(s, n_cycles)
 
     # -- helpers -------------------------------------------------------
 
@@ -624,10 +652,10 @@ class SpatialCellEngine:
             e_g = to_global(e_loc)
             in1_g = to_global(in_cell)
             in_pts = jnp.stack([jnp.ones_like(in1_g), in1_g])
-            two, cmu, sw_c = eng._hoisted_chain_terms(st)
+            two, cmu, sw_c, minu_c = eng._hoisted_chain_terms(st)
             st2, j_oh_g, _en = eng._chain_kernel_substep(
                 st, e_g, in_pts, has_g, codes_k,
-                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c,
+                u[:, 5, :], u[:, 6, :], switch_ok, cmu, sw_c, minu_c,
             )
             accepts_g = j_oh_g[:, 1, :]
             tt_g = jnp.broadcast_to(
@@ -695,18 +723,18 @@ class SpatialCellEngine:
         in_g = to_global(in_cell)                   # [P,K,W]
         has_g = to_global(has_mover)
 
-        two, cmu, sw_c = eng._hoisted_chain_terms(st)
+        two, cmu, sw_c, minu_c = eng._hoisted_chain_terms(st)
         if eng.use_chain_kernel:
             st2, j_oh_g, en_g = eng._chain_kernel_substep(
                 st, e_g, in_g, has_g, codes_k,
                 u[:, 4 + 3 * Tm:4 + 4 * Tm, :].reshape(K * Tm, W),
                 u[:, 4 + 4 * Tm:4 + 5 * Tm, :].reshape(K * Tm, W),
-                switch_ok, cmu, sw_c,
+                switch_ok, cmu, sw_c, minu_c,
             )
         else:
             st2, j_oh_g, en_g = eng._chain_xla_substep(
                 st, e_g, in_g, has_g, codes_k, u, switch_ok,
-                two, cmu, sw_c,
+                two, cmu, sw_c, minu_c,
             )
 
         # local slice of the accepted-point one-hot; padded movers
@@ -743,4 +771,8 @@ class SpatialCellEngine:
         def body(carry, _):
             return self._one_cycle(carry)
 
-        return jax.lax.scan(body, s, None, length=n_cycles)
+        s2, samples = jax.lax.scan(body, s, None, length=n_cycles)
+        # exit with the same canonical (replicated) shardings the
+        # entry device_put establishes - see run_cycles
+        s2 = jax.lax.with_sharding_constraint(s2, self._canon_state(s2))
+        return s2, samples

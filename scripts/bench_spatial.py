@@ -84,10 +84,19 @@ def main():
     rows = []
 
     def bench(tag, eng, st0):
+        # TWO warm-up calls, the second fed the first's output: a
+        # jitted entry whose output shardings differ from its input's
+        # recompiles on call 2, and timing that call measures XLA
+        # compile, not execution - exactly the round-3 mistake that
+        # mis-read the spatial engine as 8x slow
+        # (probe_resharding_recompile.py; spatial.run_cycles is now a
+        # sharding fixed point, so call 2 is already steady state)
         t0 = time.time()
         s, _ = eng.run_cycles(st0, cycles)
         jax.block_until_ready(s.energy)
         compile_s = time.time() - t0
+        s, _ = eng.run_cycles(s, cycles)
+        jax.block_until_ready(s.energy)
         t0 = time.time()
         s, _ = eng.run_cycles(s, cycles)
         jax.block_until_ready(s.energy)

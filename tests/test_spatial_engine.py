@@ -105,6 +105,27 @@ def test_sharded_equals_unsharded(setup):
 
 
 @pytest.mark.slow
+def test_run_cycles_is_sharding_stable(setup):
+    """Feeding run_cycles its own output must NOT recompile.
+
+    The region's out_specs attach NamedShardings to some state
+    leaves; before round 4 the second call therefore re-lowered with
+    different input shardings and jit compiled AGAIN - benches timing
+    that call recorded ~pure compile time and mis-diagnosed it as an
+    '8x spatial execution slowdown' (round-3 DESIGN.md 5c;
+    scripts/probe_resharding_recompile.py).  The canonical-sharding
+    entry/exit (SpatialCellEngine.run_cycles/_run_cycles) makes the
+    call a sharding fixed point."""
+    prm, grid, cg, eaux, caux, state = setup
+    mesh = make_spatial_mesh(jax.devices()[:2])
+    seng = SpatialCellEngine(prm, MW, grid, eaux, cg, caux, mesh)
+    s1, _ = seng.run_cycles(state, 1)
+    s2, _ = seng.run_cycles(s1, 1)
+    jax.block_until_ready(s2.energy)
+    assert seng._jit_run_cycles._cache_size() == 1
+
+
+@pytest.mark.slow
 def test_sharded_runs_on_four_devices(setup):
     """Wider mesh smoke: D=4 shards one FULL cycle (every cycle-rank
     phase) and keeps the audit invariants (energy vs recompute)
