@@ -247,13 +247,33 @@ def build_spatial_plan(cg: CellGrid, fc_stack: np.ndarray,
 # runtime: the spatially sharded cell engine
 # ----------------------------------------------------------------------
 
-def make_spatial_mesh(devices=None):
-    """1-D device mesh over the ``space`` axis."""
+def make_spatial_mesh(devices=None, walkers: int = 1):
+    """Device mesh over the ``space`` axis - optionally 2-D
+    ``space x walkers`` (round-4 composition of the two scaling
+    axes: the reference's every-rank-is-both analog,
+    comms_mpi.f90:244-530 collectives across P1 x P2).
+
+    ``walkers`` > 1 splits the device list into a
+    (n_devices/walkers, walkers) grid: slabs shard over ``space``,
+    the walker ensemble over ``walkers``; the per-sub-step psum/
+    ppermute collectives ride the space axis only, while the
+    cycle-rank delta-sync reductions cross the walkers axis via
+    GSPMD exactly as in the dense engine's walker mesh
+    (parallel/mesh.py)."""
     import jax
     from jax.sharding import Mesh
 
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ("space",))
+    devs = np.asarray(devices)
+    if walkers <= 1:
+        return Mesh(devs, ("space",))
+    if devs.size % walkers:
+        raise ValueError(
+            f"{devs.size} devices do not factor into "
+            f"(space, walkers={walkers})"
+        )
+    return Mesh(devs.reshape(devs.size // walkers, walkers),
+                ("space", "walkers"))
 
 
 class SpatialCellEngine:
@@ -314,7 +334,17 @@ class SpatialCellEngine:
         self.aux = aux
         self.cellgrid = cellgrid
         self.smesh = mesh
-        self.ndev = int(np.prod(mesh.devices.shape))
+        # 2-D space x walkers composition: the slab partition follows
+        # the "space" axis; the walker ensemble shards over "walkers"
+        self.ndev = int(dict(zip(mesh.axis_names,
+                                 mesh.devices.shape))["space"])
+        self.wdev = int(dict(zip(mesh.axis_names,
+                                 mesh.devices.shape)).get("walkers", 1))
+        if self.wdev > 1 and prm.n_walkers % self.wdev:
+            raise ValueError(
+                f"n_walkers={prm.n_walkers} must divide over the "
+                f"walkers mesh axis ({self.wdev})"
+            )
         self.plan = build_spatial_plan(
             cellgrid, np.asarray(self.inner.fc_stack), self.ndev
         )
@@ -345,12 +375,53 @@ class SpatialCellEngine:
     # canonical replicated NamedSharding at entry AND exit makes the
     # call a sharding fixed point: one compile, ever.
 
+    # state fields with NO walker axis (or whose trailing axis must
+    # never be mistaken for one - e.g. shared_key [2] when W == 2,
+    # the window-major master DS slabs [nwin, B])
+    _REPL_FIELDS = frozenset({
+        "origin", "cycle", "shared_key", "dropped",
+        "master_eta", "master_hist", "master_uhist",
+    })
+
+    def _wleaf_spec(self, leaf):
+        """Trailing-walker-axis rule for one leaf
+        (parallel/mesh.shard_state's rule); replicated over space."""
+        from jax.sharding import PartitionSpec as P
+
+        W = self.prm.n_walkers
+        if self.wdev == 1 or not hasattr(leaf, "ndim") or leaf.ndim < 1:
+            return P()
+        if leaf.shape[-1] == W:
+            return P(*((None,) * (leaf.ndim - 1) + ("walkers",)))
+        return P()
+
+    def _state_specs(self, s):
+        """Field-aware PartitionSpec pytree for a CellState."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        W = self.prm.n_walkers
+        out = []
+        for name, sub in zip(type(s)._fields, s):
+            if self.wdev == 1 or name in self._REPL_FIELDS:
+                out.append(jax.tree.map(lambda _: P(), sub))
+            elif name == "key":                          # [W, 2]
+                out.append(P("walkers", None))
+            else:
+                out.append(jax.tree.map(self._wleaf_spec, sub))
+        return type(s)(*out)
+
     def _canon_state(self, s):
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
 
-        rep = NamedSharding(self.smesh, P())
-        return jax.tree.map(lambda _: rep, s)
+        return jax.tree.map(
+            lambda spec: NamedSharding(self.smesh, spec),
+            self._state_specs(s),
+            is_leaf=lambda x: isinstance(
+                x, jax.sharding.PartitionSpec
+            ),
+        )
 
     def run_cycles(self, s, n_cycles: int):
         import jax
@@ -523,10 +594,13 @@ class SpatialCellEngine:
             # occupancy is static inside the scan (rebins happen
             # outside): build the local-with-halo view once
             s2m_loc = self._localise(s2m_own, -1)
-            s2m_flat = s2m_loc.reshape(-1, W)
+            # walker count INSIDE the region: W/wdev under the 2-D
+            # space x walkers mesh (the outer W is the global count)
+            W_loc = s_sc.mu.shape[-1]
+            s2m_flat = s2m_loc.reshape(-1, W_loc)
             valid_loc = s2m_flat >= 0
             rows_slab = s2m_loc.shape[0]
-            tpm3_loc0 = jnp.zeros((rows_slab, cap, W), jnp.int32)
+            tpm3_loc0 = jnp.zeros((rows_slab, cap, W_loc), jnp.int32)
             # the scan CARRIES the localised slabs (owned + halo +
             # dummy); each sub-step only refreshes the halo rows in
             # place - re-localising per sub-step would stream the
@@ -599,12 +673,23 @@ class SpatialCellEngine:
             return (st, [p[:rows_owned] for p in pks_loc],
                     tpm_loc[:rows_owned])
 
-        sh = P("space")
+        # walker-axis composition: every [.., W] operand additionally
+        # shards its trailing axis over "walkers" (degenerate when the
+        # mesh has no walkers axis); the region body is elementwise in
+        # W throughout, so it is oblivious to W being a shard
+        wk = "walkers" if self.wdev > 1 else None
+        s_spec = self._state_specs(s_sc)
+        pk_spec = [P("space", None, None, wk) for _ in pks]
+        s2m_spec = P("space", None, wk)
+        u_spec = P(None, None, None, wk)
+        swok_spec = P(wk)
+        tpm_spec = P("space", None, wk)
         rep = P()
         out = shard_map(
             region, mesh=self.smesh,
-            in_specs=(rep, sh, sh, rep, rep, rep),
-            out_specs=(rep, sh, sh),
+            in_specs=(s_spec, pk_spec, s2m_spec, u_spec, rep,
+                      swok_spec),
+            out_specs=(s_spec, pk_spec, tpm_spec),
             # check_vma=True would statically verify the P() chain
             # outputs are device-invariant, but it requires explicit
             # pvary plumbing through every replicated-x-varying op in

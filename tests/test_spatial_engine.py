@@ -104,6 +104,87 @@ def test_sharded_equals_unsharded(setup):
         )
 
 
+@pytest.fixture(scope="module")
+def setup4():
+    """W=4 variant of ``setup`` for the 2-D space x walkers mesh."""
+    r0, H0 = stacking_switch_pair(14, 8, 18)
+    N = r0.shape[1]
+    prm = RunParams(
+        nwater=N, num_lattices=2, n_walkers=4, dtype="float64",
+        mc_ensemble="npt", temperature=200.0,
+        list_update_int=2, latt_sync_int=3, mpi_sync_int=2,
+        eq_mc_cycles=0, mc_vol_prob=1.0 / N, allow_vol=True,
+        mc_always_switch=True, allow_switch=True,
+        mu_min=-1000.0, mu_max=1000.0,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float64)
+    mismatch, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mismatch)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mismatch,
+    )
+    state, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    return prm, grid, cg, eaux, caux, state
+
+
+def _assert_2d_matches(s1, s2):
+    np.testing.assert_array_equal(np.asarray(s1.ls), np.asarray(s2.ls))
+    np.testing.assert_array_equal(np.asarray(s1.att),
+                                  np.asarray(s2.att))
+    np.testing.assert_array_equal(np.asarray(s1.acc),
+                                  np.asarray(s2.acc))
+    np.testing.assert_array_equal(np.asarray(s1.hist),
+                                  np.asarray(s2.hist))
+    np.testing.assert_array_equal(np.asarray(s1.slot2mol),
+                                  np.asarray(s2.slot2mol))
+    for name in ("mu", "energy", "volume", "weight", "r", "h"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s1, name)),
+            np.asarray(getattr(s2, name)),
+            rtol=0, atol=1e-9, err_msg=name,
+        )
+
+
+def test_make_spatial_mesh_2d_factoring():
+    devs = jax.devices()[:8]
+    mesh = make_spatial_mesh(devs, walkers=4)
+    assert mesh.axis_names == ("space", "walkers")
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "space": 2, "walkers": 4,
+    }
+    with pytest.raises(ValueError):
+        make_spatial_mesh(devs[:6], walkers=4)
+
+
+@pytest.mark.slow
+def test_sharded_2d_space2_walkers2(setup4):
+    """space=2 x walkers=2 mesh reproduces the unsharded chain
+    exactly: the slab partition composes with walker sharding (the
+    reference's every-MPI-rank-is-both-a-walker-and-a-window analog,
+    comms_mpi.f90:244-530)."""
+    prm, grid, cg, eaux, caux, state = setup4
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    mesh = make_spatial_mesh(jax.devices()[:4], walkers=2)
+    seng = SpatialCellEngine(prm, MW, grid, eaux, cg, caux, mesh)
+    assert seng.ndev == 2 and seng.wdev == 2
+    s1, _ = eng.run_cycles(state, 2)
+    s2, _ = seng.run_cycles(state, 2)
+    _assert_2d_matches(s1, s2)
+
+
+@pytest.mark.slow
+def test_sharded_2d_space2_walkers4(setup4):
+    prm, grid, cg, eaux, caux, state = setup4
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    mesh = make_spatial_mesh(jax.devices()[:8], walkers=4)
+    seng = SpatialCellEngine(prm, MW, grid, eaux, cg, caux, mesh)
+    assert seng.ndev == 2 and seng.wdev == 4
+    s1, _ = eng.run_cycles(state, 2)
+    s2, _ = seng.run_cycles(state, 2)
+    _assert_2d_matches(s1, s2)
+
+
 @pytest.mark.slow
 def test_run_cycles_is_sharding_stable(setup):
     """Feeding run_cycles its own output must NOT recompile.
