@@ -411,4 +411,20 @@ def compute_deltaG(eng: Engine, state: SamplerState, logs,
         fh.write("#Current energy increment =  0.000000000000E+00\n")
         for m, v, rw in zip(mub, normP, joined):
             fh.write(f"  {m: .14E}  {v: .14E}  {rw: .14E}\n")
+    if prm.parallel_strategy == "dd" and _nwin(state) > 1:
+        # dd: the stitched raw column above is NOT block-differencable
+        # (the per-window matching constants of join_uhist change as
+        # the histograms grow), so ALSO dump the cumulative PER-WINDOW
+        # raw histograms - deltag_error.py --dd differences these per
+        # window and re-stitches each delete-one-block total
+        wpath = f"uhist_windows_{cycle:010d}.dat"
+        with open(wpath, "w") as fh:
+            fh.write(f"# mu then {u_cur.shape[0]} per-window raw "
+                     "cumulative unbiased-histogram columns "
+                     f"(window_overlap={prm.window_overlap})\n")
+            for k in range(B):
+                fh.write(f"  {mub[k]: .14E}" + "".join(
+                    f"  {u_cur[w, k]: .14E}"
+                    for w in range(u_cur.shape[0])
+                ) + "\n")
     return state

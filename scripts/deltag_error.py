@@ -14,9 +14,17 @@ mu>0 side) gives the error bar the single pooled estimate lacks
 (reference counterpart: mc_compute_deltaG_from_hist,
 mc_moves.F90:2498-2621, which reports no error).
 
+dd mode (--dd --overlap K): uses the per-window cumulative raw dumps
+``uhist_windows_<cycle>.dat`` (written by compute_deltaG in dd runs)
+instead - consecutive STITCHED dumps cannot be differenced because
+join_uhist's per-window matching constants change between dumps, so
+each delete-one-block total is re-stitched from per-window block sums
+(comms_join_uhist semantics, comms_mpi.f90:299-379).
+
 Usage:
     python scripts/deltag_error.py <run_dir> --nwater 216 \
-        --mu-min -1800 --mu-max 1800 [--skip-blocks 1]
+        --mu-min -1800 --mu-max 1800 [--skip-blocks 1] \
+        [--dd --overlap 2]
 """
 
 from __future__ import annotations
@@ -46,6 +54,22 @@ def load_dumps(run_dir):
     return out
 
 
+def load_window_dumps(run_dir):
+    files = sorted(
+        glob.glob(os.path.join(run_dir, "uhist_windows_*.dat"))
+    )
+    out = []
+    for f in files:
+        m = re.search(r"_(\d+)\.dat$", f)
+        if not m:
+            continue
+        arr = np.loadtxt(f)
+        if arr.ndim != 2 or arr.shape[1] < 3:
+            continue
+        out.append((int(m.group(1)), arr[:, 0], arr[:, 1:].T))
+    return out                       # (cycle, mu [B], raw [nwin, B])
+
+
 def deltag(raw, bw, split):
     w = raw * bw
     lo = w[:split].sum()
@@ -63,11 +87,17 @@ def main():
     ap.add_argument("--mu-max", type=float, default=1800.0)
     ap.add_argument("--skip-blocks", type=int, default=1,
                     help="leading blocks dropped as burn-in")
+    ap.add_argument("--dd", action="store_true",
+                    help="dd run: jackknife over per-window raw "
+                         "dumps with per-block re-stitching")
+    ap.add_argument("--overlap", type=int, default=2,
+                    help="dd window_overlap used by the run")
     args = ap.parse_args()
 
-    dumps = load_dumps(args.run_dir)
+    dumps = (load_window_dumps(args.run_dir) if args.dd
+             else load_dumps(args.run_dir))
     if len(dumps) < 3:
-        sys.exit("need >= 3 three-column dumps for a jackknife")
+        sys.exit("need >= 3 dumps for a jackknife")
     mu = dumps[0][1]
     B = len(mu)
 
@@ -91,7 +121,8 @@ def main():
     bw = np.asarray(grid.binwidth)
     split = B // 2
 
-    # consecutive differences = per-interval raw histograms
+    # consecutive differences = per-interval raw histograms (in dd
+    # mode per WINDOW: [nwin, B] blocks, stitched per jackknife total)
     blocks = []
     for (c0, _, r0), (c1, _, r1) in zip(dumps[:-1], dumps[1:]):
         d = r1 - r0
@@ -101,11 +132,23 @@ def main():
     if len(blocks) < 2:
         sys.exit("not enough blocks after burn-in skip")
 
+    if args.dd:
+        from mc_water_ls_mw_tpu.parallel.windows import join_uhist
+
+        def estimate(win_total):
+            joined = np.asarray(
+                join_uhist(win_total, B, args.overlap)
+            )
+            return deltag(joined, bw, split)
+    else:
+        def estimate(raw_total):
+            return deltag(raw_total, bw, split)
+
     total = np.sum([b for _, b in blocks], axis=0)
-    dg_all = deltag(total, bw, split)
+    dg_all = estimate(total)
     n = len(blocks)
     jack = np.array([
-        deltag(total - blocks[i][1], bw, split) for i in range(n)
+        estimate(total - blocks[i][1]) for i in range(n)
     ])
     ok = np.isfinite(jack)
     jack = jack[ok]
