@@ -78,10 +78,19 @@ def run_case(case: int):
                           dtype=jnp.float32)
     st, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
     eng = CellEngine(prm, MW, grid, eaux, cg, caux)
-    s, _ = eng.run_cycles(st, 1)
-    jax.block_until_ready(s.energy)
-    s, _ = eng.run_cycles(s, 1)
-    jax.block_until_ready(s.energy)
+    import time as _t
+    n_calls = int(os.environ.get("PB_CALLS", "2"))
+    s = st
+    t0 = _t.time()
+    for i in range(n_calls):
+        s, _ = eng.run_cycles(s, 1)
+        jax.block_until_ready(s.energy)
+        if i % 25 == 0:
+            import numpy as _np
+            mu = _np.asarray(s.mu)
+            print(f"  call {i} ok ({_t.time()-t0:.0f}s) mu: "
+                  f"mean|mu|={_np.abs(mu).mean():.0f} "
+                  f"min={mu.min():.0f} max={mu.max():.0f}", flush=True)
     print(f"case {case} OK  mu[:3] = "
           f"{[float(x) for x in s.mu[:3]]}", flush=True)
     os._exit(0)
