@@ -495,8 +495,15 @@ class Application:
 
 
 def run_input_file(path, overrides=None, max_cycles=None, workdir=None,
-                   profile_dir=None, use_mesh=True):
+                   profile_dir=None, use_mesh=True, jit_chunk=100):
     """Programmatic entry: run an ice.input file to completion.
+
+    ``jit_chunk`` caps the cycles per jitted dispatch.  Large-N runs
+    must keep single dispatches short in WALL time: the remote-TPU
+    (axon) worker dies under ~90 s dispatches with no host contact
+    (round-4 N=8064 probes - every >=80-cycle dispatch crashed the
+    worker, every <=25-cycle one survived), so pick jit_chunk such
+    that chunk * s/cycle stays well under a minute.
 
     Cell-engine capacity resilience: if a rebin overflows the slab
     capacity mid-run (CapacityOverflow - e.g. an unlucky thermal
@@ -514,6 +521,7 @@ def run_input_file(path, overrides=None, max_cycles=None, workdir=None,
         app.setup()
         try:
             return app.run(max_cycles=max_cycles,
+                           jit_chunk=jit_chunk,
                            profile_dir=profile_dir)
         except CapacityOverflow as err:
             if attempt == 3:

@@ -52,7 +52,7 @@ run_input_file(
         mpi_sync_int=100_000, latt_sync_int=100_000,
         monitor_int=100_000, flat_chk_int=100_000,
         chkpt_dump_int=1_000_000, deltaG_int=1_000_000,
-        file_output_int=1, therm_walkers=8,
+        file_output_int=25, therm_walkers=8,
         traj_output_int=1_000_000,
         timer_qtime=1800.0, timer_closetime=60.0,
         max_mc_cycles=100_000,

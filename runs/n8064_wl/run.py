@@ -81,5 +81,6 @@ run_input_file(
         max_mc_cycles=100_000_000,
     ),
     max_cycles=int(max_cycles) if max_cycles else None,
+    jit_chunk=20,
 )
 print("N=8064 WL dd gen stopped cleanly", flush=True)
