@@ -124,6 +124,17 @@ class RunParams:
     nbr_table: str = "auto"
     trans_wall: float = 1.5      # displacement-from-reference hard
                                  # wall in Bohr (table mode only)
+    dense_trials: int = 1        # anchored-window multi-trial on the
+                                 # DENSE fused table path: T trials of
+                                 # one mover share a single gather/
+                                 # store of its ~28 candidate rows -
+                                 # the 88% per-move fetch/store budget
+                                 # of DESIGN.md 5d amortised T-fold.
+                                 # Same proposal law + extended-space
+                                 # proof as cell_trials
+                                 # (cellengine._substep_multi); >1
+                                 # requires table mode + the fused
+                                 # kernel + two lattices
     seed: int = 0                # RNG seed
     therm_walkers: int = 1       # walkers sampled into therm output
     minu: bool = False           # reference's #ifdef MINU variant

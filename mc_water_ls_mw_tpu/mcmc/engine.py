@@ -136,6 +136,30 @@ class Engine:
                         "n_walkers so W/devices % 128 == 0)",
                         stacklevel=2,
                     )
+        # anchored-window multi-trial on the dense path
+        # (fused._do_translation_tbl_multi): validate the envelope
+        self.dT = max(1, int(prm.dense_trials))
+        if self.dT > 1:
+            if prm.num_lattices != 2:
+                raise ValueError(
+                    "dense_trials > 1 requires num_lattices = 2"
+                )
+            if self.tbl is None:
+                raise ValueError(
+                    "dense_trials > 1 requires the candidate-"
+                    "reduction table mode (nbr_table; MIC-unique box)"
+                )
+            if not self.use_fused:
+                raise ValueError(
+                    "dense_trials > 1 runs only through the fused "
+                    "cycle kernel: set fused='on' (interpret mode on "
+                    "CPU)"
+                )
+            if prm.nwater % self.dT:
+                raise ValueError(
+                    f"dense_trials={self.dT} must divide nwater="
+                    f"{prm.nwater} (trials per cycle stay nwater)"
+                )
         if self.use_fused:
             from .fused import FusedCycle
             from ..ops.pallas_energy import FullEnergyPallas
@@ -1035,10 +1059,16 @@ class Engine:
         # the whole cycle's per-walker uniforms in one threefry call:
         # [N, 7, W] (slots: imol, direction x3, magnitude, accept,
         # switch); per-step small RNG kernels are dispatch-bound
+        # multi-trial steps consume 4 + 5T slots per mover and run
+        # N/T steps per cycle (trials per cycle stay N)
+        dT = self.dT if self.use_fused else 1
+        n_steps = N // dT if dT > 1 else N
+        n_u = 4 + 5 * dT if dT > 1 else 7
         if self.rec is not None:
             # recorded stream: every walker consumes the SAME per-move
             # uniforms (the parity-oracle mode is meant for W=1;
             # BASELINE.json 'identical RNG streams')
+            assert dT == 1, "recorded streams require dense_trials=1"
             cycle_u = jnp.broadcast_to(
                 jnp.take(rec_u, ci, axis=0).astype(dtype)[:, :, None],
                 (N, 7, W),
@@ -1046,10 +1076,11 @@ class Engine:
         else:
             cycle_u = jax.vmap(
                 lambda k: jax.random.uniform(
-                    jax.random.fold_in(k, cycle), (N, 7), dtype=dtype
+                    jax.random.fold_in(k, cycle), (n_steps, n_u),
+                    dtype=dtype,
                 ),
                 out_axes=2,
-            )(s.key)                                     # [N,7,W]
+            )(s.key)                                 # [n_steps,n_u,W]
 
         if self.use_fused:
             # the whole N-step hot loop in one Pallas kernel with the
@@ -1059,7 +1090,10 @@ class Engine:
                 s, codes, cycle_u,
                 wl_active=cycle >= prm.eq_mc_cycles,
                 switch_ok=switch_ok_scalar,
-                sched_mol=sched_mol,
+                sched_mol=(
+                    sched_mol[:n_steps] if sched_mol is not None
+                    else None
+                ),
             )
         else:
             def step(carry, t):

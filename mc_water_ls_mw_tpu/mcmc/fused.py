@@ -247,6 +247,11 @@ class FusedCycle:
         # extra zeroed pad rows on the moments scratch absorb the
         # sentinel-index writes of table mode
         self.mom_pad = 8 if self.tbl is not None else 0
+        # anchored-window multi-trial (dense_trials > 1): table mode
+        # + two lattices only (Engine.__init__ validates)
+        self.T = max(1, int(prm.dense_trials))
+        if self.T > 1:
+            assert self.tbl is not None and prm.num_lattices == 2
 
     # ------------------------------------------------------------------
     # kernel-side physics (mirrors ops/dense.py, S-axis unrolled)
@@ -426,10 +431,6 @@ class FusedCycle:
     def _trial_vectors(self, ut, wf, wi, h, recip):
         """Per-step random displacement + per-lattice trial vectors
         (mc_moves.F90:1021-1067).  Returns (Hcs, transvec)."""
-        prm = self.prm
-        L = prm.num_lattices
-        ls = wi[WI_LS]
-
         d0 = 2.0 * ut[1] - 1.0
         d1 = 2.0 * ut[2] - 1.0
         d2 = 2.0 * ut[3] - 1.0
@@ -438,6 +439,16 @@ class FusedCycle:
         )
         rmag = (2.0 * ut[4] - 1.0) * wf[WF_MAX_TRANS] * inv_norm
         v = (d0 * rmag, d1 * rmag, d2 * rmag)
+        return self._map_disp(v, wi, h, recip)
+
+    def _map_disp(self, v, wi, h, recip):
+        """Map an active-lattice Cartesian displacement ``v`` (3 x
+        [W]) to per-lattice trial vectors: the same FRACTIONAL
+        displacement in the partner lattice
+        (mc_moves.F90:1042-1067)."""
+        prm = self.prm
+        L = prm.num_lattices
+        ls = wi[WI_LS]
 
         Hcs = [[[h[l, a, b] for b in range(3)] for a in range(3)]
                for l in range(L)]
@@ -468,7 +479,7 @@ class FusedCycle:
         return Hcs, transvec
 
     def _trans_decision(self, vol, e, wgt, basew, wf, wi, binw, mub,
-                        dE, ut, enabled, extra_ok=None):
+                        dE, ut, enabled, extra_ok=None, u_acc=None):
         """Acceptance rule of the translation move incl. the MINU
         variant (mc_moves.F90:1113-1146); shared between the dense and
         table paths.  Returns (accept, mu_new, dmu, ls_next)."""
@@ -527,7 +538,8 @@ class FusedCycle:
             ok = ok & jnp.isfinite(mu_new)
         if extra_ok is not None:
             ok = ok & extra_ok
-        accept = enabled & ok & (ut[5] < jnp.exp(-diffkT))  # (1146)
+        ua = ut[5] if u_acc is None else u_acc
+        accept = enabled & ok & (ua < jnp.exp(-diffkT))     # (1146)
         return accept, mu_new, dmu, ls_next
 
     def _trans_bookkeeping(self, e, wgt, basew, hist, baseh, uh, wf,
@@ -841,6 +853,209 @@ class FusedCycle:
             mu_new, dmu, ls_next, dE, enabled, wl_active, cyc_f,
         )
 
+    def _do_translation_tbl_multi(self, h, recip, vol, r, mom, e,
+                                  wgt, basew, hist, baseh, uh, tpm,
+                                  wf, wi, binw, mub, ut, codes, t0,
+                                  wl_active, switch_ok, cyc_f, imol,
+                                  tbl, frac0):
+        """T = dense_trials anchored-window trials of ONE mover per
+        candidate-row fetch: the multi-trial sub-step of the cell
+        engine (cellengine._substep_multi - proposal law and the
+        extended-space exactness proof live there) brought to the
+        dense fused table path.  The mover's ~M candidate rows are
+        gathered ONCE and stored ONCE, amortising the per-move
+        row-granular fetch/store machinery that is ~88% of the dense
+        budget (DESIGN.md 5d) T-fold; each trial pays only one extra
+        point evaluation ((T+1)/T vs 2 per trial) plus [W]/[M, W]
+        vector work.
+
+        ``ut`` [4 + 5T, W] uniform slots: [1:4] anchor, [4:4+3T]
+        candidates, [4+3T:4+4T] accept, [4+4T:4+5T] switch (slot 0
+        reserved - the molecule comes from the shared schedule).
+        ``codes`` is the scalar-prefetch trial-code array; trial t of
+        this step reads codes[t0 + t].  Per-trial semantics (wall,
+        acceptance incl. MINU, per-move WL, always-switch, counters)
+        are shared with the single-trial path via _trans_decision /
+        _trans_bookkeeping / _do_switch."""
+        prm = self.prm
+        L, N, M, T = prm.num_lattices, prm.nwater, self.tbl_M, self.T
+        dtype = wf.dtype
+        lam_eps = self.model.lam * self.model.epsilon
+
+        Hcs = [[[h[l, a, b] for b in range(3)] for a in range(3)]
+               for l in range(L)]
+
+        # ---- one-time per-mover gather (the amortised 88%)
+        idx = [
+            [tbl[(l * N + imol) * M + m] for m in range(M)]
+            for l in range(L)
+        ]
+        validfs, p0s, cand_rs, mm_cands = [], [], [], []
+        del0s, e_cur, eff_cur, own_cur, p_cur = [], [], [], [], []
+        refs = []
+        for l in range(L):
+            validf = jnp.stack(
+                [(j < N).astype(jnp.int32) for j in idx[l]]
+            ).astype(dtype)[:, None]                      # [M,1]
+            idx_r = [jnp.minimum(j, N - 1) for j in idx[l]]
+            p0 = tuple(
+                r[l, a, pl.ds(imol, 1), :][0] for a in range(3)
+            )
+            cand_r = tuple(
+                jnp.concatenate(
+                    [r[l, a, pl.ds(idx_r[m], 1), :] for m in range(M)],
+                    axis=0,
+                )
+                for a in range(3)
+            )
+            mm_cand = Moments(*(
+                jnp.concatenate(
+                    [mom[fi, l, pl.ds(idx[l][m], 1), :]
+                     for m in range(M)],
+                    axis=0,
+                )
+                for fi in range(10)
+            ))
+            # point-0 evaluation (e(0) = current local energy; the
+            # chain's dE(j -> t) = e(t) - e(j) runs on the table)
+            pair0, leg0, del0, _own0, e3i0 = self._cand_tbl(
+                cand_r[0], cand_r[1], cand_r[2], validf, Hcs[l], p0
+            )
+            e3j0 = self._jcent_rows(leg0, mm_cand)
+            e0 = pair0 + lam_eps * (e3i0 + e3j0)
+
+            # displacement-wall reference site (SMEM scalars)
+            f0 = [frac0[(l * 3 + a) * N + imol] for a in range(3)]
+            refs.append(tuple(
+                sum(Hcs[l][a][b] * f0[b] for b in range(3))
+                for a in range(3)
+            ))
+
+            cen = Moments(*(
+                mom[fi, l, pl.ds(imol, 1), :][0] for fi in range(10)
+            ))
+            validfs.append(validf)
+            p0s.append(p0)
+            cand_rs.append(cand_r)
+            mm_cands.append(mm_cand)
+            del0s.append(del0)
+            e_cur.append(e0)
+            eff_cur.append(list(mm_cand))       # running accepted rows
+            own_cur.append(list(cen))           # running centre moments
+            p_cur.append(list(p0))
+
+        do_switch = prm.num_lattices == 2 and (
+            prm.mc_always_switch or prm.allow_switch
+        )
+        W = wf.shape[-1]
+        n_en = jnp.zeros((), jnp.int32)
+
+        anc = tuple(2.0 * ut[1 + a] - 1.0 for a in range(3))
+        for t in range(T):
+            code = codes[t0 + t]
+            tt = code == TRANS
+            swt = code == SWITCH
+
+            # anchored-window candidate: v_t = (a + b_t) * max_trans
+            b_t = tuple(
+                2.0 * ut[4 + 3 * t + a] - 1.0 for a in range(3)
+            )
+            v = tuple(
+                (anc[a] + b_t[a]) * wf[WF_MAX_TRANS] for a in range(3)
+            )
+            _, transvec = self._map_disp(v, wi, h, recip)
+
+            e_t, dE, in_wall = [], [], None
+            eff_ts, own_ts, p_ts = [], [], []
+            for l in range(L):
+                p_t = tuple(
+                    p0s[l][a] + transvec[l][a] for a in range(3)
+                )
+                pair_t, leg_t, del_t, own_t, e3i_t = (
+                    self._cand_tbl(
+                        cand_rs[l][0], cand_rs[l][1], cand_rs[l][2],
+                        validfs[l], Hcs[l], p_t,
+                    )
+                )
+                eff_t = [
+                    st - d0 + dt for st, d0, dt in
+                    zip(mm_cands[l], del0s[l], del_t)
+                ]
+                e3j_t = self._jcent_rows(leg_t, Moments(*eff_t))
+                et = pair_t + lam_eps * (e3i_t + e3j_t)
+                e_t.append(et)
+                dE.append(et - e_cur[l])
+                eff_ts.append(eff_t)
+                own_ts.append(list(own_t))
+                p_ts.append(p_t)
+                # displacement wall on the candidate point
+                dw2 = None
+                for a in range(3):
+                    da = p_t[a] - refs[l][a]
+                    dw2 = da * da if dw2 is None else dw2 + da * da
+                ok_l = dw2 <= self.wall * self.wall
+                in_wall = ok_l if in_wall is None else (in_wall & ok_l)
+
+            accept, mu_new, dmu, ls_next = self._trans_decision(
+                vol, e, wgt, basew, wf, wi, binw, mub, dE,
+                ut, tt, extra_ok=in_wall, u_acc=ut[4 + 3 * T + t],
+            )
+            self._trans_bookkeeping(
+                e, wgt, basew, hist, baseh, uh, wf, wi, binw, mub,
+                accept, mu_new, dmu, ls_next, dE, tt, wl_active,
+                cyc_f,
+            )
+            n_en = n_en + jnp.where(tt, 1, 0).astype(jnp.int32)
+
+            # fold the accepted point into the running selections
+            for l in range(L):
+                e_cur[l] = jnp.where(accept, e_t[l], e_cur[l])
+                for a in range(3):
+                    p_cur[l][a] = jnp.where(
+                        accept, p_ts[l][a], p_cur[l][a]
+                    )
+                for fi in range(10):
+                    eff_cur[l][fi] = jnp.where(
+                        accept[None, :], eff_ts[l][fi],
+                        eff_cur[l][fi],
+                    )
+                    own_cur[l][fi] = jnp.where(
+                        accept, own_ts[l][fi], own_cur[l][fi]
+                    )
+
+            # always-switch attempt after every trial
+            # (mc_always_switch, mc_cycle:243-249)
+            if do_switch:
+                sw_en = swt
+                if prm.mc_always_switch:
+                    sw_en = sw_en | tt
+                self._do_switch(
+                    vol, e, wf, wi, ut[4 + 4 * T + t],
+                    switch_ok & sw_en,
+                )
+
+        # ---- one store per T trials (path-independent net update)
+        for l in range(L):
+            for a in range(3):
+                r[l, a, pl.ds(imol, 1), :] = p_cur[l][a][None, :]
+            for fi in range(10):
+                mom[fi, l, pl.ds(imol, 1), :] = (
+                    own_cur[l][fi][None, :]
+                )
+            for m in range(M):
+                # invalid entries re-store their (zero) pad-row values
+                # to the pad row - harmless, as in the single-trial
+                # path
+                for fi in range(10):
+                    mom[fi, l, pl.ds(idx[l][m], 1), :] = (
+                        eff_cur[l][fi][m][None, :]
+                    )
+
+        tpm_cur = tpm[pl.ds(imol, 1), :]
+        tpm[pl.ds(imol, 1), :] = tpm_cur + jnp.broadcast_to(
+            n_en, tpm_cur.shape
+        )
+
     def _do_switch(self, vol, e, wf, wi, zeta, enabled):
         """Masked lattice switch on refs (engine._switch;
         mc_lattice_switch, mc_moves.F90:1536-1594)."""
@@ -944,31 +1159,49 @@ class FusedCycle:
             prm.mc_always_switch or prm.allow_switch
         )
 
-        def step(t, carry):
-            code = codes[t]
-            ut = u[t]                                    # [RNG_SLOTS, W]
-            if tblmode:
-                self._do_translation_tbl(
-                    h, recip, vol, r, mom, e, wgt, basew, hist, baseh,
-                    uh, tpm, wf, wi, binw, mub, ut, code == TRANS,
-                    wl_active, cyc_f, sched[t], tblr, frac0r,
-                )
-            else:
-                self._do_translation(
-                    h, recip, vol, r, mom, e, wgt, basew, hist, baseh,
-                    uh, tpm, wf, wi, binw, mub, ut, code == TRANS,
-                    wl_active, cyc_f,
-                )
-            if do_switch:
-                sw_en = code == SWITCH
-                if prm.mc_always_switch:
-                    sw_en = sw_en | (code == TRANS)
-                self._do_switch(
-                    vol, e, wf, wi, ut[6], switch_ok & sw_en
-                )
-            return carry
+        if self.T > 1:
+            # anchored-window multi-trial steps: T trials per mover,
+            # one candidate-row fetch/store each (per-trial switch
+            # attempts happen INSIDE the step)
+            assert tblmode, "dense_trials > 1 requires table mode"
 
-        lax.fori_loop(0, N, step, 0)
+            def step(t, carry):
+                self._do_translation_tbl_multi(
+                    h, recip, vol, r, mom, e, wgt, basew, hist,
+                    baseh, uh, tpm, wf, wi, binw, mub, u[t], codes,
+                    t * self.T, wl_active, switch_ok, cyc_f,
+                    sched[t], tblr, frac0r,
+                )
+                return carry
+
+            lax.fori_loop(0, N // self.T, step, 0)
+        else:
+            def step(t, carry):
+                code = codes[t]
+                ut = u[t]                                # [RNG_SLOTS, W]
+                if tblmode:
+                    self._do_translation_tbl(
+                        h, recip, vol, r, mom, e, wgt, basew, hist,
+                        baseh, uh, tpm, wf, wi, binw, mub, ut,
+                        code == TRANS, wl_active, cyc_f, sched[t],
+                        tblr, frac0r,
+                    )
+                else:
+                    self._do_translation(
+                        h, recip, vol, r, mom, e, wgt, basew, hist,
+                        baseh, uh, tpm, wf, wi, binw, mub, ut,
+                        code == TRANS, wl_active, cyc_f,
+                    )
+                if do_switch:
+                    sw_en = code == SWITCH
+                    if prm.mc_always_switch:
+                        sw_en = sw_en | (code == TRANS)
+                    self._do_switch(
+                        vol, e, wf, wi, ut[6], switch_ok & sw_en
+                    )
+                return carry
+
+            lax.fori_loop(0, N, step, 0)
 
         mom_out_dma = pltpu.make_async_copy(
             mom_vmem.at[:, :, :N, :] if self.mom_pad else mom_vmem,
