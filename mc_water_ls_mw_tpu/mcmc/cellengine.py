@@ -80,7 +80,7 @@ from ..ops.cell_energy import (
     slab_full_energy,
 )
 from ..ops.dense import Moments
-from ..ops.dsfloat import DS, ds_value, ds_zeros
+from ..ops.dsfloat import DS, _two_sum, ds_value, ds_zeros
 from ..ops.geometry import determinant3, recip_matrix
 from .bins import BinGrid, mu_to_bin
 from .config import RunParams
@@ -112,6 +112,16 @@ class CellState(NamedTuple):
     recip: jnp.ndarray        # [L,3,3,W]
     volume: jnp.ndarray       # [L,W]
     energy: jnp.ndarray       # [L,W]
+    # compensated-summation residual of the incremental energy
+    # (double-single: true energy = energy + energy_err).  At
+    # N ~ 10^4 the per-move dE (~1e-5 Ha) is the SAME SIZE as the f32
+    # ulp of the total (~152 Ha * 2^-23): plain accumulation
+    # quantises and drifts systematically - the round-4 N=8064
+    # production measured 2.2 Ha (~890 kT in beta units) of drift in
+    # 500 cycles, discovered by the offline checkpoint audit.  Every
+    # chain update two-sums into (energy, energy_err); from-scratch
+    # refreshes (volume accepts, resync, audits) zero the residual.
+    energy_err: jnp.ndarray   # [L,W]
     mu: jnp.ndarray           # [W]
     ls: jnp.ndarray           # [W]
     moments: Moments          # fields [L,nslot,W]
@@ -351,6 +361,19 @@ class CellEngine(Engine):
                 prm, grid, self.K, self.T,
                 float(aux.log_unbiased_norm), mesh=mesh,
             )
+
+    # ------------------------------------------------------------------
+    # compensated energy accumulation (see CellState.energy_err)
+    # ------------------------------------------------------------------
+
+    def _e_tot(self, s):
+        return s.energy + s.energy_err
+
+    def _post_volume_energy(self, s, accept):
+        # from-scratch energy on accept: zero the residual there
+        return s._replace(
+            energy_err=jnp.where(accept[None, :], 0.0, s.energy_err)
+        )
 
     # ------------------------------------------------------------------
     # full-cell energy (slab)
@@ -735,7 +758,7 @@ class CellEngine(Engine):
         two, cmu, sw_c, minu_c = self._hoisted_chain_terms(s)
 
         def body(carry, xs):
-            mu, ls, energy = carry
+            mu, ls, energy, e_err = carry
             dE_k, tt, swt, has_k, inc_k, ua, uz = xs
             # a trial exists whenever the cell is occupied; the cell
             # wall only vetoes ACCEPTANCE (a rejected trial still
@@ -754,11 +777,14 @@ class CellEngine(Engine):
                     # #ifdef MINU: fold a switch to the lower-enthalpy
                     # lattice into the move (mc_moves.F90:1119-1140;
                     # same convention as engine._translate)
-                    e_new = energy + dE_k              # [L,W]
+                    e_new = energy + e_err + dE_k      # [L,W]
                     g10 = prm.beta * (e_new[1] - e_new[0]) + minu_c
                     lsn = jnp.where(g10 < 0, 1, 0).astype(ls.dtype)
                     E_lsn = jnp.where(lsn == 0, e_new[0], e_new[1])
-                    E_cur = jnp.where(ls == 0, energy[0], energy[1])
+                    E_cur = jnp.where(
+                        ls == 0, energy[0] + e_err[0],
+                        energy[1] + e_err[1],
+                    )
                     sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
                     alt = (
                         prm.beta * (E_lsn - E_cur)
@@ -776,7 +802,14 @@ class CellEngine(Engine):
                 ok = ok & jnp.isfinite(mu_new)
             accept = enabled & inc_k & ok & (ua < jnp.exp(-diffkT))
 
-            energy = jnp.where(accept[None, :], energy + dE_k, energy)
+            # compensated accumulation: at N ~ 10^4 the per-move dE is
+            # the same size as ulp(total) in f32 - a plain add
+            # quantises and drifts (CellState.energy_err)
+            e_hi, e_rnd = _two_sum(energy, dE_k)
+            e_lo = e_err + e_rnd
+            e_hi2, e_lo2 = _two_sum(e_hi, e_lo)
+            energy = jnp.where(accept[None, :], e_hi2, energy)
+            e_err = jnp.where(accept[None, :], e_lo2, e_err)
             mu = jnp.where(accept, mu_new, mu)
             if two and prm.minu:
                 ls = jnp.where(accept, ls_next, ls)
@@ -791,7 +824,9 @@ class CellEngine(Engine):
                 lsn = 1 - ls
                 # dsw = sgn * (beta*(E1 - E0) + sw_c): the volume and
                 # leshift terms are the hoisted loop invariants above
-                de10 = prm.beta * (energy[1] - energy[0])
+                de10 = prm.beta * (
+                    (energy[1] - energy[0]) + (e_err[1] - e_err[0])
+                )
                 dsw = jnp.where(ls == 0, de10 + sw_c, -(de10 + sw_c))
                 sw_acc = sw_en & jnp.isfinite(dsw) & (
                     uz < jnp.exp(-dsw)
@@ -802,7 +837,7 @@ class CellEngine(Engine):
                 mu = jnp.where(sw_acc, cmu - de10, mu)
             out = (accept, enabled, mu_trans, healthy, dmu,
                    sw_acc, sw_en)
-            return (mu, ls, energy), out
+            return (mu, ls, energy, e_err), out
 
         xs = (
             jnp.moveaxis(dE, 1, 0),                    # [K,L,W]
@@ -813,8 +848,9 @@ class CellEngine(Engine):
         # per-iteration loop overhead on the remote-TPU platform is
         # ~0.3 ms (DESIGN.md §6) - an un-unrolled inner chain costs
         # nwater such iterations per cycle
-        (mu_f, ls_f, energy_f), outs = jax.lax.scan(
-            body, (s.mu, s.ls, s.energy), xs, unroll=True
+        (mu_f, ls_f, energy_f, err_f), outs = jax.lax.scan(
+            body, (s.mu, s.ls, s.energy, s.energy_err), xs,
+            unroll=True,
         )
         (accepts, enabled_t, mu_t, healthy_t, dmu_t,
          sw_acc_t, sw_en_t) = outs                     # each [K,W]
@@ -822,7 +858,8 @@ class CellEngine(Engine):
         # ---- batched WL/histogram update for the K trials
         # (mc_update_wl_bins semantics, applied per trial in recorded
         # chain order; identical sums since the bin grid is static)
-        small = s._replace(mu=mu_f, ls=ls_f, energy=energy_f)
+        small = s._replace(mu=mu_f, ls=ls_f, energy=energy_f,
+                           energy_err=err_f)
         small = self._wl_update_batch(
             small, mu_t, enabled_t & healthy_t
         )
@@ -1225,7 +1262,7 @@ class CellEngine(Engine):
         s0 = s
 
         def body(carry, xs):
-            mu, ls, energy, wgt, hist, uhist, f, sumh = carry
+            mu, ls, energy, e_err, wgt, hist, uhist, f, sumh = carry
             e_k, inc_k, tt_t, swt_t, has_k, ua_t, uz_t = xs
             # e_k [L,P,W]; inc_k [P,W]; tt/swt [T]; ua/uz [T,W]
             j_oh = jnp.broadcast_to(iota_p == 0, (P, W))
@@ -1255,7 +1292,7 @@ class CellEngine(Engine):
                     if prm.minu:
                         # #ifdef MINU fold-in (mc_moves.F90:1119-1140;
                         # engine._translate convention)
-                        e_new = energy + dE_k
+                        e_new = energy + e_err + dE_k
                         g10 = (
                             prm.beta * (e_new[1] - e_new[0]) + minu_c
                         )
@@ -1266,7 +1303,8 @@ class CellEngine(Engine):
                             lsn == 0, e_new[0], e_new[1]
                         )
                         E_cur = jnp.where(
-                            ls == 0, energy[0], energy[1]
+                            ls == 0, energy[0] + e_err[0],
+                            energy[1] + e_err[1],
                         )
                         sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
                         alt = (
@@ -1286,9 +1324,12 @@ class CellEngine(Engine):
                     enabled & inc_ok & ok
                     & (ua_t[t - 1] < jnp.exp(-diffkT))
                 )
-                energy = jnp.where(
-                    accept[None, :], energy + dE_k, energy
-                )
+                # compensated accumulation (CellState.energy_err)
+                e_hi, e_rnd = _two_sum(energy, dE_k)
+                e_lo = e_err + e_rnd
+                e_hi2, e_lo2 = _two_sum(e_hi, e_lo)
+                energy = jnp.where(accept[None, :], e_hi2, energy)
+                e_err = jnp.where(accept[None, :], e_lo2, e_err)
                 mu = jnp.where(accept, mu_new, mu)
                 if two and prm.minu:
                     ls = jnp.where(accept, ls_next, ls)
@@ -1310,7 +1351,10 @@ class CellEngine(Engine):
                 if two and (prm.mc_always_switch or prm.allow_switch):
                     sw_en = switch_ok & sw_try
                     lsn = 1 - ls
-                    de10 = prm.beta * (energy[1] - energy[0])
+                    de10 = prm.beta * (
+                        (energy[1] - energy[0])
+                        + (e_err[1] - e_err[0])
+                    )
                     dsw = jnp.where(
                         ls == 0, de10 + sw_c, -(de10 + sw_c)
                     )
@@ -1321,8 +1365,8 @@ class CellEngine(Engine):
                     mu = jnp.where(sw_acc, cmu - de10, mu)
                 outs_t.append((accept, enabled, dmu, sw_acc, sw_en))
             out = tuple(jnp.stack(z) for z in zip(*outs_t))
-            return ((mu, ls, energy, wgt, hist, uhist, f, sumh),
-                    out + (j_oh,))
+            return ((mu, ls, energy, e_err, wgt, hist, uhist, f,
+                     sumh), out + (j_oh,))
 
         xs = (
             jnp.moveaxis(e, 2, 0),                      # [K,L,P,W]
@@ -1331,10 +1375,10 @@ class CellEngine(Engine):
             u[:, 4 + 3 * T:4 + 4 * T, :],               # [K,T,W]
             u[:, 4 + 4 * T:4 + 5 * T, :],
         )
-        carry0 = (s.mu, s.ls, s.energy, s.weight, s.hist, s.uhist,
-                  s.f, s.sumhist)
+        carry0 = (s.mu, s.ls, s.energy, s.energy_err, s.weight,
+                  s.hist, s.uhist, s.f, s.sumhist)
         carry, outs = jax.lax.scan(body, carry0, xs, unroll=True)
-        (mu_f, ls_f, energy_f, wgt_f, hist_f, uhist_f, f_f,
+        (mu_f, ls_f, energy_f, err_f, wgt_f, hist_f, uhist_f, f_f,
          sumh_f) = carry
         (accepts, enabled_t, dmu_t, sw_acc_t, sw_en_t, j_oh_f) = outs
         #                         trials [K,T,W]; j_oh [K,P,W] bool
@@ -1343,7 +1387,8 @@ class CellEngine(Engine):
         admu_acc = jnp.where(accepts, admu, jnp.inf)
         admu_acc0 = jnp.where(accepts, admu, 0.0)
         small = s._replace(
-            mu=mu_f, ls=ls_f, energy=energy_f, weight=wgt_f,
+            mu=mu_f, ls=ls_f, energy=energy_f, energy_err=err_f,
+            weight=wgt_f,
             hist=hist_f, uhist=uhist_f, f=f_f, sumhist=sumh_f,
             att=s.att.at[TRANS].add(
                     jnp.sum(enabled_t, axis=(0, 1), dtype=jnp.int32)
@@ -1375,9 +1420,9 @@ class CellEngine(Engine):
         multi-trial sub-step's layout differs from T=1's).  Returns
         the same triple."""
         from .chain_pallas import (
-            CF_CMU, CF_E0, CF_E1, CF_F, CF_MAX_DMU, CF_MIN_DMU,
-            CF_MINUC, CF_MU, CF_MU_MAX, CF_MU_MIN, CF_ROWS,
-            CF_SUMHIST, CF_SWC,
+            CF_CMU, CF_E0, CF_E0E, CF_E1, CF_E1E, CF_F, CF_MAX_DMU,
+            CF_MIN_DMU, CF_MINUC, CF_MU, CF_MU_MAX, CF_MU_MIN,
+            CF_ROWS, CF_SUMHIST, CF_SWC,
             CI_END, CI_INVT, CI_INWIN, CI_LS, CI_OCCOK, CI_ROWS,
             CI_START, CI_SWOK, CN_ACC, CN_EN, CN_FIXED, CN_SWACC,
             CN_SWEN, FL_CYCLE, FL_WL_ACTIVE,
@@ -1392,6 +1437,8 @@ class CellEngine(Engine):
         cf_rows[CF_MU] = s.mu
         cf_rows[CF_E0] = s.energy[0]
         cf_rows[CF_E1] = s.energy[1]
+        cf_rows[CF_E0E] = s.energy_err[0]
+        cf_rows[CF_E1E] = s.energy_err[1]
         cf_rows[CF_F] = s.f
         cf_rows[CF_SUMHIST] = s.sumhist
         cf_rows[CF_MIN_DMU] = s.min_dmu
@@ -1452,6 +1499,7 @@ class CellEngine(Engine):
         small = s._replace(
             mu=cf2[CF_MU],
             energy=jnp.stack([cf2[CF_E0], cf2[CF_E1]]),
+            energy_err=jnp.stack([cf2[CF_E0E], cf2[CF_E1E]]),
             f=cf2[CF_F], sumhist=cf2[CF_SUMHIST],
             min_dmu=cf2[CF_MIN_DMU], max_dmu=cf2[CF_MAX_DMU],
             ls=ci2[CI_LS].astype(s.ls.dtype),
@@ -1761,7 +1809,8 @@ class CellEngine(Engine):
         s2 = s._replace(r=r, h=h, recip=recip, volume=vol)
         energy, moments = self._full_both(s2, r, h)
         mu = self._mu_scratch(energy, vol)
-        return s2._replace(energy=energy, moments=moments, mu=mu)
+        return s2._replace(energy=energy, moments=moments, mu=mu,
+                           energy_err=jnp.zeros_like(energy))
 
     # ------------------------------------------------------------------
     # audit (slab variant)
@@ -1769,8 +1818,11 @@ class CellEngine(Engine):
 
     def _audit_energy(self, s: CellState):
         fresh, moments = self._full_both(s, s.r, s.h)
-        drift = s.energy - fresh
-        return s._replace(energy=fresh, moments=moments), drift
+        drift = (s.energy + s.energy_err) - fresh
+        return s._replace(
+            energy=fresh, moments=moments,
+            energy_err=jnp.zeros_like(fresh),
+        ), drift
 
     # ------------------------------------------------------------------
     # cycle driver
@@ -1894,7 +1946,7 @@ class CellEngine(Engine):
         if prm.mc_ensemble == "npt" and prm.allow_vol:
             s = self._scheduled_volume_moves(s, codes, cycle, switch_ok)
 
-        avg = s.avg_energy + s.energy
+        avg = s.avg_energy + self._e_tot(s)
         if prm.mc_ensemble == "npt":
             avg = avg + prm.pressure * s.volume
         s = s._replace(avg_energy=avg)
@@ -1910,7 +1962,7 @@ class CellEngine(Engine):
             )
 
         T_w = min(prm.therm_walkers, W)
-        e_ls = _take_lat(s.energy, s.ls)
+        e_ls = _take_lat(self._e_tot(s), s.ls)
         sample = {
             "cycle": cycle,
             "E_ls": e_ls[:T_w],
@@ -2107,6 +2159,7 @@ def init_cell_state(
 
         state = CellState(
             r=r, h=h, recip=recip, volume=vol, energy=energy,
+            energy_err=jnp.zeros((L, W), dtype=dtype),
             mu=mu0, ls=jnp.asarray(ls0), moments=moments,
             slot2mol=jnp.broadcast_to(
                 jnp.asarray(s2m0)[:, None], (cellgrid.nslot, W)

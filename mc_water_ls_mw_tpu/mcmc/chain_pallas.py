@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.dsfloat import _two_sum
 from .bins import BinGrid
 from .config import RunParams
 from .fused import TRANS, SWITCH, eta_lookup, wl_move_update
@@ -45,7 +46,11 @@ CF_MU, CF_E0, CF_E1, CF_F, CF_SUMHIST = 0, 1, 2, 3, 4
 CF_MIN_DMU, CF_MAX_DMU = 5, 6
 CF_MU_MIN, CF_MU_MAX, CF_CMU, CF_SWC = 7, 8, 9, 10
 CF_MINUC = 11
-CF_ROWS = 12
+# compensated-energy residuals (CellState.energy_err): at N ~ 10^4
+# the per-move dE equals ulp(total) in f32, so the chain two-sums
+# every accepted dE into (E, E_err) instead of a plain add
+CF_E0E, CF_E1E = 12, 13
+CF_ROWS = 14
 # ci: int per-walker rows (aliased; LS mutates)
 CI_LS, CI_START, CI_END, CI_INWIN, CI_INVT = 0, 1, 2, 3, 4
 CI_OCCOK, CI_SWOK = 5, 6
@@ -98,6 +103,8 @@ class ChainWLPallas:
         mu = cf_ref[CF_MU]
         e0 = cf_ref[CF_E0]
         e1 = cf_ref[CF_E1]
+        er0 = cf_ref[CF_E0E]
+        er1 = cf_ref[CF_E1E]
         f = cf_ref[CF_F]
         sumh = cf_ref[CF_SUMHIST]
         min_dmu = cf_ref[CF_MIN_DMU]
@@ -174,12 +181,12 @@ class ChainWLPallas:
                     # #ifdef MINU fold-in (mc_moves.F90:1119-1140;
                     # engine._translate convention): switch to the
                     # lower-enthalpy lattice as part of the move
-                    en0 = e0 + dE0
-                    en1 = e1 + dE1
+                    en0 = e0 + er0 + dE0
+                    en1 = e1 + er1 + dE1
                     g10 = prm.beta * (en1 - en0) + minu_c
                     lsn = jnp.where(g10 < 0.0, 1, 0)
                     E_lsn = jnp.where(lsn == 0, en0, en1)
-                    E_cur = jnp.where(ls == 0, e0, e1)
+                    E_cur = jnp.where(ls == 0, e0 + er0, e1 + er1)
                     sgn_c = jnp.where(ls == 0, sw_c, -sw_c)
                     alt = (
                         prm.beta * (E_lsn - E_cur)
@@ -192,9 +199,15 @@ class ChainWLPallas:
                     enabled & gate & ok
                     & (ua_ref[i] < jnp.exp(-diffkT))
                 )
-                accf = accept.astype(dtype)
-                e0 = e0 + accf * dE0
-                e1 = e1 + accf * dE1
+                # compensated accumulation (CF_E0E/CF_E1E note)
+                s0_, r0_ = _two_sum(e0, dE0)
+                h0_, l0_ = _two_sum(s0_, er0 + r0_)
+                e0 = jnp.where(accept, h0_, e0)
+                er0 = jnp.where(accept, l0_, er0)
+                s1_, r1_ = _two_sum(e1, dE1)
+                h1_, l1_ = _two_sum(s1_, er1 + r1_)
+                e1 = jnp.where(accept, h1_, e1)
+                er1 = jnp.where(accept, l1_, er1)
                 mu = jnp.where(accept, mu_new, mu)
                 if prm.minu:
                     ls = jnp.where(accept, lsn, ls)
@@ -235,7 +248,7 @@ class ChainWLPallas:
                 # (mc_lattice_switch, mc_moves.F90:1536-1594)
                 if always_sw or allow_sw:
                     sw_en = sw_ok & sw_try
-                    de10 = prm.beta * (e1 - e0)
+                    de10 = prm.beta * ((e1 - e0) + (er1 - er0))
                     dsw = jnp.where(
                         ls == 0, de10 + sw_c, -(de10 + sw_c)
                     )
@@ -255,6 +268,8 @@ class ChainWLPallas:
         cfo[CF_MU] = mu
         cfo[CF_E0] = e0
         cfo[CF_E1] = e1
+        cfo[CF_E0E] = er0
+        cfo[CF_E1E] = er1
         cfo[CF_F] = f
         cfo[CF_SUMHIST] = sumh
         cfo[CF_MIN_DMU] = min_dmu

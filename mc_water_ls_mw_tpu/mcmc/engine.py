@@ -598,6 +598,18 @@ class Engine:
         )
         return self._wl_update(s, enabled)
 
+    def _e_tot(self, s):
+        """The accurate total energy view.  The dense engine's plain
+        accumulator is exact enough (per-move dE >> ulp(total) at
+        N <= ~10^3); the cell engine overrides with its compensated
+        (energy + energy_err) pair - see CellState.energy_err."""
+        return s.energy
+
+    def _post_volume_energy(self, s, accept):
+        """Hook after a volume move's from-scratch energy set (the
+        cell engine zeroes its compensation residual on accept)."""
+        return s
+
     def _volume(self, s: SamplerState, keys) -> SamplerState:
         """Anisotropic cell move, same strain in both replicas
         (mc_volume, mc_moves.F90:1216-1534)."""
@@ -633,7 +645,8 @@ class Engine:
         )
 
         e_new, mom_new = self._vol_energy(s, r_new, h_new)
-        dE = e_new - s.energy
+        e_tot = self._e_tot(s)
+        dE = e_new - e_tot
 
         vol_ls_old = _take_lat(s.volume, s.ls)
         vol_ls_new = _take_lat(vol_new, s.ls)
@@ -644,7 +657,7 @@ class Engine:
             eta_old = self._eta(s, s.mu)
             eta_new = self._eta(s, mu_new)
             deta = eta_new - eta_old
-            mu_reject = self._mu_scratch(s.energy, s.volume)  # (1524-28)
+            mu_reject = self._mu_scratch(e_tot, s.volume)    # (1524-28)
         else:
             mu_new = s.mu
             deta = jnp.zeros((W,), dtype=dtype)
@@ -715,6 +728,7 @@ class Engine:
                 for k, v in extras.items()
             },
         )
+        s = self._post_volume_energy(s, accept)
         return self._wl_update(s)
 
     def _vol_rescale(self, s: SamplerState, h_new):
@@ -807,8 +821,9 @@ class Engine:
         if prm.num_lattices != 2:
             return s
         lsn = 1 - s.ls
-        E_ls = _take_lat(s.energy, s.ls)
-        E_lsn = _take_lat(s.energy, lsn)
+        e_tot = self._e_tot(s)
+        E_ls = _take_lat(e_tot, s.ls)
+        E_lsn = _take_lat(e_tot, lsn)
         diffkT = prm.beta * (E_lsn - E_ls)
         if prm.mc_ensemble == "npt":
             V_ls = _take_lat(s.volume, s.ls)
@@ -827,7 +842,7 @@ class Engine:
         )
         ls = jnp.where(accept, lsn, s.ls)
         mu = jnp.where(
-            accept, self._mu_scratch(s.energy, s.volume), s.mu
+            accept, self._mu_scratch(e_tot, s.volume), s.mu
         )
         en_i = jnp.broadcast_to(enabled, accept.shape).astype(jnp.int32)
         return s._replace(

@@ -1,0 +1,105 @@
+"""Compensated incremental energy at large N (CellState.energy_err).
+
+At N ~ 10^4 in f32 the per-move dE (~1e-5 Ha) is the same size as
+ulp(total energy) (~152 Ha * 2^-23 = 1.8e-5): a plain `E += dE`
+quantises - every add rounds to 0 or a whole ulp - and drifts
+systematically.  The round-4 N=8064 production measured 2.2 Ha
+(~890 kT in beta units) of drift within 500 cycles before the fix;
+the chains now two-sum every accepted dE into (energy, energy_err).
+
+This test drives the REAL chain code (_chain_xla_substep) on an f32
+state with |E| ~ 150 Ha and forced-accept trials of dE = -1e-5 Ha
+each, and requires the compensated total to track the fp64 sum to
+<1% - a bound plain f32 accumulation fails by construction (each
+1e-5 add rounds to a 1.8e-5 ulp, a +80% per-add error).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from mc_water_ls_mw_tpu.models.sw import MW
+from mc_water_ls_mw_tpu.mcmc.cellengine import (
+    CellEngine,
+    init_cell_state,
+)
+from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+from mc_water_ls_mw_tpu.mcmc.config import RunParams
+from mc_water_ls_mw_tpu.models.stacking import (
+    correspondence_mismatch,
+    stacking_switch_pair,
+)
+from mc_water_ls_mw_tpu.ops.cells import (
+    build_grid,
+    cap_for_positions,
+    choose_grid_shape,
+)
+
+
+def test_chain_energy_accumulation_is_compensated():
+    r0, H0 = stacking_switch_pair(12, 7, 18)
+    N = r0.shape[1]
+    mx, _ = correspondence_mismatch(r0, H0)
+    shape = choose_grid_shape(H0, MW, mx)
+    cg = build_grid(
+        shape, cap_for_positions(r0, H0, shape), H0, MW, mx
+    )
+    T = 2
+    prm = RunParams(
+        nwater=N, num_lattices=2, n_walkers=2, dtype="float32",
+        temperature=200.0, mu_min=-500.0, mu_max=500.0,
+        mc_always_switch=False, allow_switch=False,
+        mc_vol_prob=0.0, allow_vol=False, eq_mc_cycles=0,
+        cell_trials=T,
+    )
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max,
+                          dtype=jnp.float32)
+    st, eaux, caux = init_cell_state(prm, MW, r0, H0, grid, cg)
+    eng = CellEngine(prm, MW, grid, eaux, cg, caux)
+    K, W = eng.K, prm.n_walkers
+    P = T + 1
+    assert abs(float(st.energy[0, 0])) > 100.0   # the hard regime
+
+    dE = np.float32(1e-5)
+    # point t sits dE lower than point t-1 in lattice 0: every trial
+    # accepts (downhill + flat eta); lattice 1 flat
+    e = np.zeros((2, P, K, W), np.float32)
+    for t in range(1, P):
+        e[0, t] = -dE * t
+    in_cell = jnp.ones((P, K, W), bool)
+    has = jnp.ones((K, W), bool)
+    codes = jnp.zeros((K * T,), jnp.int32)
+    n_u = 4 + 5 * T
+    u = jnp.full((K, n_u, W), 0.5, jnp.float32)
+    sw_ok = jnp.ones((W,), bool)
+    two, cmu, sw_c, minu_c = eng._hoisted_chain_terms(st)
+
+    s = st._replace(cycle=jnp.asarray(1, jnp.int32))
+    n_calls = 60
+    for _ in range(n_calls):
+        s, j_oh, _en = eng._chain_xla_substep(
+            s, jnp.asarray(e), in_cell, has, codes, u, sw_ok,
+            two, cmu, sw_c, minu_c,
+        )
+    n_adds = n_calls * K * T
+    assert int(np.asarray(s.acc[0]).sum()) == n_adds * W
+
+    # NOTE the e-table is ABSOLUTE per sub-step: within one call each
+    # mover walks to point T (total -T*dE), and the next call starts
+    # a fresh table, so expected total = n_calls * K * T * dE
+    expected = float(st.energy[0, 0]) - n_adds * float(dE)
+    got = float(s.energy[0, 0]) + float(s.energy_err[0, 0])
+    accumulated = n_adds * float(dE)             # ~2e-3 Ha
+    err = abs(got - expected)
+    assert err < 0.01 * accumulated, (
+        f"compensated accumulation off by {err:.2e} Ha over "
+        f"{accumulated:.2e} Ha of increments"
+    )
+    # and the plain-f32 control: adding dE to the f32 total directly
+    # must NOT track (each add rounds to a whole ulp) - this is the
+    # failure mode the compensation exists for
+    plain = np.float32(st.energy[0, 0])
+    for _ in range(n_adds):
+        plain = np.float32(plain - dE)
+    assert abs(float(plain) - expected) > 0.2 * accumulated
