@@ -57,7 +57,7 @@ run_input_file(
     "ice.input",
     overrides=dict(
         stack=(14, 8, 18),            # 4*14*8*18 = 8064 molecules
-        n_walkers=512,
+        n_walkers=128,
         parallel_strategy="dd",
         n_windows=16,
         window_overlap=2,
@@ -67,7 +67,7 @@ run_input_file(
         mc_max_trans=0.10,            # adapted anchored-cube width
         mc_dv_max=0.2,
         eq_adjust_mc=True,
-        wl_factor=0.005 * 16.0 / 512,
+        wl_factor=0.005 * 16.0 / 128,
         eq_mc_cycles=400,
         list_update_int=10,
         mpi_sync_int=50,
@@ -76,7 +76,7 @@ run_input_file(
         wl_minhist=5,
         file_output_int=100, therm_walkers=8,
         traj_output_int=100_000_000,
-        chkpt_dump_int=500,
+        chkpt_dump_int=250,
         timer_qtime=qtime, timer_closetime=420,
         max_mc_cycles=100_000_000,
     ),
