@@ -1,26 +1,38 @@
-"""N=8064 Wang-Landau weight generation, dd mode (round 4).
+"""N=8064 SAMPLE phase, dd mode (scaffolded round 4; first chip-time
+item of round 5 once the WL generation's weights have converged).
 
-The first large-N production physics run (VERDICT r3 weak #3): the
-(14,8,18) Ih/Ic stacking pair - 37x the reference's N=216 headline
-system - through the parallel cell-sweep engine with the production
-kernel stack (cell_pallas='apply', chain+WL kernel, cell_trials=8 per
-DESIGN.md 5b's WL-filling guidance: WL is paced by mu-bin visits =
-trials/s, where T=8 measured 2.5x T=1).
+Pipeline (the N=216 production recipe of runs/n216_sample_dd scaled
+to the stacking system):
 
-mu range: the basin probe (runs/n8064_probe, direct-driver variant in
-scripts/probe_n8064_crash.py) measured the relaxation plateau; the
-range below brackets both basins with ~25% margin.  16 mu-windows
-(window_overlap=2), window seeding on, per-walker wl_factor scaled as
-0.005 * n_windows / n_walkers (validate_wl.py derivation).
+1. WL generation (runs/n8064_wl) until the per-window f schedule is
+   deep enough (wlf.dat); the stitched curve lands in
+   eta_weights.dat.
+2. Inspect the POPULATED mu range of that curve
+   (scripts/n8064_status.py) and retarget onto a trimmed sample grid
+   (scripts/retarget_weights.py SRC DST --src-range -R R
+   --dst-range -r r --dst-bins 201) -> this directory's
+   eta_weights.dat.  The sample round-trip time scales with
+   (range)^2; trim to where the generation curve's mass lives.
+3. Run this script under scripts/watchdog.py
+   (--watch ice000_therm.dat --stale 900 --grace 1800).
+4. deltaG + error bar: dd-mode compute_deltaG dumps cumulative
+   per-window raw histograms (uhist_windows_<cycle>.dat);
+   scripts/deltag_error.py --dd differences consecutive dumps per
+   window, re-stitches every delete-one block, and reports the block
+   jackknife (VALIDATION.md f2 machinery, pinned by
+   tests/test_deltag_dd.py).
 
-Runs under scripts/watchdog.py: the shared axon worker crashes /
-wedges sporadically (round-4 probes: the same workload passes or
-crashes by the minute), so chkpt_dump_int is small and restarts
-resume from the newest valid checkpoint.
+Mirror of the WL run's operational defences: subprocess claim-probe
+loop before the first in-process device call, and the wedge guard
+(frozen /proc/self/io rchar + ~0 CPU = axon tunnel wedge -> exit(3)
+so the watchdog relaunches in minutes and auto-resumes from the
+newest checkpoint).
 
 Usage: WL_QTIME=<seconds> python run.py   (from this directory)
+Env: WL_MU_RANGE (sample-grid half-range; default 90000 = the
+generation grid, i.e. no trim), WL_MAX_CYCLES.
 """
-import os, subprocess, sys, time
+import os, subprocess, sys, threading, time
 sys.path.insert(0, "/root/repo")
 
 _PROBE = (
@@ -48,22 +60,15 @@ for attempt in range(40):
 else:
     sys.exit("no device claim after 40 attempts")
 
-import threading
-
 
 def _wedge_guard(window_s=360.0, poll_s=20.0):
-    """Fast-exit on the axon-tunnel wedge so the watchdog relaunches
-    in minutes, not after its 900 s file-staleness window.
-
-    Wedge signature (measured on three wedged launches this
-    session): the process parks in a device call at ~0 CPU - it may
-    still trickle keepalive bytes on the tunnel socket, so socket
-    counters are NOT a reliable liveness signal.  What is reliable:
-    (a) a healthy steady-state run flushes a therm row / checkpoint
-    every cycle block (~50-140 s here), and (b) a healthy COMPILE
-    burns host CPU.  If neither output-file mtimes nor process CPU
-    move for window_s, exit(3); the watchdog relaunches and the app
-    auto-resumes from the newest checkpoint."""
+    """Exit fast on the axon-tunnel wedge: the wedged process parks
+    in a device call at ~0 CPU (it may still trickle keepalive bytes,
+    so socket counters are NOT a liveness signal).  A healthy run
+    flushes a therm row / checkpoint every cycle block and a healthy
+    compile burns host CPU; if neither moves for window_s, exit(3)
+    and let the watchdog relaunch + auto-resume.  See
+    runs/n8064_wl/run.py for the measured signature."""
 
     def newest_mtime():
         t = 0.0
@@ -101,8 +106,7 @@ def _wedge_guard(window_s=360.0, poll_s=20.0):
 _wedge_guard()
 
 # Persistent compile cache: watchdog relaunches (the wedge-recovery
-# path) re-pay every XLA compile otherwise - at N=8064 that is
-# 5-10 min per relaunch on this single contended core.
+# path) re-pay every XLA compile otherwise.
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -122,17 +126,17 @@ run_input_file(
         window_overlap=2,
         mu_min=-MU_RANGE, mu_max=MU_RANGE,
         nbins=201,
-        cell_trials=8,                # WL filling is paced by trials/s
-        mc_max_trans=0.10,            # adapted anchored-cube width
+        samplerun=True,               # frozen weights, unbiased hist
+        cell_trials=1,                # sigma^2-mixing optimal (5b)
+        mc_max_trans=0.18,
         mc_dv_max=0.2,
-        eq_adjust_mc=True,
-        wl_factor=0.005 * 16.0 / 128,
+        eq_adjust_mc=False,
         eq_mc_cycles=400,
         list_update_int=10,
         mpi_sync_int=50,
         monitor_int=2500,
         flat_chk_int=1000,
-        wl_minhist=5,
+        deltaG_int=2500,
         file_output_int=100, therm_walkers=8,
         traj_output_int=100_000_000,
         chkpt_dump_int=250,
@@ -142,4 +146,4 @@ run_input_file(
     max_cycles=int(max_cycles) if max_cycles else None,
     jit_chunk=20,
 )
-print("N=8064 WL dd gen stopped cleanly", flush=True)
+print("N=8064 dd sample stopped cleanly", flush=True)
