@@ -32,7 +32,7 @@ Usage: WL_QTIME=<seconds> python run.py   (from this directory)
 Env: WL_MU_RANGE (sample-grid half-range; default 90000 = the
 generation grid, i.e. no trim), WL_MAX_CYCLES.
 """
-import os, subprocess, sys, threading, time
+import os, subprocess, sys, time
 sys.path.insert(0, "/root/repo")
 
 _PROBE = (
@@ -61,49 +61,12 @@ else:
     sys.exit("no device claim after 40 attempts")
 
 
-def _wedge_guard(window_s=360.0, poll_s=20.0):
-    """Exit fast on the axon-tunnel wedge: the wedged process parks
-    in a device call at ~0 CPU (it may still trickle keepalive bytes,
-    so socket counters are NOT a liveness signal).  A healthy run
-    flushes a therm row / checkpoint every cycle block and a healthy
-    compile burns host CPU; if neither moves for window_s, exit(3)
-    and let the watchdog relaunch + auto-resume.  See
-    runs/n8064_wl/run.py for the measured signature."""
+# Wedge guard (mc_water_ls_mw_tpu/liveness.py; signature + rationale
+# in DESIGN.md §6): exit(3) on 6 min of no-output-no-CPU so the
+# watchdog relaunches and the app resumes from the newest checkpoint.
+from mc_water_ls_mw_tpu.liveness import install_wedge_guard
 
-    def newest_mtime():
-        t = 0.0
-        for f in os.listdir("."):
-            if (f.endswith("_therm.dat") or f == "mc.log"
-                    or f.startswith("checkpoint")):
-                try:
-                    t = max(t, os.path.getmtime(f))
-                except OSError:
-                    pass
-        return t
-
-    def run():
-        last_cpu = time.process_time()
-        last_mtime = newest_mtime()
-        last_progress = time.time()
-        while True:
-            time.sleep(poll_s)
-            c = time.process_time()
-            m = newest_mtime()
-            if m > last_mtime or c - last_cpu > 5.0:
-                last_mtime = m
-                last_cpu = c
-                last_progress = time.time()
-                continue
-            if time.time() - last_progress > window_s:
-                print(f"wedge guard: no output progress and <5s CPU "
-                      f"for {time.time() - last_progress:.0f}s; "
-                      "exiting for watchdog restart", flush=True)
-                os._exit(3)
-
-    threading.Thread(target=run, daemon=True).start()
-
-
-_wedge_guard()
+install_wedge_guard(".")
 
 # Persistent compile cache: watchdog relaunches (the wedge-recovery
 # path) re-pay every XLA compile otherwise.

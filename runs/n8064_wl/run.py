@@ -48,57 +48,13 @@ for attempt in range(40):
 else:
     sys.exit("no device claim after 40 attempts")
 
-import threading
+# Wedge guard (mc_water_ls_mw_tpu/liveness.py; signature + rationale
+# in DESIGN.md §6): the tunnel can park this process inside a device
+# call forever; exit(3) on 6 min of no-output-no-CPU so the watchdog
+# relaunches and the app resumes from the newest checkpoint.
+from mc_water_ls_mw_tpu.liveness import install_wedge_guard
 
-
-def _wedge_guard(window_s=360.0, poll_s=20.0):
-    """Fast-exit on the axon-tunnel wedge so the watchdog relaunches
-    in minutes, not after its 900 s file-staleness window.
-
-    Wedge signature (measured on three wedged launches this
-    session): the process parks in a device call at ~0 CPU - it may
-    still trickle keepalive bytes on the tunnel socket, so socket
-    counters are NOT a reliable liveness signal.  What is reliable:
-    (a) a healthy steady-state run flushes a therm row / checkpoint
-    every cycle block (~50-140 s here), and (b) a healthy COMPILE
-    burns host CPU.  If neither output-file mtimes nor process CPU
-    move for window_s, exit(3); the watchdog relaunches and the app
-    auto-resumes from the newest checkpoint."""
-
-    def newest_mtime():
-        t = 0.0
-        for f in os.listdir("."):
-            if (f.endswith("_therm.dat") or f == "mc.log"
-                    or f.startswith("checkpoint")):
-                try:
-                    t = max(t, os.path.getmtime(f))
-                except OSError:
-                    pass
-        return t
-
-    def run():
-        last_cpu = time.process_time()
-        last_mtime = newest_mtime()
-        last_progress = time.time()
-        while True:
-            time.sleep(poll_s)
-            c = time.process_time()
-            m = newest_mtime()
-            if m > last_mtime or c - last_cpu > 5.0:
-                last_mtime = m
-                last_cpu = c
-                last_progress = time.time()
-                continue
-            if time.time() - last_progress > window_s:
-                print(f"wedge guard: no output progress and <5s CPU "
-                      f"for {time.time() - last_progress:.0f}s; "
-                      "exiting for watchdog restart", flush=True)
-                os._exit(3)
-
-    threading.Thread(target=run, daemon=True).start()
-
-
-_wedge_guard()
+install_wedge_guard(".")
 
 # Persistent compile cache: watchdog relaunches (the wedge-recovery
 # path) re-pay every XLA compile otherwise - at N=8064 that is

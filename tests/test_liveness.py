@@ -1,0 +1,91 @@
+"""Wedge-guard liveness monitor (mc_water_ls_mw_tpu/liveness.py).
+
+The guard's decision core must flag exactly the measured axon-wedge
+signature (DESIGN.md §6: no output-file progress AND ~0 process CPU)
+and must NOT flag a healthy compile (CPU moving, no files yet) or a
+healthy steady state (therm mtimes advancing, ~0 CPU).
+"""
+
+import os
+import time
+
+import pytest
+
+from mc_water_ls_mw_tpu.liveness import (
+    WedgeMonitor,
+    install_wedge_guard,
+    newest_output_mtime,
+)
+
+
+def test_monitor_flags_full_stall():
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0)
+    # neither CPU nor files move: age accumulates past the window
+    assert mon.tick(200.0, 0.5, 100.0) == 200.0
+    age = mon.tick(400.0, 1.0, 100.0)
+    assert age == 400.0 and age > mon.wedged_after
+
+
+def test_monitor_resets_on_file_progress():
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0)
+    assert mon.tick(300.0, 0.5, 100.0) == 300.0
+    # a therm flush lands: stall age resets even with ~0 CPU
+    assert mon.tick(350.0, 0.6, 351.0) == 0.0
+    assert mon.tick(700.0, 0.7, 351.0) == 350.0
+    # age is measured from the last progress point, not from start
+    assert mon.tick(712.0, 0.7, 351.0) == 362.0 > mon.wedged_after
+
+
+def test_monitor_treats_cpu_burn_as_progress():
+    # compile phase: no output files at all, but host CPU moves
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
+                       cpu_eps_s=5.0)
+    assert mon.tick(300.0, 20.0, 0.0) == 0.0       # compiling
+    assert mon.tick(600.0, 40.0, 0.0) == 0.0       # still compiling
+    assert mon.tick(900.0, 41.0, 0.0) == 300.0     # compile ended,
+    assert mon.tick(990.0, 41.5, 0.0) == 390.0     # then wedged
+
+
+def test_monitor_ignores_keepalive_sized_cpu():
+    # the measured wedge trickles keepalives; a few CPU-seconds per
+    # window must NOT read as progress
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
+                       cpu_eps_s=5.0)
+    assert mon.tick(200.0, 2.0, 0.0) == 200.0
+    assert mon.tick(400.0, 4.0, 0.0) == 400.0 > mon.wedged_after
+
+
+def test_newest_output_mtime_picks_run_outputs_only(tmp_path):
+    old = tmp_path / "ice000_therm.dat"
+    old.write_text("row\n")
+    os.utime(old, (1000.0, 1000.0))
+    log = tmp_path / "mc.log"
+    log.write_text("#\n")
+    os.utime(log, (2000.0, 2000.0))
+    ck = tmp_path / "checkpoint000.npz.1"
+    ck.write_bytes(b"x")
+    os.utime(ck, (1500.0, 1500.0))
+    # a non-output file must not count
+    noise = tmp_path / "run_00.log"
+    noise.write_text("chatter\n")
+    os.utime(noise, (9000.0, 9000.0))
+    assert newest_output_mtime(str(tmp_path)) == 2000.0
+    assert newest_output_mtime(str(tmp_path / "missing")) == 0.0
+
+
+def test_install_guard_exits_via_hook(tmp_path):
+    fired = {}
+
+    def fake_exit(code):
+        fired["code"] = code
+        # the real guard never returns from _exit; emulate by ending
+        # the thread via an exception the daemon swallows
+        raise SystemExit
+
+    t = install_wedge_guard(str(tmp_path), window_s=0.05, poll_s=0.02,
+                            _exit=fake_exit)
+    deadline = time.time() + 5.0
+    while "code" not in fired and time.time() < deadline:
+        time.sleep(0.02)
+    assert fired.get("code") == 3
+    t.join(timeout=5.0)
