@@ -33,7 +33,15 @@ import time
 def _kill_group(proc, grace_s):
     """SIGTERM then SIGKILL the run's process group, tolerating the
     race where the process dies between the staleness check and the
-    kill (the supervisor must survive to relaunch)."""
+    kill (the supervisor must survive to relaunch).
+
+    The direct child is a shell wrapper; waiting on IT is not enough.
+    Measured failure (round 4): the wrapper died on SIGTERM so
+    proc.wait returned promptly, but the grandchild python run was
+    parked in a native device call — its SIGTERM handler (the app's
+    checkpoint-and-exit hook) can never run from a parked main
+    thread — and it outlived the supervisor.  So after the grace,
+    ALWAYS send SIGKILL to the group; it is idempotent on the dead."""
     try:
         pg = os.getpgid(proc.pid)
     except ProcessLookupError:
@@ -47,11 +55,12 @@ def _kill_group(proc, grace_s):
     try:
         proc.wait(timeout=grace_s)
     except subprocess.TimeoutExpired:
-        try:
-            os.killpg(pg, signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        proc.wait(timeout=30)
+        pass
+    try:
+        os.killpg(pg, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    proc.wait(timeout=30)
 
 
 def log(fh, msg):

@@ -95,3 +95,48 @@ def test_budget_exhaustion_stops(workdir):
     assert res.returncode == 0
     log = (workdir / "watchdog.log").read_text()
     assert "budget" in log
+
+
+def test_budget_stop_kills_sigterm_immune_grandchild(workdir):
+    # Measured round-4 failure: the shell wrapper died on the group
+    # SIGTERM so proc.wait() returned, but the grandchild was parked
+    # in a native device call (its SIGTERM handler could never run)
+    # and outlived the supervisor.  The kill path must escalate to
+    # SIGKILL on the whole group even when the direct child exits.
+    wrapper = workdir / "wrapper.py"
+    wrapper.write_text(textwrap.dedent(f"""
+        import os, subprocess, sys, time
+        def put(name, txt):
+            f = open(name, "w"); f.write(txt)
+            f.flush(); os.fsync(f.fileno()); f.close()
+        if os.path.exists("ran_once"):
+            sys.exit(0)                  # clean on relaunch
+        g = subprocess.Popen([
+            {sys.executable!r}, "-c",
+            "import signal,time;"
+            "signal.signal(signal.SIGTERM, signal.SIG_IGN);"
+            "time.sleep(3600)",
+        ])
+        put("grandchild.pid", str(g.pid))
+        put("ran_once", "x")
+        put("out.log", "beat")
+        time.sleep(3600)                 # goes stale; wrapper dies
+                                         # on the group SIGTERM, the
+                                         # grandchild ignores it
+    """))
+    res = _run(workdir, f"{sys.executable} {wrapper}",
+               stale=12, grace=5, budget=600, max_restarts=3)
+    assert res.returncode == 0
+    log = (workdir / "watchdog.log").read_text()
+    assert "killing process group" in log
+    pid = int((workdir / "grandchild.pid").read_text())
+    deadline = __import__("time").time() + 30
+    alive = True
+    while __import__("time").time() < deadline:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            alive = False
+            break
+        __import__("time").sleep(0.5)
+    assert not alive, "SIGTERM-immune grandchild survived budget stop"
