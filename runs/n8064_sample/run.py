@@ -24,7 +24,8 @@ to the stacking system):
 
 Mirror of the WL run's operational defences: subprocess claim-probe
 loop before the first in-process device call, and the wedge guard
-(frozen /proc/self/io rchar + ~0 CPU = axon tunnel wedge -> exit(3)
+(no output-file mtime progress + ~0 CPU rate = axon tunnel wedge,
+liveness.py / DESIGN.md section 6 -> exit(3)
 so the watchdog relaunches in minutes and auto-resumes from the
 newest checkpoint).
 

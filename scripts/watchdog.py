@@ -29,6 +29,11 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from mc_water_ls_mw_tpu.liveness import BackoffPolicy, probe_device
+
 
 def _kill_group(proc, grace_s):
     """SIGTERM then SIGKILL the run's process group, tolerating the
@@ -41,7 +46,14 @@ def _kill_group(proc, grace_s):
     parked in a native device call — its SIGTERM handler (the app's
     checkpoint-and-exit hook) can never run from a parked main
     thread — and it outlived the supervisor.  So after the grace,
-    ALWAYS send SIGKILL to the group; it is idempotent on the dead."""
+    ALWAYS send SIGKILL to the group; it is idempotent on the dead.
+
+    The grace must likewise be granted to the GROUP, not the direct
+    child: if the wrapper dies instantly on SIGTERM, proc.wait
+    returns before the grandchild app has had its grace to run the
+    checkpoint-and-exit hook — so after proc.wait returns early, the
+    remaining grace is waited out against group existence
+    (os.killpg(pg, 0)) before the unconditional SIGKILL."""
     try:
         pg = os.getpgid(proc.pid)
     except ProcessLookupError:
@@ -52,10 +64,19 @@ def _kill_group(proc, grace_s):
     except ProcessLookupError:
         proc.wait(timeout=10)
         return
+    deadline = time.time() + grace_s
     try:
         proc.wait(timeout=grace_s)
     except subprocess.TimeoutExpired:
         pass
+    # wrapper may be gone while grandchildren still checkpoint: give
+    # the rest of the group the remaining grace before the hard kill
+    while time.time() < deadline:
+        try:
+            os.killpg(pg, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(min(2.0, max(0.1, deadline - time.time())))
     try:
         os.killpg(pg, signal.SIGKILL)
     except ProcessLookupError:
@@ -85,6 +106,15 @@ def main():
     ap.add_argument("--budget", type=float, default=10800.0,
                     help="total wall-clock budget (s) across restarts")
     ap.add_argument("--poll", type=float, default=30.0)
+    ap.add_argument("--kill-grace", type=float, default=60.0,
+                    help="grace (s) the whole process group gets "
+                         "between SIGTERM and SIGKILL on a hang kill")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the degraded-backend probe gate "
+                         "before relaunches")
+    ap.add_argument("--probe-backoff", type=float, default=60.0,
+                    help="first wait (s) of the degraded-backend "
+                         "exponential backoff")
     args = ap.parse_args()
 
     os.chdir(args.workdir)
@@ -123,7 +153,7 @@ def main():
                                 f"{age:.0f}s > {args.stale:.0f}s: "
                                 "killing process group")
                         hang = True
-                        _kill_group(proc, 60)
+                        _kill_group(proc, args.kill_grace)
                         rc = proc.returncode
                         break
                     if time.time() > t_end - 60:
@@ -140,6 +170,30 @@ def main():
                 return 1
             log(fh, f"run ended rc={rc} hang={hang}; restarting "
                     "(auto-resume from newest checkpoint)")
+            # Degraded-backend gate (liveness.py round-5): when every
+            # process sees trivial ops take ~50s, relaunching does not
+            # help — only waiting does.  Probe before relaunch; while
+            # degraded, back off exponentially WITHOUT burning a
+            # restart slot (the round-4 production burned 12 restarts
+            # in one degraded hour this way).
+            if not args.no_probe:
+                policy = BackoffPolicy(start_s=args.probe_backoff)
+                while True:
+                    if time.time() > t_end - 180:
+                        log(fh, "budget exhausted during backend "
+                                "probe; done")
+                        return 0
+                    status, op_s = probe_device()
+                    wait = policy.decide(status)
+                    if wait == 0.0:
+                        log(fh, f"backend probe ok (op {op_s:.1f}s); "
+                                "relaunching")
+                        break
+                    wait = min(wait, max(0.0, t_end - time.time() - 180))
+                    log(fh, f"backend probe {status} (op {op_s:.1f}s):"
+                            f" waited {wait:.0f}s instead of "
+                            "relaunching")
+                    time.sleep(wait)
             time.sleep(10)
 
 

@@ -12,9 +12,11 @@ import time
 import pytest
 
 from mc_water_ls_mw_tpu.liveness import (
+    BackoffPolicy,
     WedgeMonitor,
     install_wedge_guard,
     newest_output_mtime,
+    probe_device,
 )
 
 
@@ -39,7 +41,7 @@ def test_monitor_resets_on_file_progress():
 def test_monitor_treats_cpu_burn_as_progress():
     # compile phase: no output files at all, but host CPU moves
     mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
-                       cpu_eps_s=5.0)
+                       cpu_rate=0.05)
     assert mon.tick(300.0, 20.0, 0.0) == 0.0       # compiling
     assert mon.tick(600.0, 40.0, 0.0) == 0.0       # still compiling
     assert mon.tick(900.0, 41.0, 0.0) == 300.0     # compile ended,
@@ -47,12 +49,28 @@ def test_monitor_treats_cpu_burn_as_progress():
 
 
 def test_monitor_ignores_keepalive_sized_cpu():
-    # the measured wedge trickles keepalives; a few CPU-seconds per
-    # window must NOT read as progress
+    # the measured wedge trickles keepalives; a ~1% CPU rate must NOT
+    # read as progress
     mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
-                       cpu_eps_s=5.0)
+                       cpu_rate=0.05)
     assert mon.tick(200.0, 2.0, 0.0) == 200.0
     assert mon.tick(400.0, 4.0, 0.0) == 400.0 > mon.wedged_after
+
+
+def test_monitor_sustained_trickle_never_resets_stall():
+    # process_time sums ALL threads, so keepalive/gRPC threads inside
+    # a wedged process trickle CPU forever; judged cumulatively that
+    # trickle eventually clears any absolute threshold and the wedge
+    # is never detected (round-4 advisor finding).  Judged per-window
+    # as a rate, the stall age must keep growing.
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
+                       cpu_rate=0.05)
+    t, cpu = 0.0, 0.0
+    for _ in range(100):                 # 2000 s of 1.4% trickle
+        t += 20.0
+        cpu += 0.28
+        age = mon.tick(t, cpu, 0.0)
+    assert age == 2000.0 > mon.wedged_after
 
 
 def test_newest_output_mtime_picks_run_outputs_only(tmp_path):
@@ -71,6 +89,37 @@ def test_newest_output_mtime_picks_run_outputs_only(tmp_path):
     os.utime(noise, (9000.0, 9000.0))
     assert newest_output_mtime(str(tmp_path)) == 2000.0
     assert newest_output_mtime(str(tmp_path / "missing")) == 0.0
+
+
+class _FakeRes:
+    def __init__(self, stdout):
+        self.stdout = stdout
+
+
+def test_probe_device_bands():
+    ok, s = probe_device(_run=lambda t: _FakeRes("PROBE_OP_S 0.8\n"))
+    assert ok == "ok" and s == 0.8
+    deg, s = probe_device(_run=lambda t: _FakeRes("PROBE_OP_S 48.2\n"))
+    assert deg == "degraded" and s == 48.2
+    # claim failure / garbage output / timeout all read as fail
+    assert probe_device(_run=lambda t: _FakeRes(""))[0] == "fail"
+
+    def _timeout(t):
+        import subprocess
+        raise subprocess.TimeoutExpired("probe", t)
+
+    assert probe_device(timeout_s=30, _run=_timeout) == ("fail", 30.0)
+
+
+def test_backoff_policy_waits_through_degraded_stretch():
+    # DESIGN.md §6: in the degraded state "relaunching does not help;
+    # only waiting does" — the policy must hold off relaunch with
+    # growing waits, capped, and release immediately on recovery
+    p = BackoffPolicy(start_s=60.0, factor=2.0, cap_s=900.0)
+    waits = [p.decide("degraded") for _ in range(6)]
+    assert waits == [60.0, 120.0, 240.0, 480.0, 900.0, 900.0]
+    assert p.decide("ok") == 0.0            # recovery releases
+    assert p.decide("fail") == 60.0         # ...and resets the ladder
 
 
 def test_install_guard_exits_via_hook(tmp_path):

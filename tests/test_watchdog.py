@@ -30,18 +30,23 @@ def workdir(request):
     shutil.rmtree(d, ignore_errors=True)
 
 
-def _run(workdir, cmd, **kw):
+def _run(workdir, cmd, probe=False, env=None, **kw):
     args = [
         sys.executable, str(WATCHDOG),
         "--workdir", str(workdir),
         "--cmd", cmd,
         "--watch", "out.log",
         "--poll", "1",
+        "--kill-grace", "5",
     ]
+    if not probe:
+        args.append("--no-probe")
     for k, v in kw.items():
         args += [f"--{k.replace('_', '-')}", str(v)]
+    run_env = dict(os.environ, **(env or {}))
     return subprocess.run(
-        args, capture_output=True, text=True, timeout=120
+        args, capture_output=True, text=True, timeout=120,
+        env=run_env,
     )
 
 
@@ -82,6 +87,40 @@ def test_hang_is_killed_and_relaunched(workdir):
     # each launch got the remaining budget via WL_QTIME
     assert os.path.exists(workdir / "run_00.log")
     assert os.path.exists(workdir / "run_01.log")
+
+
+def test_degraded_backend_waits_instead_of_relaunching(workdir):
+    # Round-4 production failure: 12 relaunches in one degraded-
+    # backend hour, each burning a restart slot on a backend where
+    # "only waiting helps" (DESIGN.md §6).  The probe gate must log a
+    # wait on a degraded probe and only relaunch once a probe lands
+    # in the ok band.  The fake probe is degraded on its first call
+    # (no marker yet) and ok afterwards.
+    script = workdir / "job.py"
+    script.write_text(textwrap.dedent("""
+        import os, sys
+        def put(name, txt):
+            f = open(name, "w"); f.write(txt)
+            f.flush(); os.fsync(f.fileno()); f.close()
+        put("out.log", "beat")
+        if os.path.exists("ran_once"):
+            sys.exit(0)                      # clean on relaunch
+        put("ran_once", "x")
+        sys.exit(7)                          # crash -> probe gate
+    """))
+    fake_probe = (
+        "if [ -e probe_once ]; then echo PROBE_OP_S 0.1; "
+        "else touch probe_once; echo PROBE_OP_S 99.0; fi"
+    )
+    res = _run(workdir, f"{sys.executable} {script}", probe=True,
+               stale=60, grace=5, budget=600, max_restarts=3,
+               probe_backoff=1,
+               env={"LIVENESS_PROBE_CMD": fake_probe})
+    assert res.returncode == 0
+    log = (workdir / "watchdog.log").read_text()
+    assert "backend probe degraded (op 99.0s): waited" in log
+    assert "backend probe ok (op 0.1s); relaunching" in log
+    assert "exited cleanly" in log
 
 
 def test_budget_exhaustion_stops(workdir):
