@@ -91,6 +91,20 @@ def _child_main(nwater: int) -> None:
               file=sys.stderr, flush=True)
         os._exit(17)
 
+    # stub hook for the FAST retry-path test: emit a canned row
+    # without importing jax, so the orchestration (spawn, row parse,
+    # attempt count, stderr reporting) is testable in seconds on a
+    # loaded host (VERDICT r4 weak #4: the real two-child variant is
+    # wall-clock-fragile and now runs in the slow tier)
+    if os.environ.get("BENCH_FAKE_ROW"):
+        row = {
+            "nwater": nwater, "walkers": 8, "moves_per_s": 1234.5,
+            "cycles_timed": 2, "elapsed_s": 0.01, "compile_s": 0.0,
+            "device": "fake",
+        }
+        print(_ROW_TAG + json.dumps(row), flush=True)
+        os._exit(0)
+
     import jax
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

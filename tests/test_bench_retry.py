@@ -14,26 +14,22 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def test_bench_retries_after_child_crash():
+def _run_bench(env_extra, timeout):
     env = dict(os.environ)
-    env.update(
-        JAX_PLATFORMS="cpu",
-        BENCH_FORCE_FAIL_ATTEMPTS="1",
-        BENCH_NWATER="48",
-        BENCH_WALKERS="8",
-        BENCH_CYCLES="2",
-        BENCH_SYNC_INT="2",
-        BENCH_CLAIM_WAIT="600",
-        BENCH_CHILD_TIMEOUT="500",
-    )
-    res = subprocess.run(
+    env.update(JAX_PLATFORMS="cpu", **env_extra)
+    return subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=timeout, env=env,
         cwd=str(REPO),
     )
+
+
+def _assert_retry_visible(res):
     assert res.returncode == 0, res.stderr[-2000:]
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["unit"] == "moves/s"
@@ -42,3 +38,42 @@ def test_bench_retries_after_child_crash():
     assert out["rows"][0]["attempts"] == 2
     # the forced crash was visible to the orchestrator
     assert "attempt 1 died" in res.stderr
+    return out
+
+
+def test_bench_retry_orchestration_with_stubbed_child():
+    """Fast tier: the child emits a canned row without importing jax
+    (BENCH_FAKE_ROW), so spawn/parse/retry logic is tested in seconds
+    regardless of host load — a robustness test must not itself be
+    wall-clock-fragile (VERDICT r4 weak #4)."""
+    res = _run_bench(
+        dict(
+            BENCH_FORCE_FAIL_ATTEMPTS="1",
+            BENCH_FAKE_ROW="1",
+            BENCH_NWATER="48",
+            BENCH_CLAIM_WAIT="60",
+            BENCH_CHILD_TIMEOUT="60",
+        ),
+        timeout=120,
+    )
+    out = _assert_retry_visible(res)
+    assert out["rows"][0]["moves_per_s"] == 1234.5
+
+
+@pytest.mark.slow
+def test_bench_retries_after_child_crash():
+    """Slow tier: the real two-sequential-children variant (full jax
+    import + compile in the surviving child)."""
+    res = _run_bench(
+        dict(
+            BENCH_FORCE_FAIL_ATTEMPTS="1",
+            BENCH_NWATER="48",
+            BENCH_WALKERS="8",
+            BENCH_CYCLES="2",
+            BENCH_SYNC_INT="2",
+            BENCH_CLAIM_WAIT="600",
+            BENCH_CHILD_TIMEOUT="500",
+        ),
+        timeout=900,
+    )
+    _assert_retry_visible(res)
