@@ -307,7 +307,7 @@ class Application:
                    f"{n_dev} devices - running unsharded")
 
         self.state = state
-        self.ckpt_writer = ckpt.CheckpointWriter(".")
+        self.ckpt_writer = ckpt.CheckpointWriter(".", background=True)
         self.therm = writers.ThermWriter(
             prm.seedname, range(min(prm.therm_walkers, prm.n_walkers)),
             prm.nwater, restart=self.restart,
@@ -507,8 +507,9 @@ class Application:
                     )
 
 
-        # final checkpoint (main.f90:246)
-        self.ckpt_writer.write(self.state)
+        # final checkpoint (main.f90:246) — synchronous: the process
+        # may exit right after
+        self.ckpt_writer.write(self.state, wait=True)
         self.therm.close()
         return self.state
 

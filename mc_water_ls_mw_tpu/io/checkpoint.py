@@ -63,25 +63,65 @@ def state_fingerprint(state) -> str:
 
 
 class CheckpointWriter:
-    """Alternating-slot writer (mc_checkpoint_write:336-350)."""
+    """Alternating-slot writer (mc_checkpoint_write:336-350).
 
-    def __init__(self, directory="."):
+    ``background=True`` overlaps the disk write with device work: the
+    device→host pull stays synchronous (the next dispatch may donate
+    the state buffers), but the ~hundreds-of-MB savez+rename runs in
+    a worker thread while the cycle loop dispatches the next block
+    (VERDICT r4 weak #7, app-path overhead).  Slot atomicity is
+    unchanged — write-then-rename — so a kill mid-write still leaves
+    the other slot valid.  A failed background write re-raises on the
+    next write()/wait() so disk-full never passes silently."""
+
+    def __init__(self, directory=".", background=False):
         self.directory = directory
         self.slot = 1
+        self.background = background
+        self._thread = None
+        self._error = None
 
-    def write(self, state: SamplerState):
+    def _save(self, arrays, path):
+        try:
+            # atomic within the slot: write then rename
+            fd, tmp = tempfile.mkstemp(dir=self.directory,
+                                       suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, **arrays)
+            os.replace(tmp, path)
+        except BaseException as err:  # re-raised on next write/wait
+            self._error = err
+
+    def wait(self):
+        """Block until any in-flight background write has landed."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def write(self, state: SamplerState, wait=None):
+        self.wait()
         leaves, treedef = jax.tree.flatten(state)
         arrays = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
         arrays["__fingerprint__"] = np.frombuffer(
             state_fingerprint(state).encode(), dtype=np.uint8
         )
         path = _slot_path(self.directory, self.slot)
-        # atomic within the slot: write then rename
-        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
-        with os.fdopen(fd, "wb") as fh:
-            np.savez(fh, **arrays)
-        os.replace(tmp, path)
         self.slot = 2 if self.slot == 1 else 1
+        sync = not self.background if wait is None else wait
+        if sync:
+            self._save(arrays, path)
+            self.wait()
+        else:
+            import threading
+
+            self._thread = threading.Thread(
+                target=self._save, args=(arrays, path),
+                name="ckpt-writer", daemon=True,
+            )
+            self._thread.start()
         return path
 
 

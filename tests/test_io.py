@@ -146,6 +146,54 @@ def test_checkpoint_dual_slot(tmp_path, examples_dir):
     assert cycle2 == 0
 
 
+def test_checkpoint_background_writer(tmp_path, examples_dir):
+    """Background mode overlaps the savez with the cycle loop; the
+    dual-slot/load semantics must be identical, a queued write must
+    be joinable via wait(), and a failed disk write must re-raise
+    instead of passing silently."""
+    import jax.numpy as jnp
+
+    from mc_water_ls_mw_tpu.io import checkpoint as ck
+    from mc_water_ls_mw_tpu.models.sw import MW
+    from mc_water_ls_mw_tpu.mcmc.bins import build_bin_grid
+    from mc_water_ls_mw_tpu.mcmc.config import RunParams
+    from mc_water_ls_mw_tpu.mcmc.state import init_state
+    from mc_water_ls_mw_tpu.io.xmol import read_lattices
+
+    r0, H0 = read_lattices(examples_dir / "ice1_sample", 2, 48)
+    prm = RunParams(nwater=48, num_lattices=2, n_walkers=2,
+                    dtype="float64", nbins=11, mu_min=-40, mu_max=40)
+    grid = build_bin_grid(prm.nbins, prm.mu_min, prm.mu_max)
+    state, _ = init_state(prm, MW, r0, H0, grid)
+
+    w = ck.CheckpointWriter(str(tmp_path), background=True)
+    w.write(state)
+    s1 = state._replace(cycle=jnp.asarray(7, dtype=jnp.int32))
+    w.write(s1)          # joins the first write before slot 2
+    w.wait()
+    loaded, cycle, _ = ck.load_checkpoint(state, str(tmp_path))
+    assert cycle == 7
+    np.testing.assert_allclose(
+        np.asarray(loaded.r), np.asarray(state.r)
+    )
+    # wait=True forces a synchronous final write
+    s2 = state._replace(cycle=jnp.asarray(9, dtype=jnp.int32))
+    w.write(s2, wait=True)
+    _, cycle2, _ = ck.load_checkpoint(state, str(tmp_path))
+    assert cycle2 == 9
+
+    # a background write into a removed directory must surface
+    import shutil
+
+    bad = tmp_path / "gone"
+    bad.mkdir()
+    wb = ck.CheckpointWriter(str(bad), background=True)
+    shutil.rmtree(bad)
+    wb.write(state)
+    with pytest.raises(OSError):
+        wb.wait()
+
+
 def test_tile_cell(examples_dir):
     import jax.numpy as jnp
 
