@@ -87,16 +87,25 @@ class WedgeMonitor:
     wedged process whose tunnel keepalive threads trickle ~1% CPU
     forever must still read as stalled (it would eventually clear any
     cumulative threshold).
+
+    ``startup_window_s`` applies until the FIRST output-file progress
+    is ever observed: a cold large-N start can wait many minutes
+    inside a remote (server-side) XLA compile at near-zero host CPU
+    with no files yet — healthy, but indistinguishable from a wedge
+    by the steady-state signals.  Once the run has produced output
+    even once, the tight window takes over.
     """
 
     def __init__(self, now, cpu, mtime, window_s=360.0,
-                 cpu_rate=0.05):
+                 cpu_rate=0.05, startup_window_s=1200.0):
         self.window_s = float(window_s)
+        self.startup_window_s = float(startup_window_s)
         self.cpu_rate = float(cpu_rate)
         self._cpu = cpu
         self._now = now
         self._mtime = mtime
         self._progress_at = now
+        self._file_seen = False
 
     def tick(self, now, cpu, mtime):
         dt = now - self._now
@@ -105,6 +114,8 @@ class WedgeMonitor:
         self._cpu = cpu
         busy = dt > 0.0 and (dcpu / dt) > self.cpu_rate
         if mtime > self._mtime or busy:
+            if mtime > self._mtime:
+                self._file_seen = True
             self._mtime = mtime
             self._progress_at = now
             return 0.0
@@ -112,11 +123,14 @@ class WedgeMonitor:
 
     @property
     def wedged_after(self):
+        if not self._file_seen:
+            return max(self.window_s, self.startup_window_s)
         return self.window_s
 
 
 def install_wedge_guard(dirpath=".", window_s=360.0, poll_s=20.0,
-                        exit_code=3, _exit=os._exit):
+                        exit_code=3, _exit=os._exit,
+                        startup_window_s=1200.0):
     """Start the guard as a daemon thread; returns the thread.
 
     On detection it prints one line and calls ``_exit(exit_code)`` —
@@ -129,7 +143,8 @@ def install_wedge_guard(dirpath=".", window_s=360.0, poll_s=20.0,
     def run():
         mon = WedgeMonitor(time.time(), time.process_time(),
                            newest_output_mtime(dirpath),
-                           window_s=window_s)
+                           window_s=window_s,
+                           startup_window_s=startup_window_s)
         while True:
             time.sleep(poll_s)
             age = mon.tick(time.time(), time.process_time(),

@@ -21,11 +21,25 @@ from mc_water_ls_mw_tpu.liveness import (
 
 
 def test_monitor_flags_full_stall():
-    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0)
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0,
+                       startup_window_s=360.0)
     # neither CPU nor files move: age accumulates past the window
     assert mon.tick(200.0, 0.5, 100.0) == 200.0
     age = mon.tick(400.0, 1.0, 100.0)
     assert age == 400.0 and age > mon.wedged_after
+
+
+def test_monitor_startup_window_tolerates_remote_compile():
+    # cold large-N start: server-side compile, ~0 host CPU, no files
+    # for many minutes — must NOT read as wedged inside the startup
+    # window, must tighten to window_s after the first file progress
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
+                       startup_window_s=1200.0)
+    age = mon.tick(600.0, 1.0, 0.0)        # 10 min into the compile
+    assert age == 600.0 < mon.wedged_after
+    assert mon.tick(900.0, 1.5, 901.0) == 0.0   # first therm lands
+    assert mon.wedged_after == 360.0       # tight window from now on
+    assert mon.tick(1300.0, 1.6, 901.0) == 400.0 > mon.wedged_after
 
 
 def test_monitor_resets_on_file_progress():
@@ -52,7 +66,7 @@ def test_monitor_ignores_keepalive_sized_cpu():
     # the measured wedge trickles keepalives; a ~1% CPU rate must NOT
     # read as progress
     mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
-                       cpu_rate=0.05)
+                       cpu_rate=0.05, startup_window_s=360.0)
     assert mon.tick(200.0, 2.0, 0.0) == 200.0
     assert mon.tick(400.0, 4.0, 0.0) == 400.0 > mon.wedged_after
 
@@ -132,7 +146,7 @@ def test_install_guard_exits_via_hook(tmp_path):
         raise SystemExit
 
     t = install_wedge_guard(str(tmp_path), window_s=0.05, poll_s=0.02,
-                            _exit=fake_exit)
+                            _exit=fake_exit, startup_window_s=0.05)
     deadline = time.time() + 5.0
     while "code" not in fired and time.time() < deadline:
         time.sleep(0.02)
