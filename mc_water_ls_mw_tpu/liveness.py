@@ -73,6 +73,31 @@ def newest_output_mtime(dirpath="."):
     return t
 
 
+def steady_output_mtime(dirpath="."):
+    """Newest mtime of a STEADY-STATE output (therm rows /
+    checkpoints) — files that only advance once the cycle loop is
+    actually running.  mc.log is excluded on purpose: init writes
+    banner lines to it minutes before the first (possibly very long)
+    cold compile, and the startup->steady transition must not be
+    triggered by those (measured round 5: three launches in a row
+    wedge-exited mid-compile because an early mc.log line had
+    tightened the window)."""
+    t = 0.0
+    try:
+        names = os.listdir(dirpath)
+    except OSError:
+        return t
+    for f in names:
+        if f.endswith("_therm.dat") or f.startswith("checkpoint"):
+            try:
+                path = os.path.join(dirpath, f)
+                if os.path.getsize(path) > 0:
+                    t = max(t, os.path.getmtime(path))
+            except OSError:
+                pass
+    return t
+
+
 class WedgeMonitor:
     """Pure decision core of the guard (testable without threads).
 
@@ -88,34 +113,41 @@ class WedgeMonitor:
     forever must still read as stalled (it would eventually clear any
     cumulative threshold).
 
-    ``startup_window_s`` applies until the FIRST output-file progress
-    is ever observed: a cold large-N start can wait many minutes
-    inside a remote (server-side) XLA compile at near-zero host CPU
-    with no files yet — healthy, but indistinguishable from a wedge
-    by the steady-state signals.  Once the run has produced output
-    even once, the tight window takes over.
+    ``startup_window_s`` applies until the first STEADY-STATE output
+    (a therm row / checkpoint — ``steady`` argument of ``tick``) is
+    ever observed: a cold large-N start can wait tens of minutes
+    inside a remote XLA compile at near-zero host CPU — healthy, but
+    indistinguishable from a wedge by the steady-state signals — and
+    the early mc.log banner lines must NOT end the startup phase
+    (measured round 5: three launches wedge-exited mid-compile
+    because an mc.log init line had tightened the window).  Once the
+    cycle loop has produced steady output even once, the tight
+    window takes over.
     """
 
     def __init__(self, now, cpu, mtime, window_s=360.0,
-                 cpu_rate=0.05, startup_window_s=1200.0):
+                 cpu_rate=0.05, startup_window_s=2400.0,
+                 steady=0.0):
         self.window_s = float(window_s)
         self.startup_window_s = float(startup_window_s)
         self.cpu_rate = float(cpu_rate)
         self._cpu = cpu
         self._now = now
         self._mtime = mtime
+        self._steady = steady
         self._progress_at = now
-        self._file_seen = False
+        self._steady_seen = False
 
-    def tick(self, now, cpu, mtime):
+    def tick(self, now, cpu, mtime, steady=None):
         dt = now - self._now
         dcpu = cpu - self._cpu
         self._now = now
         self._cpu = cpu
+        if steady is not None and steady > self._steady:
+            self._steady = steady
+            self._steady_seen = True
         busy = dt > 0.0 and (dcpu / dt) > self.cpu_rate
         if mtime > self._mtime or busy:
-            if mtime > self._mtime:
-                self._file_seen = True
             self._mtime = mtime
             self._progress_at = now
             return 0.0
@@ -123,14 +155,14 @@ class WedgeMonitor:
 
     @property
     def wedged_after(self):
-        if not self._file_seen:
+        if not self._steady_seen:
             return max(self.window_s, self.startup_window_s)
         return self.window_s
 
 
 def install_wedge_guard(dirpath=".", window_s=360.0, poll_s=20.0,
                         exit_code=3, _exit=os._exit,
-                        startup_window_s=1200.0):
+                        startup_window_s=2400.0):
     """Start the guard as a daemon thread; returns the thread.
 
     On detection it prints one line and calls ``_exit(exit_code)`` —
@@ -144,11 +176,13 @@ def install_wedge_guard(dirpath=".", window_s=360.0, poll_s=20.0,
         mon = WedgeMonitor(time.time(), time.process_time(),
                            newest_output_mtime(dirpath),
                            window_s=window_s,
-                           startup_window_s=startup_window_s)
+                           startup_window_s=startup_window_s,
+                           steady=steady_output_mtime(dirpath))
         while True:
             time.sleep(poll_s)
             age = mon.tick(time.time(), time.process_time(),
-                           newest_output_mtime(dirpath))
+                           newest_output_mtime(dirpath),
+                           steady=steady_output_mtime(dirpath))
             if age > mon.wedged_after:
                 print(f"wedge guard: no output progress and CPU rate "
                       f"<{mon.cpu_rate:.0%} for {age:.0f}s; "

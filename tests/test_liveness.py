@@ -30,20 +30,40 @@ def test_monitor_flags_full_stall():
 
 
 def test_monitor_startup_window_tolerates_remote_compile():
-    # cold large-N start: server-side compile, ~0 host CPU, no files
-    # for many minutes — must NOT read as wedged inside the startup
-    # window, must tighten to window_s after the first file progress
+    # cold large-N start: remote compile, ~0 host CPU, no steady
+    # output for many minutes — must NOT read as wedged inside the
+    # startup window.  Crucially an mc.log banner line (generic
+    # output progress, NOT steady) resets the stall age but must NOT
+    # tighten the window (measured round 5: early mc.log lines
+    # tightened the window and three launches died mid-compile).
     mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
                        startup_window_s=1200.0)
-    age = mon.tick(600.0, 1.0, 0.0)        # 10 min into the compile
-    assert age == 600.0 < mon.wedged_after
-    assert mon.tick(900.0, 1.5, 901.0) == 0.0   # first therm lands
-    assert mon.wedged_after == 360.0       # tight window from now on
-    assert mon.tick(1300.0, 1.6, 901.0) == 400.0 > mon.wedged_after
+    assert mon.tick(60.0, 0.5, 61.0) == 0.0     # mc.log banner line
+    assert mon.wedged_after == 1200.0           # still startup
+    age = mon.tick(700.0, 1.0, 61.0)            # 10+ min compiling
+    assert age == 640.0 < mon.wedged_after
+    # first therm row = steady output: tight window from now on
+    assert mon.tick(900.0, 1.5, 901.0, steady=901.0) == 0.0
+    assert mon.wedged_after == 360.0
+    assert mon.tick(1300.0, 1.6, 901.0, steady=901.0) \
+        == 400.0 > mon.wedged_after
+
+
+def test_monitor_restart_requires_new_steady_output():
+    # after a restart the directory already holds old checkpoints;
+    # their (old) mtimes must not count as steady progress — only a
+    # NEW steady write ends the startup phase
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=500.0, window_s=360.0,
+                       startup_window_s=1200.0, steady=500.0)
+    assert mon.tick(400.0, 0.1, 500.0, steady=500.0) == 400.0
+    assert mon.wedged_after == 1200.0           # still startup
+    assert mon.tick(600.0, 0.1, 601.0, steady=601.0) == 0.0
+    assert mon.wedged_after == 360.0
 
 
 def test_monitor_resets_on_file_progress():
-    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0)
+    mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=100.0, window_s=360.0,
+                       startup_window_s=360.0)
     assert mon.tick(300.0, 0.5, 100.0) == 300.0
     # a therm flush lands: stall age resets even with ~0 CPU
     assert mon.tick(350.0, 0.6, 351.0) == 0.0
@@ -78,7 +98,7 @@ def test_monitor_sustained_trickle_never_resets_stall():
     # is never detected (round-4 advisor finding).  Judged per-window
     # as a rate, the stall age must keep growing.
     mon = WedgeMonitor(now=0.0, cpu=0.0, mtime=0.0, window_s=360.0,
-                       cpu_rate=0.05)
+                       cpu_rate=0.05, startup_window_s=360.0)
     t, cpu = 0.0, 0.0
     for _ in range(100):                 # 2000 s of 1.4% trickle
         t += 20.0
