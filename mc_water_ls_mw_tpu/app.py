@@ -414,6 +414,20 @@ class Application:
                     k: np.concatenate([samples[k], np.asarray(smp[k])])
                     for k in samples
                 }
+                # per-chunk liveness heartbeat: the samples pull above
+                # synchronises on this chunk's device work, so a
+                # heartbeat here is REAL cycle progress at chunk
+                # cadence (~tens of seconds) — without it the only
+                # output lands at block boundaries (many minutes at
+                # large N) and the wedge guard cannot tell a healthy
+                # long block from a wedge (measured round 5: the
+                # guard killed a healthy N=8064 steady-state run
+                # mid-block)
+                try:
+                    with open("heartbeat", "w") as hb:
+                        hb.write(f"{int(self.state.cycle)}\n")
+                except OSError:
+                    pass
             jax.block_until_ready(self.state)
             t_disp = time.monotonic()
             done += n

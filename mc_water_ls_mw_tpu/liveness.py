@@ -41,6 +41,7 @@ import time
 _OUTPUT_MARKERS = (
     ("suffix", "_therm.dat"),
     ("exact", "mc.log"),
+    ("exact", "heartbeat"),
     ("prefix", "checkpoint"),
 )
 
@@ -88,7 +89,8 @@ def steady_output_mtime(dirpath="."):
     except OSError:
         return t
     for f in names:
-        if f.endswith("_therm.dat") or f.startswith("checkpoint"):
+        if f.endswith("_therm.dat") or f.startswith("checkpoint") \
+                or f == "heartbeat":
             try:
                 path = os.path.join(dirpath, f)
                 if os.path.getsize(path) > 0:

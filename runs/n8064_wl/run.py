@@ -54,7 +54,7 @@ else:
 # relaunches and the app resumes from the newest checkpoint.
 from mc_water_ls_mw_tpu.liveness import install_wedge_guard
 
-install_wedge_guard(".")
+install_wedge_guard(".", window_s=900.0)
 
 # Persistent compile cache: watchdog relaunches (the wedge-recovery
 # path) re-pay every XLA compile otherwise - at N=8064 that is
