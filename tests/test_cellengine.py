@@ -107,6 +107,10 @@ class TestSingleLattice:
                 np.asarray(a[0]), np.asarray(b), atol=1e-10
             )
 
+    # >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+    @pytest.mark.slow
+
     def test_cycles_drift_free_with_rebin_and_volume(
         self, single_lattice
     ):

