@@ -131,6 +131,29 @@ def monitor_stats(eng: Engine, state: SamplerState, logs, aux,
                 f"  computed {e_now[l].mean():12.6f} eV"
                 f"  max drift {np.abs(drift[l]).max():12.3e} eV")
 
+    # mu drift audit + heal (round 5).  The reference rebuilds mu
+    # only at latt_sync_int (10k cycles; mc_moves.F90:297) — but mu
+    # is the BINNING variable, so between resyncs any differential
+    # incremental-energy error walks the histogram bin assignment.
+    # Common-mode energy drift cancels in mu (beta*(E0-E1) form);
+    # what survives is the differential part, reported here in BIN
+    # units so estimator impact is directly readable.  Healing at
+    # monitor cadence bounds it at monitor_int cycles.
+    if prm.num_lattices == 2:
+        import jax.numpy as _jnp
+
+        mu_fresh = np.asarray(
+            eng._mu_scratch(state.energy, state.volume)
+        )
+        dmu = np.asarray(state.mu, dtype=np.float64) - mu_fresh
+        binw = float(np.asarray(grid.mu_bin)[1]
+                     - np.asarray(grid.mu_bin)[0])
+        logs.my(f"#  mu   drift {np.abs(dmu).max():12.3e} kT max "
+                f"({np.abs(dmu).max() / binw:8.4f} bins); healed")
+        state = state._replace(
+            mu=_jnp.asarray(mu_fresh, dtype=state.mu.dtype)
+        )
+
     # per-window statistics (dd): the per-rank nodeNNN.log blocks of
     # the reference (io.f90:1105-1144, mc_monitor_stats:1734-1794)
     # collapse to per-window rows here, so a stuck or poisoned

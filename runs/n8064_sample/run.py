@@ -98,9 +98,13 @@ run_input_file(
         eq_mc_cycles=400,
         list_update_int=10,
         mpi_sync_int=50,
-        monitor_int=2500,
+        # round 5: frequent deltaG dumps -> many jackknife blocks
+        # (deltag_error.py --dd differences consecutive per-window
+        # raw dumps); monitor heals the f32 incremental energy and
+        # commits curve artifacts every block
+        monitor_int=500,
         flat_chk_int=1000,
-        deltaG_int=2500,
+        deltaG_int=500,
         file_output_int=100, therm_walkers=8,
         traj_output_int=100_000_000,
         chkpt_dump_int=250,

@@ -62,11 +62,12 @@ def run_case(tag, r0, H0, dtype, trials, vol, switch, rebin_int,
     shape = choose_grid_shape(H0, MW, mx)
     cg = build_grid(shape, cap_for_positions(r0, H0, shape), H0, MW,
                     mx)
+    nbins = int(os.environ.get("PROBE_NBINS", "21"))
     prm = RunParams(
         nwater=N, num_lattices=2, n_walkers=walkers, dtype=dtype,
         temperature=200.0, pressure=RunParams.pressure,
         mu_min=-90000.0 * N / 8064, mu_max=90000.0 * N / 8064,
-        nbins=201,
+        nbins=nbins,
         cell_trials=trials,
         mc_max_trans=0.10, mc_dv_max=0.2,
         allow_vol=vol, allow_switch=switch,
