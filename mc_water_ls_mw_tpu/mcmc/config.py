@@ -36,6 +36,11 @@ class RunParams:
     mc_max_trans: float = 0.6                   # Bohr
     mc_target_ratio: float = 0.50
     mc_dv_max: float = 0.1                      # Bohr
+    #: NPT volume wall: fractional half-width around each replica's
+    #: REFERENCE lattice volume (0 = off).  Excludes the evaporation
+    #: branch that otherwise fills central mu-windows with gas
+    #: states at large N (engine._volume round-5 note).
+    mc_vol_wall: float = 0.0
 
     wl_factor: float = 0.05
     wl_schedule: int = 0

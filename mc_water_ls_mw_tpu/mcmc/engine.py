@@ -689,6 +689,39 @@ class Engine:
             dsp = r_new - extras["ref_r"]               # [L,3,N,W]
             d2 = jnp.sum(dsp * dsp, axis=1)             # [L,N,W]
             ok = ok & (jnp.max(d2, axis=(0, 1)) <= self.wall ** 2)
+        if prm.mc_vol_wall > 0.0:
+            # NPT volume wall (round 5): restrict each replica's
+            # volume to ±mc_vol_wall (fractional) of its reference
+            # lattice volume.  Motivation (measured, N=8064 WL
+            # production): central mu-windows ask for E1≈E2 states
+            # and the entropically cheap way there is EVAPORATION —
+            # walkers ran away to V≈20·V0 (gas, E1=E2≈0, mu≈0),
+            # wasting the windows on states irrelevant to the
+            # solid-solid dG.  Ice polytypes at 200 K fluctuate
+            # within ~±3% of Vref, so a generous wall excludes only
+            # the gas branch.  A hard wall on the PROPOSED state
+            # preserves detailed balance; the inward clause only
+            # engages for walkers already outside (restart from a
+            # pre-wall checkpoint) and ratchets them back in.
+            ref_h = self.aux.ref_h
+            vref = jnp.abs(jnp.stack([
+                determinant3(
+                    jnp.asarray(ref_h[l], dtype=dtype)[:, :, None]
+                )[0]
+                for l in range(L)
+            ]))                                          # [L]
+            ratio_new = vol_new / vref[:, None]          # [L,W]
+            inside = jnp.all(
+                (ratio_new >= 1.0 - prm.mc_vol_wall)
+                & (ratio_new <= 1.0 + prm.mc_vol_wall), axis=0
+            )
+            dist_new = jnp.sum(
+                jnp.abs(jnp.log(ratio_new)), axis=0
+            )
+            dist_old = jnp.sum(
+                jnp.abs(jnp.log(s.volume / vref[:, None])), axis=0
+            )
+            ok = ok & (inside | (dist_new < dist_old))
         if prm.num_lattices == 2:
             ok = ok & jnp.isfinite(mu_new)
         accept = ok & (u[:, 3] < jnp.exp(-diffkT))
