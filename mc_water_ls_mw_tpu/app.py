@@ -246,6 +246,7 @@ class Application:
                 weight0=weight0, n_windows=n_windows,
             )
             self.aux = aux
+            self._caux = caux
             self.engine = CellEngine(
                 prm, self.model, self.grid, aux, self.cellgrid, caux,
                 mesh=self.mesh,
@@ -297,6 +298,70 @@ class Application:
             if prm.num_lattices == 2:
                 state = self.engine.resync_chains(state)
             state, _ = self.engine.audit_energy(state)
+            # generation checkpoint entering a SAMPLE phase (round
+            # 5): the chain state — positions, window membership,
+            # adapted step sizes, per-window eta — carries over
+            # (walkers stay seeded, no re-equilibration), but the
+            # estimator accumulators must start clean and f must
+            # freeze.  The tell is stored f > 0: a sample-phase
+            # RESUME has f == 0 and must keep its accumulators.
+            if prm.samplerun and float(np.asarray(state.f).max()) > 0:
+                from .ops.dsfloat import ds_value64, ds_zeros
+                from .parallel.windows import join_eta
+
+                logs.my("# Sample phase from a generation "
+                        "checkpoint: freezing f, zeroing histogram/"
+                        "uhist accumulators, keeping eta + chain "
+                        "state")
+                state = state._replace(
+                    f=jnp.zeros_like(state.f),
+                    hist=jnp.zeros_like(state.hist),
+                    uhist=jnp.zeros_like(state.uhist),
+                    sumhist=jnp.zeros_like(state.sumhist),
+                    master_hist=ds_zeros(
+                        state.master_hist.hi.shape,
+                        dtype=state.master_hist.hi.dtype,
+                    ),
+                    master_uhist=ds_zeros(
+                        state.master_uhist.hi.shape,
+                        dtype=state.master_uhist.hi.dtype,
+                    ),
+                    firstcycle=jnp.zeros_like(state.firstcycle),
+                )
+                # the unbiased increment is exp(eta - log_norm)
+                # clamped at 60: log_norm was computed at init from
+                # the (absent) warm-start file, but the operative eta
+                # is the CHECKPOINT's — recompute the norm from its
+                # stitched curve and rebuild the engine, or the clamp
+                # engages and distorts the estimator ratios
+                from .mcmc.state import compute_log_unbiased_norm
+
+                w_cur = ds_value64(state.master_eta)        # [nwin,B]
+                joined = (
+                    join_eta(w_cur, self.grid.nbins,
+                             prm.window_overlap)
+                    if w_cur.shape[0] > 1 else w_cur[0]
+                )
+                log_norm = compute_log_unbiased_norm(
+                    prm, self.grid, joined, prm.n_walkers
+                )
+                logs.my(f"# Recomputed log_unbiased_norm = "
+                        f"{log_norm:.3f} from checkpoint eta")
+                self.aux = self.aux._replace(
+                    log_unbiased_norm=log_norm
+                )
+                if self.cellgrid is not None:
+                    from .mcmc.cellengine import CellEngine
+
+                    self.engine = CellEngine(
+                        self.prm, self.model, self.grid, self.aux,
+                        self.cellgrid, self._caux, mesh=self.mesh,
+                    )
+                else:
+                    self.engine = Engine(
+                        self.prm, self.model, self.grid, self.aux,
+                        mesh=self.mesh,
+                    )
 
         if self.mesh is not None:
             state = shard_state(state, self.mesh, prm.n_walkers)

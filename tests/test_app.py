@@ -150,6 +150,35 @@ def test_sample_dd_end_to_end(tmp_path, examples_dir):
         assert f"# win{w:4d}" in nlog
 
 
+def test_samplerun_from_generation_checkpoint(tmp_path, examples_dir):
+    """Round-5 pipeline step: restarting a GENERATION checkpoint
+    (f > 0) with samplerun=True must keep the chain state + eta but
+    freeze f, zero the histogram/uhist accumulators, and recompute
+    log_unbiased_norm from the checkpoint's stitched eta (else the
+    exp(eta - log_norm) clamp distorts the estimator)."""
+    inp = _stage(tmp_path, examples_dir, "ice1_gen_weights_dd")
+    ovr = {**OVR, "n_walkers": 8, "n_windows": 4}
+    cwd = os.getcwd()
+    try:
+        run_input_file(inp, overrides=ovr, max_cycles=30)
+        s = run_input_file(
+            inp, overrides={**ovr, "samplerun": True}, max_cycles=30
+        )
+    finally:
+        os.chdir(cwd)
+    assert float(np.asarray(s.f).max()) == 0.0
+    # eta carried over from generation (nonzero somewhere)
+    from mc_water_ls_mw_tpu.ops.dsfloat import ds_value64
+
+    assert np.abs(ds_value64(s.master_eta)).max() > 0
+    nlog = (tmp_path / "node000.log").read_text()
+    assert "Sample phase from a generation checkpoint" in nlog
+    assert "Recomputed log_unbiased_norm" in nlog
+    # uhist accumulated fresh during the sample segment only: finite
+    uh = ds_value64(s.master_uhist)
+    assert np.isfinite(uh).all()
+
+
 @pytest.mark.slow
 def test_gen_weights_dd_end_to_end(tmp_path, examples_dir):
     """ice1_gen_weights_dd: WL weight refinement with per-window
