@@ -450,4 +450,27 @@ def compute_deltaG(eng: Engine, state: SamplerState, logs,
                     f"  {u_cur[w, k]: .14E}"
                     for w in range(u_cur.shape[0])
                 ) + "\n")
+        # round 5: ALSO dump cumulative per-window visit COUNTS and
+        # the frozen per-window eta rows.  At large N the in-flight
+        # exp(eta - log_norm) increment spans more dynamic range than
+        # f32 holds (weight curves of 10^3-10^4 kT), so the robust
+        # estimator recombines counts x exp(-eta) OFFLINE in f64
+        # log-space (deltag_error.py --dd-counts); counts have no
+        # range problem and eta is frozen in a samplerun.
+        h_cur = ds_value64(state.master_hist)
+        e_cur = ds_value64(state.master_eta)
+        cpath = f"hist_windows_{cycle:010d}.dat"
+        with open(cpath, "w") as fh:
+            fh.write(f"# mu then {h_cur.shape[0]} per-window "
+                     "cumulative visit-count columns then "
+                     f"{e_cur.shape[0]} frozen eta columns "
+                     f"(window_overlap={prm.window_overlap})\n")
+            for k in range(B):
+                fh.write(f"  {mub[k]: .14E}" + "".join(
+                    f"  {h_cur[w, k]: .14E}"
+                    for w in range(h_cur.shape[0])
+                ) + "".join(
+                    f"  {e_cur[w, k]: .14E}"
+                    for w in range(e_cur.shape[0])
+                ) + "\n")
     return state

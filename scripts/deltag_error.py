@@ -79,6 +79,65 @@ def deltag(raw, bw, split):
     return np.log(lo / hi)
 
 
+def load_count_dumps(run_dir):
+    """hist_windows_<cycle>.dat: mu, nwin count columns, nwin frozen
+    eta columns (round-5 large-span estimator input)."""
+    files = sorted(
+        glob.glob(os.path.join(run_dir, "hist_windows_*.dat"))
+    )
+    out = []
+    for f in files:
+        m = re.search(r"_(\d+)\.dat$", f)
+        if not m:
+            continue
+        arr = np.loadtxt(f)
+        if arr.ndim != 2 or (arr.shape[1] - 1) % 2 != 0:
+            continue
+        nwin = (arr.shape[1] - 1) // 2
+        out.append((int(m.group(1)), arr[:, 0],
+                    arr[:, 1:1 + nwin].T,
+                    arr[:, 1 + nwin:1 + 2 * nwin].T))
+    return out          # (cycle, mu [B], counts [nwin,B], eta [nwin,B])
+
+
+def deltag_counts(counts, eta, bw, split, verbose=False):
+    """log-space offline recombination for spans beyond f32 range:
+    P_w(bin) ∝ counts_w(bin)·exp(−eta_w(bin)); windows stitched by
+    median log-offset over shared valid bins; ΔG from logsumexp of
+    the two halves.  All f64 — a 10⁴-kT weight span is ~e^10000,
+    far past ANY floating-point range if exponentiated in-flight,
+    but trivial as log-arithmetic here."""
+    nwin, B = counts.shape
+    valid = (eta < 1e29) & (counts > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logP = np.where(
+            valid,
+            np.log(np.maximum(counts, 1e-300)) - eta
+            + np.log(bw)[None, :],
+            -np.inf,
+        )
+    off = np.zeros(nwin)
+    resid = []
+    for w in range(1, nwin):
+        both = valid[w - 1] & valid[w]
+        if not both.any():
+            return np.nan, resid        # stitch chain broken
+        d = (logP[w - 1] + off[w - 1]) - logP[w]
+        off[w] = np.median(d[both])
+        resid.append(float(np.std(d[both])))
+    vals = np.where(valid, logP + off[:, None], np.nan)
+    with np.errstate(invalid="ignore"):
+        lp = np.nanmean(vals, axis=0)               # [B]
+    lo = lp[:split]
+    hi = lp[split:]
+    lo = lo[np.isfinite(lo)]
+    hi = hi[np.isfinite(hi)]
+    if len(lo) == 0 or len(hi) == 0:
+        return np.nan, resid
+    lse = np.logaddexp.reduce
+    return float(lse(lo) - lse(hi)), resid
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
@@ -90,12 +149,28 @@ def main():
     ap.add_argument("--dd", action="store_true",
                     help="dd run: jackknife over per-window raw "
                          "dumps with per-block re-stitching")
+    ap.add_argument("--dd-counts", action="store_true",
+                    help="dd run, large weight spans: jackknife "
+                         "over per-window COUNT dumps recombined "
+                         "with the frozen eta offline in f64 "
+                         "log-space (hist_windows_*.dat)")
     ap.add_argument("--overlap", type=int, default=2,
                     help="dd window_overlap used by the run")
     args = ap.parse_args()
 
-    dumps = (load_window_dumps(args.run_dir) if args.dd
-             else load_dumps(args.run_dir))
+    eta_frozen = None
+    if args.dd_counts:
+        dumps = load_count_dumps(args.run_dir)
+        if dumps:
+            # frozen eta identical across dumps; keep the last and
+            # reduce the tuples to the (cycle, mu, data) shape the
+            # block machinery expects
+            eta_frozen = dumps[-1][3]
+            dumps = [(c, mu_, cnt) for c, mu_, cnt, _ in dumps]
+    elif args.dd:
+        dumps = load_window_dumps(args.run_dir)
+    else:
+        dumps = load_dumps(args.run_dir)
     if len(dumps) < 3:
         sys.exit("need >= 3 dumps for a jackknife")
     mu = dumps[0][1]
@@ -132,7 +207,15 @@ def main():
     if len(blocks) < 2:
         sys.exit("not enough blocks after burn-in skip")
 
-    if args.dd:
+    resid_report = []
+    if args.dd_counts:
+        def estimate(win_total):
+            dg, resid = deltag_counts(win_total, eta_frozen, bw,
+                                      split)
+            if resid and not resid_report:
+                resid_report.extend(resid)
+            return dg
+    elif args.dd:
         from mc_water_ls_mw_tpu.parallel.windows import join_uhist
 
         def estimate(win_total):
@@ -159,6 +242,12 @@ def main():
 
     per_mol = dg_all / args.nwater
     se_mol = se / args.nwater
+    if resid_report:
+        worst = max(resid_report)
+        print("stitch-boundary log-offset spreads (kT): "
+              + " ".join(f"{r:.2f}" for r in resid_report))
+        print(f"  (worst {worst:.2f} kT — spreads >> the error bar "
+              "flag a contaminated bridge window)")
     print(f"blocks used: {n_eff} (of {n}; {args.skip_blocks} skipped)")
     print(f"deltaG(A=mu<0 half vs B) = {dg_all:+.6f} +- {se:.6f} kT")
     print(f"                        = {per_mol:+.8f} +- {se_mol:.8f} "
