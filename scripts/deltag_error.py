@@ -100,7 +100,7 @@ def load_count_dumps(run_dir):
     return out          # (cycle, mu [B], counts [nwin,B], eta [nwin,B])
 
 
-def deltag_counts(counts, eta, bw, split, verbose=False):
+def deltag_counts(counts, eta, bw, split, bounds=None):
     """log-space offline recombination for spans beyond f32 range:
     P_w(bin) ∝ counts_w(bin)·exp(−eta_w(bin)); windows stitched by
     median log-offset over shared valid bins; ΔG from logsumexp of
@@ -109,6 +109,14 @@ def deltag_counts(counts, eta, bw, split, verbose=False):
     but trivial as log-arithmetic here."""
     nwin, B = counts.shape
     valid = (eta < 1e29) & (counts > 0)
+    if bounds is not None:
+        # restrict each window to its NOMINAL bin range: the stored
+        # eta rows do not carry the wall sentinels (walls are applied
+        # at eval time), and a pathological walker's out-of-window
+        # visits must not contaminate the stitch
+        bin_ids = np.arange(B)
+        for w, (s, e) in enumerate(bounds):
+            valid[w] &= (bin_ids >= s) & (bin_ids <= e)
     with np.errstate(divide="ignore", invalid="ignore"):
         logP = np.where(
             valid,
@@ -209,9 +217,20 @@ def main():
 
     resid_report = []
     if args.dd_counts:
+        from mc_water_ls_mw_tpu.mcmc.config import RunParams
+        from mc_water_ls_mw_tpu.mcmc.state import assign_windows
+
+        nwin = eta_frozen.shape[0]
+        prm_w = RunParams(nbins=B, mu_min=args.mu_min,
+                          mu_max=args.mu_max,
+                          window_overlap=args.overlap,
+                          num_lattices=2)
+        bounds = [(s, e) for s, e, _, _ in
+                  assign_windows(prm_w, grid, nwin)]
+
         def estimate(win_total):
             dg, resid = deltag_counts(win_total, eta_frozen, bw,
-                                      split)
+                                      split, bounds=bounds)
             if resid and not resid_report:
                 resid_report.extend(resid)
             return dg
