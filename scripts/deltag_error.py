@@ -164,6 +164,10 @@ def main():
                          "log-space (hist_windows_*.dat)")
     ap.add_argument("--overlap", type=int, default=2,
                     help="dd window_overlap used by the run")
+    ap.add_argument("--no-window-bounds", action="store_true",
+                    help="dd-counts: do not restrict windows to "
+                         "their nominal bin ranges (use when stray "
+                         "walkers carry the only usable counts)")
     args = ap.parse_args()
 
     eta_frozen = None
@@ -225,8 +229,9 @@ def main():
                           mu_max=args.mu_max,
                           window_overlap=args.overlap,
                           num_lattices=2)
-        bounds = [(s, e) for s, e, _, _ in
-                  assign_windows(prm_w, grid, nwin)]
+        bounds = None if args.no_window_bounds else [
+            (s, e) for s, e, _, _ in
+            assign_windows(prm_w, grid, nwin)]
 
         def estimate(win_total):
             dg, resid = deltag_counts(win_total, eta_frozen, bw,
