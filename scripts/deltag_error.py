@@ -102,11 +102,15 @@ def load_count_dumps(run_dir):
 
 def deltag_counts(counts, eta, bw, split, bounds=None):
     """log-space offline recombination for spans beyond f32 range:
-    P_w(bin) ∝ counts_w(bin)·exp(−eta_w(bin)); windows stitched by
-    median log-offset over shared valid bins; ΔG from logsumexp of
-    the two halves.  All f64 — a 10⁴-kT weight span is ~e^10000,
-    far past ANY floating-point range if exponentiated in-flight,
-    but trivial as log-arithmetic here."""
+    P_w(bin) ∝ counts_w(bin)·exp(+eta_w(bin)) — the engine's
+    convention has converged eta = +ln P = −G/kT (the biased chain
+    samples ∝ P·e^(−eta), flat at convergence; the in-flight uhist
+    unbias multiplies exp(+eta−norm), engine._wl_update samplerun
+    branch).  Windows stitched by median log-offset over shared
+    valid bins; ΔG from logsumexp of the two halves.  All f64 — a
+    10⁴-kT weight span is ~e^10000, far past ANY floating-point
+    range if exponentiated in-flight, but trivial as log-arithmetic
+    here."""
     nwin, B = counts.shape
     valid = (eta < 1e29) & (counts > 0)
     if bounds is not None:
@@ -120,7 +124,7 @@ def deltag_counts(counts, eta, bw, split, bounds=None):
     with np.errstate(divide="ignore", invalid="ignore"):
         logP = np.where(
             valid,
-            np.log(np.maximum(counts, 1e-300)) - eta
+            np.log(np.maximum(counts, 1e-300)) + eta
             + np.log(bw)[None, :],
             -np.inf,
         )

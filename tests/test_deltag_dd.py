@@ -91,7 +91,9 @@ def test_dd_counts_recovers_known_deltag_at_huge_span(tmp_path):
         -0.5 * ((mub + 250) / 60.0) ** 2,
         np.log(2.0) - 0.5 * ((mub - 250) / 60.0) ** 2,
     ) - 4000.0 * np.exp(-0.5 * (mub / 120.0) ** 2)
-    # converged multicanonical eta ~ -logP (+ per-window constants)
+    # converged multicanonical eta = +logP (engine convention:
+    # eta = -G/kT; biased chain flat at eta = lnP) + per-window
+    # constants
     prm = RunParams(nbins=B, mu_min=mu_min, mu_max=mu_max,
                     window_overlap=overlap, num_lattices=2)
     wins = assign_windows(prm, grid, nwin)
@@ -100,7 +102,7 @@ def test_dd_counts_recovers_known_deltag_at_huge_span(tmp_path):
     cum = np.zeros((nwin, B))
     eta = np.full((nwin, B), 1e30)       # walled outside the window
     for w, (s, e, _, _) in enumerate(wins):
-        eta[w, s:e + 1] = -(logp[s:e + 1]) + 7.0 * w   # + constant
+        eta[w, s:e + 1] = logp[s:e + 1] + 7.0 * w      # + constant
     for cycle in (1000, 2000, 3000, 4000, 5000, 6000):
         for w, (s, e, _, _) in enumerate(wins):
             # flat-histogram sampling: expected counts ∝ P·exp(eta)
