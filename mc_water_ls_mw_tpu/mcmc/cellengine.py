@@ -174,6 +174,12 @@ class CellAux(NamedTuple):
     dfrac0: jnp.ndarray       # [3,N] invariant correspondence mismatch
                               # f1 - f2 per molecule (models/stacking.py)
     mismatch: float           # max Cartesian mismatch bound (Bohr)
+    #: [3,N] lattice-1 reference fractional sites — the anchor of the
+    #: round-5 displacement wall (cell_trans_wall): the standard
+    #: LS-MC coherence regularizer |r - r_ref| <= w keeps overlap
+    #: states coherent (both replicas share the u-vector set), closing
+    #: the central-window disorder pathology (DESIGN.md §5d round 5)
+    fref0: jnp.ndarray = None
 
 
 def _slab_put(arr, idx, val, mask):
@@ -678,6 +684,23 @@ class CellEngine(Engine):
             & (cell_of_frac(cg, f_new, s.origin, level="fine")
                == mover_fc)
         )
+        if self.prm.cell_trans_wall > 0.0:
+            # displacement wall (round 5): the PROPOSED endpoint must
+            # stay within cell_trans_wall of the mover's lattice-1
+            # reference site (minimum image).  Walling only the
+            # proposal keeps detailed balance exact on the walled
+            # support and ratchets any legacy out-of-wall state
+            # inward (moves toward the wall interior stay legal).
+            fref = jnp.take(
+                self.cellaux.fref0, jnp.maximum(mover_mol, 0), axis=1
+            )                                              # [3,K,W]
+            fd = _frac_of(s.recip[0], p_new[0]) - fref
+            fd = fd - jnp.round(fd)
+            dsp = _einsum("abw,bkw->akw", s.h[0], fd)
+            in_cell = in_cell & (
+                jnp.sum(dsp * dsp, axis=0)
+                <= self.prm.cell_trans_wall ** 2
+            )
 
         # parallel Delta-E of all K movers in both lattices, against
         # the 27-cell per-fine-cell coverage stencil (the wall keeps
@@ -1116,6 +1139,24 @@ class CellEngine(Engine):
             )
 
         in_cell = jax.vmap(in_cell_of)(pts[:, 0])      # [P,K,W]
+        if self.prm.cell_trans_wall > 0.0:
+            # displacement wall on the TRIAL points (point 0 = the
+            # current position is exempt: states are inside by
+            # induction, and a legacy out-of-wall state must keep its
+            # inward moves legal) — see the T=1 gate above
+            fref = jnp.take(
+                self.cellaux.fref0, jnp.maximum(mover_mol, 0), axis=1
+            )                                          # [3,K,W]
+
+            def wall_of(p0):
+                fd = _frac_of(s.recip[0], p0) - fref
+                fd = fd - jnp.round(fd)
+                dsp = _einsum("abw,bkw->akw", s.h[0], fd)
+                return (jnp.sum(dsp * dsp, axis=0)
+                        <= self.prm.cell_trans_wall ** 2)
+
+            wall = jax.vmap(wall_of)(pts[:, 0])        # [P,K,W]
+            in_cell = in_cell & wall.at[0].set(True)
 
         # local energies of all K movers at all P points, one stencil
         # pass per lattice
@@ -1676,11 +1717,33 @@ class CellEngine(Engine):
     def _vol_energy(self, s: CellState, r_new, h_new):
         return self._full_both(s, r_new, h_new)
 
-    def _vol_extra_ok(self, h_new):
+    def _vol_extra_ok(self, h_new, s=None):
         # grid-validity wall: perpendicular widths must stay within
         # the coverage tables' shrink guard (state-only-dependent
         # hard wall)
-        return self._geometry_ok(h_new)
+        ok = self._geometry_ok(h_new)
+        if self.prm.cell_trans_wall > 0.0 and s is not None:
+            # a volume move rescales every displacement from the
+            # reference sites (fractional coords held fixed), so an
+            # accepted expansion could carry molecules beyond the
+            # displacement wall — breaking detailed balance at the
+            # wall exactly like the dense path's case
+            # (engine._volume ref_r check).  Reject proposals whose
+            # rescaled worst displacement violates the wall.
+            mol = jnp.maximum(s.slot2mol, 0)           # [nslot,W]
+            fref = jnp.take(self.cellaux.fref0, mol, axis=1)
+            f1 = _frac_of(s.recip[0], s.r[0])          # [3,nslot,W]
+            fd = f1 - fref
+            fd = fd - jnp.round(fd)
+            dsp = _einsum("abw,bmw->amw", h_new[0], fd)
+            d2 = jnp.sum(dsp * dsp, axis=0)            # [nslot,W]
+            valid = self._slab_valid(s)
+            d2 = jnp.where(valid, d2, 0.0)
+            ok = ok & (
+                jnp.max(d2, axis=0)
+                <= self.prm.cell_trans_wall ** 2
+            )
+        return ok
 
     def _geometry_ok(self, h) -> jnp.ndarray:
         """[W] bool: every perpendicular width of every lattice's box
@@ -2210,6 +2273,7 @@ def init_cell_state(
         caux_d = CellAux(
             dfrac0=jnp.asarray(dfrac0.T, dtype=dtype),
             mismatch=mismatch,
+            fref0=jnp.asarray(f1_0.T, dtype=dtype),
         )
         return state, aux, caux_d
 

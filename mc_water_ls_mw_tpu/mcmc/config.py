@@ -41,6 +41,14 @@ class RunParams:
     #: branch that otherwise fills central mu-windows with gas
     #: states at large N (engine._volume round-5 note).
     mc_vol_wall: float = 0.0
+    #: Cell-engine displacement wall (Bohr; 0 = off): every molecule
+    #: stays within this radius of its lattice-1 reference site
+    #: (minimum image).  The standard LS-MC coherence regularizer —
+    #: at large N the barrier windows otherwise fill with lockstep-
+    #: disordered states (both replicas hot, mu still ~0; measured
+    #: round 5 at N=8064, DESIGN.md §5d).  The dense table path's
+    #: trans_wall is the same constraint (there for table capture).
+    cell_trans_wall: float = 0.0
 
     wl_factor: float = 0.05
     wl_schedule: int = 0

@@ -673,7 +673,7 @@ class Engine:
         # finite-state guard (see _translation) + cell-collapse guard:
         # a near-singular cell blows up the rescaled positions
         ok = jnp.isfinite(diffkT) & (jnp.min(vol_new, axis=0) > 0.0)
-        extra_ok = self._vol_extra_ok(h_new)
+        extra_ok = self._vol_extra_ok(h_new, s)
         if extra_ok is not None:
             ok = ok & extra_ok
         if self.wall > 0.0 and "ref_r" in extras:
@@ -786,7 +786,7 @@ class Engine:
             [p[1] for p in per]
         )
 
-    def _vol_extra_ok(self, h_new):
+    def _vol_extra_ok(self, h_new, s=None):
         """Optional extra [W] acceptance wall (None = no constraint).
 
         With the static neighbour tables active, boxes whose
